@@ -1,0 +1,124 @@
+"""Configuration for the TPU-native depth-diffusion framework.
+
+Every algorithm constant that is hard-coded in the reference implementation is a
+first-class, documented field here, defaulted to the reference value (citations
+point into /root/reference):
+
+- ``beta`` / ``max_iterations``:      src/main.cpp:152-153
+- ``tolerance``:                      src/main.cpp:264 (declared but unused in the
+                                      reference; honored here when
+                                      ``early_exit=True``)
+- ``chebyshev_s/rho/gamma``:          src/GPUSolver.cu:282-285
+- ``pyramid_base_size``:              src/main.cpp:95  (the ``/45`` in the level
+                                      count formula)
+- ``depth_edge_threshold``:           src/GPUSolver.cu:201-202
+- ``brush_fraction``:                 src/main.cpp:154 (2% of min dimension)
+- ``haze_beta``:                      src/GPUDepthEffect.cu:87
+- ``defocus_aperture``:               src/GPUDepthEffect.cu:42 (0.025 * diagonal)
+- ``annotation_sentinel``:            src/main.cpp:163 (gray value 32 =
+                                      unannotated)
+- ``depth_init``:                     src/main.cpp:109,136 (255 = far)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    """All tunables of the depth-diffusion pipeline.
+
+    Defaults reproduce the reference behavior exactly.
+    """
+
+    # --- Edge-weight model (src/GPUSolver.cu:264-272, src/main.cpp:152) ---
+    beta: float = 0.4
+
+    # --- Iteration schedule (src/main.cpp:153,263) ---
+    max_iterations: int = 1000
+
+    # --- Chebyshev semi-iteration (src/GPUSolver.cu:282-285) ---
+    chebyshev_s: int = 10
+    chebyshev_rho: float = 0.99
+    chebyshev_gamma: float = 0.99
+
+    # --- Pyramid geometry (src/main.cpp:95,103) ---
+    pyramid_base_size: int = 45
+
+    # --- Level-dependent edge rule (src/GPUSolver.cu:201-202) ---
+    depth_edge_threshold: int = 4  # 0 is forced at level 0 by the solver
+
+    # --- Convergence control (reference declares tol but never uses it,
+    #     src/main.cpp:264; we implement it as an opt-in feature) ---
+    tolerance: float = 1e-5
+    early_exit: bool = False
+    # Residual check cadence when early_exit is on (sweeps between checks).
+    residual_check_every: int = 25
+
+    # --- Solver variant: "jacobi_chebyshev" (reference), "jacobi",
+    #     "red_black" (red-black Gauss-Seidel, BASELINE.json config #2) ---
+    solver: str = "jacobi_chebyshev"
+
+    # --- Multigrid scheme: "cascadic" (reference one-way coarse-to-fine) or
+    #     "vcycle" (full V-cycle, BASELINE.json config #4) ---
+    multigrid: str = "cascadic"
+    vcycle_pre_smooth: int = 8
+    vcycle_post_smooth: int = 8
+    vcycle_coarse_iters: int = 200
+    vcycles: int = 2
+
+    # --- Annotation / interaction contract (src/main.cpp:41-43,154,163) ---
+    annotation_sentinel: int = 32
+    depth_init: float = 255.0
+    brush_fraction: float = 0.02
+
+    # --- Effects (src/GPUDepthEffect.cu:42,87) ---
+    haze_beta: float = 2.0
+    defocus_aperture: float = 0.025
+    haze_airlight: float = 255.0
+
+    # --- Backend selection: "auto" picks Pallas on TPU, pure-XLA elsewhere ---
+    backend: str = "auto"
+    # Sweeps fused per Pallas launch for the strip-tiled level-0 kernel.
+    pallas_iter_block: int = 8
+
+    def num_levels(self, rows: int, cols: int) -> int:
+        """Pyramid depth: log2(max(min(W,H)/base,1))+1 (src/main.cpp:95).
+
+        Matches C's int truncation of ``log2`` applied to the *integer*
+        quotient min(W,H)/45.
+        """
+        q = max(min(rows, cols) // self.pyramid_base_size, 1)
+        return int(math.log2(q)) + 1
+
+    def level_size(self, rows: int, cols: int, level: int) -> Tuple[int, int]:
+        """Per-level size with floor division (src/main.cpp:103).
+
+        The reference mixes floor (its own buffers) and ceil (OpenCV) pyramid
+        conventions — quirk #7 in SURVEY.md. This framework owns a single
+        convention: floor everywhere.
+        """
+        return rows >> level, cols >> level
+
+    def level_iterations(self, num_levels: int, level: int) -> int:
+        """iters = max_iterations / 2^((L-1)-level), truncated
+        (src/main.cpp:263): 1000, 500, 250, 125, 62 ... coarse-to-fine."""
+        return int(self.max_iterations / (2.0 ** ((num_levels - 1) - level)))
+
+    def brush_radius(self, rows: int, cols: int) -> int:
+        """Initial scribble brush side (src/main.cpp:154)."""
+        return int(min(rows, cols) * self.brush_fraction)
+
+    def defocus_kernel_size(self, rows: int, cols: int) -> int:
+        """Max defocus window: 0.025 * image diagonal (src/GPUDepthEffect.cu:42)."""
+        return int(self.defocus_aperture * math.sqrt(rows * rows + cols * cols))
+
+
+DEFAULT_CONFIG = DiffusionConfig()
+
+# The five discrete scribble depth values selectable with keys '0'..'4'
+# (src/main.cpp:41-43): min((key-'0')*64, 254).
+SCRIBBLE_DEPTH_VALUES = (0, 64, 128, 192, 254)

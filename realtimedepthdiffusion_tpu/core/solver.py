@@ -1,0 +1,230 @@
+"""Matrix-free diffusion solvers (pure-XLA path).
+
+TPU-native redesign of GPUMatrixFreeSolver (src/GPUSolver.cu:274-316):
+
+- The reference launches one CUDA kernel per sweep (~1937 launches per
+  solve, SURVEY.md §3.2). Here the whole fixed-iteration loop is a single
+  ``lax.fori_loop`` inside one compiled XLA program — zero launch overhead,
+  zero host round-trips.
+- The reference ping-pongs two dense buffers and early-returns at scribbled
+  pixels so they keep their seeded value (src/GPUSolver.cu:248,301-312).
+  Functionally that is a single carried state ``u`` with
+  ``u' = where(mask, u, chebyshev_update)`` — proven equivalent because both
+  ping-pong buffers are initialized from the seeded depth and scribbled
+  pixels are never written.
+- The per-pixel division by the weight sum is hoisted out of the loop as a
+  precomputed reciprocal (EdgeWeights.inv_count).
+
+Solvers provided:
+- ``jacobi_chebyshev``: the reference algorithm (Wang ToG 2015 schedule,
+  src/GPUSolver.cu:295-299), fixed iteration count.
+- ``jacobi``: plain damped-free Jacobi (omega == 1 forever).
+- ``red_black``: red-black Gauss-Seidel, with optional residual-tolerance
+  early exit (BASELINE.json config #2) honoring the tolerance parameter the
+  reference accepts but ignores (src/main.cpp:264).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DiffusionConfig
+from .weights import EdgeWeights, edge_weights
+
+
+def chebyshev_omegas(iters: int, cfg: DiffusionConfig = DiffusionConfig()) -> np.ndarray:
+    """Per-iteration omega schedule (src/GPUSolver.cu:295-299): omega = 1 for
+    the first S sweeps, then 2/(2-rho^2), then the recurrence
+    4/(4-rho^2*omega). Reproduces the reference's float32 storage with
+    float64 update arithmetic. Computed host-side once (it depends only on
+    the static iteration count) and baked into the compiled program."""
+    s = cfg.chebyshev_s
+    rho = np.float32(cfg.chebyshev_rho)
+    out = np.empty(max(iters, 1), dtype=np.float32)
+    omega = np.float32(0.0)
+    for i in range(max(iters, 1)):
+        if i < s:
+            omega = np.float32(1.0)
+        elif i == s:
+            omega = np.float32(2.0 / (2.0 - np.float64(rho) * np.float64(rho)))
+        else:
+            omega = np.float32(
+                4.0 / (4.0 - np.float64(rho) * np.float64(rho) * np.float64(omega))
+            )
+        out[i] = omega
+    return out[:iters]
+
+
+def _neighbors(u: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shifted views (left/right/up/down neighbor values, zero outside).
+
+    The zero fill never leaks: border weights are exactly 0 there
+    (the reference's index-256 sentinel).
+    """
+    h, w = u.shape
+    z_c = jnp.zeros((h, 1), dtype=u.dtype)
+    z_r = jnp.zeros((1, w), dtype=u.dtype)
+    u_l = jnp.concatenate([z_c, u[:, :-1]], axis=1)
+    u_r = jnp.concatenate([u[:, 1:], z_c], axis=1)
+    u_u = jnp.concatenate([z_r, u[:-1, :]], axis=0)
+    u_d = jnp.concatenate([u[1:, :], z_r], axis=0)
+    return u_l, u_r, u_u, u_d
+
+
+def jacobi_sweep(u: jnp.ndarray, wts: EdgeWeights) -> jnp.ndarray:
+    """One weighted 5-point relaxation (solveDiffusion,
+    src/GPUSolver.cu:73-106): clip(sum(w_i * u_i) * inv_count, 0, 255); the
+    all-weights-absent case yields 0 via inv_count == 0."""
+    u_l, u_r, u_u, u_d = _neighbors(u)
+    s = wts.wl * u_l + wts.wr * u_r + wts.wu * u_u + wts.wd * u_d
+    return jnp.clip(s * wts.inv_count, 0.0, 255.0)
+
+
+def jacobi_sweep_raw(u: jnp.ndarray, wts: EdgeWeights) -> jnp.ndarray:
+    """Unclamped weighted average — the linear operator M = D^{-1}W.
+
+    Used by the V-cycle error equations (core/multigrid.py), which require a
+    *linear* smoother; the reference's clamp (src/GPUSolver.cu:104) is only
+    applied on the primal variable path.
+    """
+    u_l, u_r, u_u, u_d = _neighbors(u)
+    s = wts.wl * u_l + wts.wr * u_r + wts.wu * u_u + wts.wd * u_d
+    return s * wts.inv_count
+
+
+def residual_norm(u: jnp.ndarray, mask: jnp.ndarray, wts: EdgeWeights) -> jnp.ndarray:
+    """Max-norm residual |relax(u) - u| over non-scribble pixels — the
+    convergence probe the reference lacks (its deviceError buffer is dead,
+    SURVEY.md quirk #2)."""
+    r = jacobi_sweep(u, wts) - u
+    return jnp.max(jnp.abs(jnp.where(mask, 0.0, r)))
+
+
+def solve_jacobi_chebyshev(
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    wts: EdgeWeights,
+    iters: int,
+    cfg: DiffusionConfig = DiffusionConfig(),
+) -> jnp.ndarray:
+    """Fixed-iteration Jacobi + Chebyshev semi-iteration at one level.
+
+    ``depth`` must be pre-seeded. The Chebyshev history starts at zero
+    (cudaMemset, src/GPUSolver.cu:290); the extrapolated update
+    omega*(gamma*(r-u) + u - prev) + prev is NOT clamped (only the inner
+    average is), matching src/GPUSolver.cu:259.
+    """
+    if iters <= 0:
+        return depth.astype(jnp.float32)
+    omegas = jnp.asarray(chebyshev_omegas(iters, cfg))
+    gamma = jnp.float32(cfg.chebyshev_gamma)
+    u0 = depth.astype(jnp.float32)
+    prev0 = jnp.zeros_like(u0)
+
+    def body(i, state):
+        u, prev = state
+        omega = omegas[i]
+        r = jacobi_sweep(u, wts)
+        out = omega * (gamma * (r - u) + u - prev) + prev
+        return jnp.where(mask, u, out), u
+
+    u, _ = jax.lax.fori_loop(0, iters, body, (u0, prev0))
+    return u
+
+
+def solve_jacobi(
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    wts: EdgeWeights,
+    iters: int,
+    cfg: DiffusionConfig = DiffusionConfig(),
+) -> jnp.ndarray:
+    """Plain Jacobi (no Chebyshev acceleration): the BASELINE.json config #1
+    solver and the simplest correctness anchor."""
+    u0 = depth.astype(jnp.float32)
+
+    def body(i, u):
+        return jnp.where(mask, u, jacobi_sweep(u, wts))
+
+    return jax.lax.fori_loop(0, iters, body, u0)
+
+
+def solve_red_black(
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    wts: EdgeWeights,
+    iters: int,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    early_exit: bool | None = None,
+) -> jnp.ndarray:
+    """Red-black Gauss-Seidel with optional residual early exit
+    (BASELINE.json config #2).
+
+    Each iteration updates red cells ((y+x) even) from the current state,
+    then black cells from the half-updated state — twice the per-iteration
+    convergence of Jacobi, still fully data-parallel within a color. When
+    ``early_exit`` the loop is a ``lax.while_loop`` that stops once the
+    max-norm residual drops below tolerance*255 (checked every
+    ``cfg.residual_check_every`` iterations).
+    """
+    h, w = depth.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    red = ((yy + xx) % 2) == 0
+    u0 = depth.astype(jnp.float32)
+    if early_exit is None:
+        early_exit = cfg.early_exit
+
+    def one_iter(u):
+        upd = jacobi_sweep(u, wts)
+        u = jnp.where(red & ~mask, upd, u)
+        upd = jacobi_sweep(u, wts)
+        return jnp.where(~red & ~mask, upd, u)
+
+    if not early_exit:
+        return jax.lax.fori_loop(0, iters, lambda i, u: one_iter(u), u0)
+
+    tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
+    chunk = max(int(cfg.residual_check_every), 1)
+
+    def cond(state):
+        u, i, res = state
+        return (i < iters) & (res >= tol)
+
+    def body(state):
+        u, i, _ = state
+        u = jax.lax.fori_loop(0, chunk, lambda k, v: one_iter(v), u)
+        return u, i + chunk, residual_norm(u, mask, wts)
+
+    u, _, _ = jax.lax.while_loop(cond, body, (u0, jnp.int32(0), jnp.float32(jnp.inf)))
+    return u
+
+
+_SOLVERS = {
+    "jacobi_chebyshev": solve_jacobi_chebyshev,
+    "jacobi": solve_jacobi,
+    "red_black": solve_red_black,
+}
+
+
+def solve_level(
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    gray: jnp.ndarray,
+    level: int,
+    max_level: int,
+    iters: int,
+    cfg: DiffusionConfig = DiffusionConfig(),
+) -> jnp.ndarray:
+    """Weights + sweeps for one pyramid level (the body of
+    GPUMatrixFreeSolver). Weight planes are computed from the *incoming*
+    depth state (the pyrUp'd, re-seeded map), exactly like loadIndexToWeight
+    running before the sweep loop (src/GPUSolver.cu:293)."""
+    wts = edge_weights(gray, depth, level, max_level, cfg)
+    solver = _SOLVERS[cfg.solver]
+    return solver(depth, mask, wts, iters, cfg)

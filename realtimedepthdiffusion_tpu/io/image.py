@@ -1,0 +1,79 @@
+"""Image + annotation I/O boundary.
+
+Per BASELINE.json, external imaging libraries are confined to this module:
+everything inside the framework operates on numpy/JAX arrays. PIL is used
+for PNG/JPEG codec work (with an OpenCV fallback); nothing else imports it.
+
+Annotation checkpoint format — exactly the reference contract
+(src/main.cpp:160-170 load, :297-318 save):
+- grayscale PNG, one byte per pixel
+- value 32  = unannotated sentinel
+- any other value = scribbled depth (the dataset uses {0,64,128,192,254})
+The annotation PNG round-trips a session: it is the checkpoint/resume format
+(SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..config import DiffusionConfig
+
+
+def _pil():
+    from PIL import Image  # local import: I/O boundary only
+
+    return Image
+
+
+def imread_rgb(path: str) -> np.ndarray:
+    """Load an image as (H, W, 3) uint8 RGB."""
+    img = _pil().open(path).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def imread_gray(path: str) -> np.ndarray:
+    """Load an image as (H, W) uint8 grayscale (PIL 'L' mode)."""
+    img = _pil().open(path).convert("L")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def imwrite(path: str, arr: np.ndarray) -> None:
+    """Write uint8 (H,W) gray or (H,W,3) RGB image."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    _pil().fromarray(arr).save(path)
+
+
+def load_annotation(
+    path: str, cfg: DiffusionConfig = DiffusionConfig()
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode an annotation PNG into (mask bool, value uint8).
+
+    Reference semantics (src/main.cpp:160-168): every pixel != sentinel(32)
+    is annotated; its gray value is the scribbled depth.
+    """
+    ann = imread_gray(path)
+    mask = ann != np.uint8(cfg.annotation_sentinel)
+    value = np.where(mask, ann, np.uint8(0)).astype(np.uint8)
+    return mask, value
+
+
+def save_annotation(
+    path: str,
+    mask: np.ndarray,
+    value: np.ndarray,
+    cfg: DiffusionConfig = DiffusionConfig(),
+) -> None:
+    """Encode (mask, value) back to the annotation PNG contract: scribbled
+    pixels keep their value, everything else becomes the sentinel. Inverse of
+    ``load_annotation`` (the checkpoint round-trip)."""
+    ann = np.where(mask, value, np.uint8(cfg.annotation_sentinel)).astype(np.uint8)
+    imwrite(path, ann)
+
+
+def depth_to_u8(depth: np.ndarray) -> np.ndarray:
+    """float32 depth -> uint8 with saturation + round-half-to-even, matching
+    GpuMat::convertTo(CV_8UC1) (src/main.cpp:290)."""
+    return np.clip(np.rint(depth), 0, 255).astype(np.uint8)

@@ -1,0 +1,102 @@
+"""End-to-end compiled pipeline with per-shape program caching.
+
+One ``DepthPipeline`` per (image size, config) compiles:
+- ``solve``:   annotation pyramids -> seeding -> cascadic (or V-cycle)
+               multigrid solve -> new depth-state pyramid   (ONE XLA program)
+- ``effect_*``: the three depth effects, each fused with the uint8 readout
+- ``solve_and_effect``: solve + effect in a single program (the
+  BASELINE.json north-star fusion)
+
+The reference re-uploads host state and re-launches ~2000 kernels per solve
+(SURVEY.md §3.2-3.3); here device arrays are the source of truth and a solve
+is exactly one dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DiffusionConfig
+from .core import effects as fx
+from .core.color import rgb_to_gray
+from .core.multigrid import (
+    build_gray_pyramid,
+    initial_depth_state,
+    solve_cascade,
+    solve_vcycle,
+)
+
+
+class DepthPipeline:
+    """Compiled solve/effect programs for one image size + config.
+
+    Stateless w.r.t. the image: callers pass (and carry) the depth-state
+    pyramid, which warm-starts subsequent solves exactly like the
+    reference's persistent deviceDepthImage pyramid (src/main.cpp:135-136).
+    """
+
+    def __init__(self, rows: int, cols: int, cfg: DiffusionConfig = DiffusionConfig()):
+        self.rows, self.cols, self.cfg = rows, cols, cfg
+        self.levels = cfg.num_levels(rows, cols)
+        driver = solve_vcycle if cfg.multigrid == "vcycle" else solve_cascade
+
+        def _solve(gray_pyr, mask0, value0, depth_state):
+            return driver(gray_pyr, mask0, value0, depth_state, cfg)
+
+        # donate depth_state: the solver consumes and replaces it in place.
+        self._solve = jax.jit(_solve, donate_argnums=(3,))
+
+        def _solve_and_effect(effect, gray_pyr, rgb, mask0, value0, depth_state):
+            depth0, state = driver(gray_pyr, mask0, value0, depth_state, cfg)
+            out = fx.apply_effect(effect, rgb, gray_pyr[0], depth0, cfg)
+            return depth0, state, out
+
+        self._solve_and_effect = jax.jit(
+            _solve_and_effect, static_argnums=(0,), donate_argnums=(5,)
+        )
+        self._effect = jax.jit(
+            lambda effect, rgb, gray, depth: fx.apply_effect(effect, rgb, gray, depth, cfg),
+            static_argnums=(0,),
+        )
+        self._gray_pyramid = jax.jit(lambda g: build_gray_pyramid(g, cfg))
+        self._to_u8 = jax.jit(
+            lambda d: jnp.clip(jnp.rint(d), 0, 255).astype(jnp.uint8)
+        )
+
+    # -- setup -----------------------------------------------------------
+    def prepare_image(self, rgb_u8: np.ndarray):
+        """Upload the image once; returns (rgb_dev, gray_pyramid)."""
+        rgb = jnp.asarray(rgb_u8, dtype=jnp.uint8)
+        gray0 = rgb_to_gray(rgb)
+        return rgb, self._gray_pyramid(gray0)
+
+    def initial_state(self) -> Tuple[jnp.ndarray, ...]:
+        return initial_depth_state(self.rows, self.cols, self.cfg)
+
+    # -- the critical path -------------------------------------------------
+    def solve(self, gray_pyr, mask0, value0, depth_state):
+        """Full multigrid solve; returns (depth0_f32, new_depth_state)."""
+        return self._solve(gray_pyr, mask0, value0, depth_state)
+
+    def solve_and_effect(self, effect: int, gray_pyr, rgb, mask0, value0, depth_state):
+        """Fused solve + effect; returns (depth0, new_state, effect_rgb_u8)."""
+        return self._solve_and_effect(effect, gray_pyr, rgb, mask0, value0, depth_state)
+
+    def effect(self, effect: int, rgb, gray0, depth0):
+        return self._effect(effect, rgb, gray0, depth0)
+
+    def depth_u8(self, depth0) -> jnp.ndarray:
+        """float32 depth -> uint8 display/export (convertTo(CV_8UC1),
+        src/main.cpp:290)."""
+        return self._to_u8(depth0)
+
+
+@functools.lru_cache(maxsize=8)
+def get_pipeline(rows: int, cols: int, cfg: DiffusionConfig = DiffusionConfig()) -> DepthPipeline:
+    """Shape-keyed pipeline cache (cfg is hashable: frozen dataclass)."""
+    return DepthPipeline(rows, cols, cfg)

@@ -1,0 +1,48 @@
+"""Config contract tests: pyramid geometry + iteration schedule formulas
+(reference: src/main.cpp:95,103,263)."""
+
+from realtimedepthdiffusion_tpu.config import DiffusionConfig, SCRIBBLE_DEPTH_VALUES
+
+CFG = DiffusionConfig()
+
+
+def test_level_count_1080p():
+    # min(1920,1080)//45 = 24 -> int(log2(24)) + 1 = 5
+    assert CFG.num_levels(1080, 1920) == 5
+
+
+def test_level_count_dataset_sizes():
+    # Dog.jpg is 560x700: min 560 // 45 = 12 -> int(log2(12)) + 1 = 4
+    assert CFG.num_levels(700, 560) == 4
+    # Tiny image: quotient clamps at 1 -> single level
+    assert CFG.num_levels(40, 40) == 1
+    assert CFG.num_levels(89, 2000) == 1
+    assert CFG.num_levels(90, 2000) == 2
+
+
+def test_iteration_schedule():
+    # 1000 / 2^((L-1)-level), truncated: coarse->fine 1000,500,250,125,62
+    L = 5
+    assert [CFG.level_iterations(L, l) for l in range(L - 1, -1, -1)] == [
+        1000,
+        500,
+        250,
+        125,
+        62,
+    ]
+
+
+def test_level_sizes_floor():
+    assert CFG.level_size(1080, 1920, 0) == (1080, 1920)
+    assert CFG.level_size(1080, 1920, 4) == (67, 120)
+    assert CFG.level_size(853, 1280, 3) == (106, 160)
+
+
+def test_brush_and_defocus_constants():
+    assert CFG.brush_radius(1080, 1920) == 21  # 2% of min dim
+    assert CFG.defocus_kernel_size(1080, 1920) == 55  # 0.025 * diagonal
+
+
+def test_scribble_depth_values():
+    # keys '0'..'4' -> min((k-'0')*64, 254) (src/main.cpp:41-43)
+    assert SCRIBBLE_DEPTH_VALUES == (0, 64, 128, 192, 254)

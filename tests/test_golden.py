@@ -1,0 +1,52 @@
+"""Golden end-to-end test on a reference dataset pair (SURVEY.md §4): full
+default-config solve, JAX vs NumPy oracle, RMSE <= 1e-3 (the BASELINE.json
+accuracy bar), plus effect rendering on the result."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from realtimedepthdiffusion_tpu.config import DiffusionConfig
+from realtimedepthdiffusion_tpu.core import effects
+from realtimedepthdiffusion_tpu.oracle import numpy_ref as oracle
+from realtimedepthdiffusion_tpu.pipeline import DepthPipeline
+
+
+@pytest.fixture(scope="module")
+def solved(dataset_pair):
+    rgb, mask, value = dataset_pair
+    cfg = DiffusionConfig()
+    h, w = rgb.shape[:2]
+    pipe = DepthPipeline(h, w, cfg)
+    rgb_d, gpyr = pipe.prepare_image(rgb)
+    state = pipe.initial_state()
+    depth, state = pipe.solve(gpyr, jnp.asarray(mask), jnp.asarray(value), state)
+    return rgb, mask, value, cfg, pipe, rgb_d, gpyr, np.asarray(depth)
+
+
+def test_full_solve_rmse_vs_oracle(solved):
+    rgb, mask, value, cfg, _, _, _, depth = solved
+    gray = oracle.rgb_to_gray(rgb)
+    want, _ = oracle.solve_pyramid(gray, mask, value, None, cfg)
+    # Parity bar: RMSE <= 1e-3 on normalized [0,1] depth (BASELINE.json).
+    rmse = float(np.sqrt(np.mean(((depth - want) / 255.0) ** 2)))
+    assert rmse <= 1e-3, rmse
+
+
+def test_depth_contract(solved):
+    rgb, mask, value, cfg, pipe, _, _, depth = solved
+    # Scribbles are honored exactly; the exported u8 map is in range.
+    assert np.array_equal(depth[mask], value[mask].astype(np.float32))
+    u8 = np.asarray(pipe.depth_u8(jnp.asarray(depth)))
+    assert u8.dtype == np.uint8
+    # A real annotation spans near and far: diffusion must produce a
+    # nontrivial range between scribble extremes.
+    assert u8.min() <= 64 and u8.max() >= 192
+
+
+def test_effects_on_solved_depth(solved):
+    rgb, mask, value, cfg, pipe, rgb_d, gpyr, depth = solved
+    d = jnp.asarray(np.clip(depth, 0, 255))
+    for eff in (effects.EFFECT_DEFOCUS, effects.EFFECT_DESATURATION, effects.EFFECT_HAZE):
+        out = np.asarray(pipe.effect(eff, rgb_d, gpyr[0], d))
+        assert out.shape == rgb.shape and out.dtype == np.uint8

@@ -1,0 +1,187 @@
+"""Edge weights + solver: unit tests vs the NumPy oracle and the property
+tests SURVEY.md §4 prescribes (Dirichlet invariance, clamping, convergence)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from realtimedepthdiffusion_tpu.config import DiffusionConfig
+from realtimedepthdiffusion_tpu.core import solver, weights
+from realtimedepthdiffusion_tpu.oracle import numpy_ref as oracle
+
+CFG = DiffusionConfig()
+
+
+def _case(rng, h=48, w=64):
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    mask = rng.random((h, w)) < 0.06
+    val = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    depth = oracle.seed_depth(np.full((h, w), 255.0, np.float32), mask, val)
+    return gray, mask, val, depth
+
+
+@pytest.mark.parametrize("level,max_level", [(2, 2), (1, 2), (0, 2), (0, 0)])
+def test_edge_weights_match_oracle(rng, level, max_level):
+    gray, _, _, depth = _case(rng)
+    depth = depth + rng.normal(0, 3, depth.shape).astype(np.float32)
+    ow = oracle.edge_weights(gray, depth, level, max_level, CFG)
+    jw = weights.edge_weights(jnp.asarray(gray), jnp.asarray(depth), level, max_level, CFG)
+    for o, j in zip(ow, (jw.wl, jw.wr, jw.wu, jw.wd)):
+        np.testing.assert_allclose(np.asarray(j), o, atol=1e-7)
+
+
+def test_edge_weight_values_and_borders(rng):
+    """w = exp(-beta*|dg|) (the LUT of src/GPUSolver.cu:264-272), zero at the
+    image border (sentinel index 256)."""
+    gray = np.array([[0, 10], [20, 30]], np.uint8)
+    jw = weights.edge_weights(jnp.asarray(gray), None, 1, 1, CFG)
+    assert np.all(np.asarray(jw.wl)[:, 0] == 0)
+    assert np.all(np.asarray(jw.wr)[:, -1] == 0)
+    assert np.all(np.asarray(jw.wu)[0, :] == 0)
+    assert np.all(np.asarray(jw.wd)[-1, :] == 0)
+    np.testing.assert_allclose(
+        float(jw.wr[0, 0]), np.exp(np.float32(-0.4) * 10), rtol=1e-6
+    )
+
+
+def test_depth_threshold_rule():
+    """Finer levels: weight 1.0 where upsampled (uint8-truncated) depth is
+    smooth (|diff| <= 4), else the gray weight; threshold 0 at level 0
+    (src/GPUSolver.cu:196-220)."""
+    gray = np.array([[0, 100], [0, 100]], np.uint8)
+    depth = np.array([[10.0, 13.9], [10.0, 20.0]], np.float32)  # u8: 10,13 / 10,20
+    jw = weights.edge_weights(jnp.asarray(gray), jnp.asarray(depth), 1, 2, CFG)
+    assert float(jw.wr[0, 0]) == 1.0  # |10-13| <= 4 -> free diffusion
+    np.testing.assert_allclose(
+        float(jw.wr[1, 0]), np.exp(np.float32(-0.4) * 100), rtol=1e-6
+    )  # |10-20| > 4 -> gray weight
+    # level 0: threshold 0, so |10-13| > 0 -> gray weight
+    jw0 = weights.edge_weights(jnp.asarray(gray), jnp.asarray(depth), 0, 2, CFG)
+    np.testing.assert_allclose(
+        float(jw0.wr[0, 0]), np.exp(np.float32(-0.4) * 100), rtol=1e-6
+    )
+
+
+def test_chebyshev_omegas():
+    om = solver.chebyshev_omegas(15, CFG)
+    assert np.array_equal(om, oracle.chebyshev_omegas(15, CFG))
+    assert np.all(om[:10] == 1.0)
+    np.testing.assert_allclose(om[10], 2.0 / (2.0 - 0.99**2), rtol=1e-6)
+    np.testing.assert_allclose(om[11], 4.0 / (4.0 - 0.99**2 * om[10]), rtol=1e-6)
+    # The schedule converges to the SOR-like fixed point ~1.7527
+    om_long = solver.chebyshev_omegas(200, CFG)
+    np.testing.assert_allclose(om_long[-1], 1.7527, atol=1e-3)
+
+
+def test_single_sweep_matches_oracle(rng):
+    gray, mask, val, depth = _case(rng)
+    jw = weights.edge_weights(jnp.asarray(gray), None, 1, 1, CFG)
+    ow = oracle.edge_weights(gray, None, 1, 1, CFG)
+    inv = np.asarray(jw.inv_count)
+    got = np.asarray(solver.jacobi_sweep(jnp.asarray(depth), jw))
+    want = oracle.jacobi_sweep(depth, *ow, inv)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_solve_level_matches_oracle(rng):
+    """XLA vs NumPy accumulate ~1-ulp/sweep rounding differences that the
+    marginally-stable Chebyshev recurrence amplifies in near-null smooth
+    modes, so tolerance grows with the iteration count; the normalized
+    ([0,1]-scale) RMSE stays orders of magnitude under the 1e-3 parity bar
+    (see test_multigrid/test_golden)."""
+    gray, mask, val, depth = _case(rng)
+    for iters, atol in ((1, 1e-3), (11, 5e-3), (60, 5e-2)):
+        got = np.asarray(
+            solver.solve_level(
+                jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, iters, CFG
+            )
+        )
+        want = oracle.solve_level(depth, mask, gray, 1, 1, iters, CFG)
+        np.testing.assert_allclose(got, want, atol=atol)
+
+
+def test_dirichlet_pixels_immutable(rng):
+    """Scribbled pixels keep their seeded value through any number of sweeps
+    (the early return at src/GPUSolver.cu:248)."""
+    gray, mask, val, depth = _case(rng)
+    out = np.asarray(
+        solver.solve_level(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, 100, CFG
+        )
+    )
+    assert np.array_equal(out[mask], depth[mask])
+
+
+def test_inner_average_clamped_outer_not(rng):
+    """The Jacobi average clamps to [0,255]; brief Chebyshev overshoot
+    outside the range is legal (src/GPUSolver.cu:104 vs :259) but bounded."""
+    gray, mask, val, depth = _case(rng)
+    jw = weights.edge_weights(jnp.asarray(gray), None, 1, 1, CFG)
+    avg = np.asarray(solver.jacobi_sweep(jnp.asarray(depth), jw))
+    assert avg.min() >= 0.0 and avg.max() <= 255.0
+    out = np.asarray(
+        solver.solve_level(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, 200, CFG
+        )
+    )
+    assert out.min() >= -30.0 and out.max() <= 285.0  # bounded overshoot
+
+
+def test_isolated_pixel_rule():
+    """count == 0 (all weights absent) yields 0 (src/GPUSolver.cu:103):
+    realizable only on a 1x1 image."""
+    gray = np.array([[7]], np.uint8)
+    depth = np.array([[200.0]], np.float32)
+    mask = np.array([[False]])
+    out = np.asarray(
+        solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 0, 1, CFG)
+    )
+    # result = 0; chebyshev: omega=1,gamma=.99,prev=0: 0.99*(0-200)+200 = 2.0
+    np.testing.assert_allclose(out[0, 0], 2.0, atol=1e-4)
+
+
+def test_convergence_residual_decreases(rng):
+    gray, mask, val, depth = _case(rng)
+    jw = weights.edge_weights(jnp.asarray(gray), None, 1, 1, CFG)
+    res = []
+    for iters in (10, 100, 400):
+        u = solver.solve_level(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, iters, CFG
+        )
+        res.append(float(solver.residual_norm(u, jnp.asarray(mask), jw)))
+    assert res[2] < res[1] < res[0]
+    assert res[2] < 0.5  # near-converged after 400 chebyshev sweeps
+
+
+def test_red_black_matches_oracle_and_converges(rng):
+    gray, mask, val, depth = _case(rng, 32, 40)
+    cfg = CFG
+    got = np.asarray(
+        solver.solve_red_black(
+            jnp.asarray(depth),
+            jnp.asarray(mask),
+            weights.edge_weights(jnp.asarray(gray), None, 1, 1, cfg),
+            40,
+            cfg,
+            early_exit=False,
+        )
+    )
+    want = oracle.solve_level_red_black(depth, mask, gray, 1, 1, 40, cfg)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_red_black_early_exit(rng):
+    """With early exit the residual at return is below tolerance*255 (or the
+    iteration cap was hit) and the result stays close to the full run."""
+    gray, mask, val, depth = _case(rng, 32, 40)
+    cfg = DiffusionConfig(early_exit=True, tolerance=1e-4, residual_check_every=10)
+    jw = weights.edge_weights(jnp.asarray(gray), None, 1, 1, cfg)
+    u = solver.solve_red_black(
+        jnp.asarray(depth), jnp.asarray(mask), jw, 5000, cfg
+    )
+    res = float(solver.residual_norm(u, jnp.asarray(mask), jw))
+    assert res < 1e-4 * 255.0
+    # Dirichlet pixels still pinned, result in the solver's bounded range.
+    got = np.asarray(u)
+    assert np.array_equal(got[mask], depth[mask])
+    assert got.min() >= 0.0 and got.max() <= 255.0
