@@ -1,0 +1,229 @@
+"""Multi-chip spatially-sharded solve (shard_map over a ('batch','dy','dx')
+mesh).
+
+Scale-out design (SURVEY.md §5 "long-context" analog): each image is
+partitioned into a dy x dx grid of per-chip blocks; every k sweeps the chips
+exchange a k-wide halo over ICI (parallel/halo.py) and run k purely-local
+Jacobi+Chebyshev sweeps — iteration blocking that amortizes ICI latency
+exactly like the single-chip Pallas kernel amortizes HBM traffic. Coarse
+pyramid levels whose blocks would be thinner than the halo run replicated
+(they are tiny); fine levels run sharded. The 'batch' axis is plain data
+parallelism over independent images (the framework's serving axis; the
+reference is strictly single-image).
+
+Numerics are identical to core.solver (same sweep, schedule, masking), so
+single-chip and sharded solves agree to fp rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DiffusionConfig
+from ..core import effects as fx
+from ..core.annotation import annotation_pyr_down, seed_depth
+from ..core.pyramid import pyr_up
+from ..core.solver import chebyshev_omegas, jacobi_sweep
+from ..core.weights import EdgeWeights, edge_weights
+from .halo import crop_halo, extend_with_halo
+
+# Halo width == sweeps between exchanges.
+DEFAULT_HALO = 8
+
+
+def _pad_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def _sharded_level_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig):
+    """Build the shard_map'd fixed-iteration solver for one level geometry.
+
+    Expects globally padded (H,W) arrays whose dims divide (dy,dx); pad
+    pixels must be masked (Dirichlet 0) and carry zero weights.
+    """
+    gamma = jnp.float32(cfg.chebyshev_gamma)
+    omegas = np.asarray(chebyshev_omegas(iters, cfg))
+    n_full, rem = divmod(iters, k)
+
+    def local(u, prev, wl, wr, wu, wd, inv, m):
+        # One-time k-halo extension of the loop invariants.
+        ext = lambda a: extend_with_halo(a, k)
+        wts_e = EdgeWeights(ext(wl), ext(wr), ext(wu), ext(wd), ext(inv))
+        m_e = ext(m)
+
+        def sweeps(u_c, p_c, oms):
+            """oms: static tuple of omega values; one halo exchange, then
+            len(oms) local sweeps on the extended block (validity shrinks one
+            ring per sweep; the interior crop is exact)."""
+            u_e, p_e = ext(u_c), ext(p_c)
+            for om in oms:
+                r = jacobi_sweep(u_e, wts_e)
+                out = jnp.float32(om) * (gamma * (r - u_e) + u_e - p_e) + p_e
+                u_e, p_e = jnp.where(m_e, u_e, out), u_e
+            return crop_halo(u_e, k), crop_halo(p_e, k)
+
+        for blk in range(n_full):
+            u, prev = sweeps(u, prev, tuple(omegas[blk * k : (blk + 1) * k]))
+        if rem:
+            u, prev = sweeps(u, prev, tuple(omegas[n_full * k :]))
+        return u
+
+    spec = P("dy", "dx")
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec,) * 8,
+        out_specs=spec,
+    )
+
+
+def solve_level_sharded(
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    gray: jnp.ndarray,
+    level: int,
+    max_level: int,
+    iters: int,
+    mesh: Mesh,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    halo: int = DEFAULT_HALO,
+) -> jnp.ndarray:
+    """Sharded equivalent of core.solver.solve_level: weights from the
+    incoming depth, pad to the mesh grid, iterate with halo exchange, crop."""
+    h, w = depth.shape
+    dy, dx = mesh.shape["dy"], mesh.shape["dx"]
+    wts = edge_weights(gray, depth, level, max_level, cfg)
+
+    hp, wp = _pad_up(h, dy), _pad_up(w, dx)
+    pad = lambda a, fill: jnp.pad(
+        a, ((0, hp - h), (0, wp - w)), constant_values=fill
+    )
+    u = pad(depth.astype(jnp.float32), 0.0)
+    m = pad(mask, True)  # pad pixels are Dirichlet-pinned at 0
+    planes = [pad(p, 0.0) for p in (wts.wl, wts.wr, wts.wu, wts.wd, wts.inv_count)]
+    prev = jnp.zeros_like(u)
+
+    fn = _sharded_level_fn(mesh, halo, iters, cfg)
+    out = fn(u, prev, *planes, m)
+    return out[:h, :w]
+
+
+def solve_cascade_sharded(
+    gray_pyr: Sequence[jnp.ndarray],
+    mask0: jnp.ndarray,
+    value0: jnp.ndarray,
+    depth_state: Sequence[jnp.ndarray],
+    mesh: Mesh,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    halo: int = DEFAULT_HALO,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+    """Full coarse-to-fine solve with per-level shard/replicate choice.
+
+    A level runs sharded when every chip's block is at least halo x halo;
+    the tiny coarse levels run as ordinary global XLA ops (GSPMD replicates
+    or subdivides them as it sees fit — they are microseconds of work).
+    """
+    from ..core.solver import solve_level  # local import to avoid cycle
+
+    levels = len(gray_pyr)
+    L = levels - 1
+    sizes = [g.shape for g in gray_pyr]
+    dy, dx = mesh.shape["dy"], mesh.shape["dx"]
+
+    masks = [mask0]
+    values = [value0]
+    for l in range(1, levels):
+        m, v = annotation_pyr_down(masks[-1], values[-1], sizes[l])
+        masks.append(m)
+        values.append(v)
+
+    state = list(depth_state)
+    state[L] = seed_depth(state[L], masks[L], values[L])
+    for level in range(L, -1, -1):
+        iters = cfg.level_iterations(levels, level)
+        h, w = sizes[level]
+        if h // dy >= halo and w // dx >= halo and (dy > 1 or dx > 1):
+            state[level] = solve_level_sharded(
+                state[level], masks[level], gray_pyr[level], level, L, iters,
+                mesh, cfg, halo,
+            )
+        else:
+            state[level] = solve_level(
+                state[level], masks[level], gray_pyr[level], level, L, iters, cfg
+            )
+        if level > 0:
+            up = pyr_up(state[level], sizes[level - 1])
+            state[level - 1] = seed_depth(up, masks[level - 1], values[level - 1])
+    return state[0], tuple(state)
+
+
+def batched_step(
+    mesh: Mesh,
+    rows: int,
+    cols: int,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    effect: int = fx.EFFECT_HAZE,
+    halo: int = DEFAULT_HALO,
+):
+    """The framework's full multi-chip step: data-parallel over a batch of
+    images ('batch' axis), spatially sharded within each image ('dy','dx').
+
+    Returns (jitted_fn, make_example_args): fn(rgb_batch, mask_batch,
+    value_batch, depth_state_batch) -> (depth_batch, new_state, effect_batch).
+    This is the "training step" analog the driver dry-runs multi-chip.
+    """
+    from ..core.color import rgb_to_gray
+    from ..core.multigrid import build_gray_pyramid, initial_depth_state
+
+    def single(rgb, mask, value, depth_state):
+        gray0 = rgb_to_gray(rgb)
+        gpyr = build_gray_pyramid(gray0, cfg)
+        depth0, new_state = solve_cascade_sharded(
+            gpyr, mask, value, depth_state, mesh, cfg, halo
+        )
+        out = fx.apply_effect(effect, rgb, gray0, jnp.clip(depth0, 0.0, 255.0), cfg)
+        return depth0, new_state, out
+
+    # Batch axis: vmap; XLA partitions it over 'batch' via the input
+    # shardings below.
+    step = jax.vmap(single)
+
+    batch_spec = P("batch")
+    img_spec = P("batch", "dy", "dx")
+
+    def shardings():
+        levels = cfg.num_levels(rows, cols)
+        state_spec = tuple(img_spec for _ in range(levels))
+        in_sh = (
+            NamedSharding(mesh, P("batch", "dy", "dx", None)),  # rgb (B,H,W,3)
+            NamedSharding(mesh, img_spec),  # mask
+            NamedSharding(mesh, img_spec),  # value
+            tuple(NamedSharding(mesh, img_spec) for _ in range(levels)),
+        )
+        return in_sh
+
+    jitted = jax.jit(step, in_shardings=shardings())
+
+    def make_example_args(batch: int | None = None):
+        b = batch or mesh.shape["batch"]
+        rng = np.random.default_rng(0)
+        rgb = jnp.asarray(rng.integers(0, 256, (b, rows, cols, 3), dtype=np.uint8))
+        mask = np.zeros((b, rows, cols), bool)
+        value = np.zeros((b, rows, cols), np.uint8)
+        mask[:, rows // 4, cols // 4] = True
+        value[:, rows // 4, cols // 4] = 254
+        mask[:, 3 * rows // 4, 3 * cols // 4] = True
+        state = tuple(
+            jnp.zeros((b,) + s.shape, jnp.float32) + jnp.float32(cfg.depth_init)
+            for s in initial_depth_state(rows, cols, cfg)
+        )
+        return jnp.asarray(rgb), jnp.asarray(mask), jnp.asarray(value), state
+
+    return jitted, make_example_args

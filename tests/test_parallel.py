@@ -1,0 +1,114 @@
+"""Multi-chip path on the 8-device virtual CPU mesh (SURVEY.md §4): halo
+exchange correctness, sharded-vs-single-chip parity, batched step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from realtimedepthdiffusion_tpu.config import DiffusionConfig
+from realtimedepthdiffusion_tpu.core import multigrid, solver
+from realtimedepthdiffusion_tpu.oracle import numpy_ref as oracle
+from realtimedepthdiffusion_tpu.parallel import sharded
+from realtimedepthdiffusion_tpu.parallel.halo import crop_halo, extend_with_halo
+from realtimedepthdiffusion_tpu.parallel.mesh import factor3, make_mesh
+from tests.conftest import synthetic_pair
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_factor3():
+    assert factor3(8) == (2, 2, 2)
+    assert factor3(4) == (1, 2, 2)
+    assert factor3(2) == (1, 1, 2)
+    assert factor3(1) == (1, 1, 1)
+    assert factor3(6) == (1, 2, 3)
+
+
+def test_halo_exchange_reassembles_global():
+    """extend_with_halo must deliver the true global neighborhood: cropping
+    an extended identity map equals a plain global pad-and-slice."""
+    mesh = make_mesh(8)
+    h, w = 32, 64
+    x = jnp.arange(h * w, dtype=jnp.float32).reshape(h, w)
+    k = 4
+
+    # Invariant 1: the extended block's interior equals the block.
+    def local2(xb):
+        e = extend_with_halo(xb, k)
+        return e[k:-k, k:-k]
+
+    f = jax.shard_map(
+        local2, mesh=mesh, in_specs=jax.sharding.PartitionSpec("dy", "dx"),
+        out_specs=jax.sharding.PartitionSpec("dy", "dx"),
+    )
+    np.testing.assert_array_equal(np.asarray(f(x)), np.asarray(x))
+
+    # And a halo-based global shift equals jnp.roll-with-zeros.
+    def shift_up(xb):
+        e = extend_with_halo(xb, 1)
+        return e[2:, 1:-1]  # row y takes value from y+1 (zero at bottom)
+
+    g = jax.shard_map(
+        shift_up, mesh=mesh, in_specs=jax.sharding.PartitionSpec("dy", "dx"),
+        out_specs=jax.sharding.PartitionSpec("dy", "dx"),
+    )
+    want = np.zeros((h, w), np.float32)
+    want[:-1] = np.asarray(x)[1:]
+    np.testing.assert_array_equal(np.asarray(g(x)), want)
+
+
+def test_sharded_level_matches_single_chip(rng):
+    mesh = make_mesh(8)
+    cfg = DiffusionConfig()
+    h, w = 65, 97  # non-divisible by the mesh: exercises padding
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    mask = rng.random((h, w)) < 0.06
+    val = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    depth = oracle.seed_depth(np.full((h, w), 255.0, np.float32), mask, val)
+
+    got = np.asarray(
+        sharded.solve_level_sharded(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, 21,
+            mesh, cfg, halo=4,
+        )
+    )
+    want = np.asarray(
+        solver.solve_level(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, 21, cfg
+        )
+    )
+    assert np.sqrt(np.mean(((got - want) / 255.0) ** 2)) < 1e-4
+    assert np.array_equal(got[mask], depth[mask])
+
+
+def test_sharded_cascade_parity():
+    mesh = make_mesh(8)
+    cfg = DiffusionConfig(max_iterations=24)
+    rgb, m0, v0 = synthetic_pair(64, 96, 3)
+    g0 = oracle.rgb_to_gray(rgb)
+    gp = multigrid.build_gray_pyramid(jnp.asarray(g0), cfg)
+
+    st = multigrid.initial_depth_state(64, 96, cfg)
+    d_s, _ = sharded.solve_cascade_sharded(
+        gp, jnp.asarray(m0), jnp.asarray(v0), st, mesh, cfg, halo=4
+    )
+    st = multigrid.initial_depth_state(64, 96, cfg)
+    d_1, _ = multigrid.solve_cascade(gp, jnp.asarray(m0), jnp.asarray(v0), st, cfg)
+    rmse = float(jnp.sqrt(jnp.mean(((d_s - d_1) / 255.0) ** 2)))
+    assert rmse <= 1e-3, rmse
+
+
+def test_batched_step_runs_and_pins_scribbles():
+    mesh = make_mesh(8)
+    cfg = DiffusionConfig(max_iterations=16)
+    fn, make_args = sharded.batched_step(mesh, 64, 64, cfg)
+    args = make_args(2)
+    depth, state, out = fn(*args)
+    assert depth.shape == (2, 64, 64)
+    assert out.shape == (2, 64, 64, 3) and out.dtype == jnp.uint8
+    d = np.asarray(depth)
+    assert d[0, 16, 16] == 254.0  # the painted near scribble is pinned
+    assert len(state) == cfg.num_levels(64, 64)
