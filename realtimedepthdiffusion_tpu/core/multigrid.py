@@ -24,11 +24,7 @@ import jax.numpy as jnp
 from ..config import DiffusionConfig
 from .annotation import annotation_pyr_down, seed_depth
 from .pyramid import pyr_down_gray, pyr_up
-from .solver import (
-    edge_weights,
-    jacobi_sweep_raw,
-    solve_level,
-)
+from .solver import edge_weights, jacobi_sweep_raw
 
 
 def build_gray_pyramid(gray0: jnp.ndarray, cfg: DiffusionConfig) -> Tuple[jnp.ndarray, ...]:
@@ -98,11 +94,16 @@ def solve_cascade(
         masks.append(m)
         values.append(v)
 
+    # Lazy import: ops.dispatch routes each level to the configured backend
+    # (Pallas kernels on TPU, pure XLA elsewhere) without a core->ops import
+    # cycle at module load.
+    from ..ops import dispatch as _dispatch
+
     state = list(depth_state)
     state[L] = seed_depth(state[L], masks[L], values[L])
     for level in range(L, -1, -1):
         iters = cfg.level_iterations(levels, level)
-        state[level] = solve_level(
+        state[level] = _dispatch.solve_level(
             state[level], masks[level], gray_pyr[level], level, L, iters, cfg
         )
         if level > 0:

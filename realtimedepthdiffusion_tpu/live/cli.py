@@ -1,0 +1,142 @@
+"""CLI — preserves the reference's argument contract (src/main.cpp:64-90):
+
+    depth-diffusion -i <image> [-a <annotation>] [--live] [-h]
+
+plus headless extensions for CI/scripting (the reference is GUI-only):
+
+    --headless         run without windows
+    --solve            perform one solve (headless)
+    --effect b|g|h     render an effect after solving (headless)
+    --save-dir DIR     write AnnotatedImage/DepthMap/ArtisticEffect PNGs
+    --backend ...      xla | pallas | auto (default auto)
+    --solver ...       jacobi_chebyshev | jacobi | red_black
+    --multigrid ...    cascadic | vcycle
+    --time             print the timing report after solving
+
+Run as ``python -m realtimedepthdiffusion_tpu.live.cli``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import List, Optional
+
+from ..config import DiffusionConfig
+from ..io import imread_rgb
+
+USAGE_SHORT = "Usage: depth-diffusion -i ImageFile.Extension"
+USAGE = (
+    "Usage:\n -i input image\n -a annotated image\n --live solve every frame\n"
+    " --headless run without GUI\n --solve run one solve (headless)\n"
+    " --effect b|g|h artistic effect\n --save-dir DIR output directory\n"
+    " --backend xla|pallas|auto\n --solver jacobi_chebyshev|jacobi|red_black\n"
+    " --multigrid cascadic|vcycle\n --time print timing report\n"
+)
+
+
+@dataclasses.dataclass
+class CliArgs:
+    image: Optional[str] = None
+    annotation: Optional[str] = None
+    live: bool = False
+    headless: bool = False
+    solve: bool = False
+    effect: Optional[str] = None
+    save_dir: Optional[str] = None
+    show_time: bool = False
+    backend: str = "auto"
+    solver: str = "jacobi_chebyshev"
+    multigrid: str = "cascadic"
+    help: bool = False
+
+
+def parse_args(argv: List[str]) -> CliArgs:
+    """Hand-rolled to preserve the reference's loose parsing (flags may
+    appear in any order; unknown flags are ignored, src/main.cpp:81-90)."""
+    a = CliArgs()
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+
+        def val() -> str:
+            nonlocal i
+            i += 1
+            if i >= len(argv):
+                raise SystemExit(f"error: {arg} requires a value\n{USAGE}")
+            return argv[i]
+
+        if arg == "-i":
+            a.image = val()
+        elif arg == "-a":
+            a.annotation = val()
+        elif arg == "--live":
+            a.live = True
+        elif arg == "--headless":
+            a.headless = True
+        elif arg == "--solve":
+            a.solve = True
+        elif arg == "--effect":
+            a.effect = val()
+        elif arg == "--save-dir":
+            a.save_dir = val()
+        elif arg == "--time":
+            a.show_time = True
+        elif arg == "--backend":
+            a.backend = val()
+        elif arg == "--solver":
+            a.solver = val()
+        elif arg == "--multigrid":
+            a.multigrid = val()
+        elif arg == "-h" or arg == "--help":
+            a.help = True
+        i += 1
+    return a
+
+
+def make_config(a: CliArgs) -> DiffusionConfig:
+    return DiffusionConfig(backend=a.backend, solver=a.solver, multigrid=a.multigrid)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(USAGE_SHORT)
+        return 0
+    a = parse_args(argv)
+    if a.help:
+        print(USAGE)
+        if a.image is None:
+            return 0
+    if a.image is None:
+        print(USAGE_SHORT)
+        return 0
+
+    from .session import DepthSession  # defer jax import until needed
+
+    rgb = imread_rgb(a.image)
+    session = DepthSession(rgb, make_config(a))
+    if a.annotation:
+        session.load_annotation_file(a.annotation)
+    if a.effect:
+        session.set_effect_key(a.effect)
+
+    if a.headless:
+        if a.solve or a.live or a.effect:
+            session.solve()
+            if a.show_time:
+                print(session.timing_report())
+        if a.save_dir:
+            paths = session.save(a.save_dir)
+            print("Saving images...")
+            for p in paths:
+                print(f"  {p}")
+        return 0
+
+    from .gui import run_gui  # imports cv2 (I/O boundary)
+
+    return run_gui(session, live=a.live)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,76 @@
+"""OpenCV HighGUI front-end — the reference's window/mouse/key contract
+(src/main.cpp:175-334) driving the device-resident session.
+
+Windows: "Original Image", "Edited Image" (paint target), "Depth Image",
+plus "Artistic Image" once an effect is active. Mouse-drag paints on the
+Edited Image; keys are documented in live/session.py. The UI ticks at
+waitKey(33) ~= 30 Hz like the reference (src/main.cpp:187).
+
+OpenCV appears here only as a display/event surface (BASELINE.json: imaging
+libs confined to the I/O boundary); all compute is the session's compiled
+device programs. Display arrays are converted RGB->BGR at the boundary.
+"""
+
+from __future__ import annotations
+
+from .session import DepthSession
+
+
+def run_gui(session: DepthSession, live: bool = False) -> int:
+    import cv2  # I/O boundary import
+
+    state = {"pressed": False}
+
+    def on_mouse(event, x, y, flags, _userdata):
+        if event == cv2.EVENT_LBUTTONDOWN:
+            state["pressed"] = True
+        elif event == cv2.EVENT_LBUTTONUP:
+            state["pressed"] = False
+        if event == cv2.EVENT_MOUSEMOVE and state["pressed"]:
+            session.paint(x, y)
+
+    def bgr(rgb):
+        return rgb[..., ::-1]
+
+    cv2.namedWindow("Original Image")
+    cv2.namedWindow("Edited Image")
+    cv2.namedWindow("Depth Image")
+    cv2.setMouseCallback("Edited Image", on_mouse)
+
+    while True:
+        cv2.imshow("Original Image", bgr(session.rgb_np))
+        cv2.imshow("Edited Image", bgr(session.edited_image()))
+        cv2.imshow("Depth Image", session.depth_image())
+        if session.effect and session.artistic is not None:
+            import numpy as np
+
+            cv2.imshow("Artistic Image", bgr(np.asarray(session.artistic)))
+
+        key = cv2.waitKey(33) & 0xFF
+        if key == 27:  # Esc
+            break
+        ch = chr(key) if 32 <= key < 127 else ""
+
+        if ch.isdigit():
+            session.set_color_key(int(ch))
+        elif ch in "bBgGhH":
+            session.set_effect_key(ch)
+            session.render_effect()
+        elif ch in "dD" or live:
+            session.solve()
+            if session.effect:
+                session.render_effect()
+        elif ch in "sS":
+            session.save(".")
+            print("Saving images...")
+        elif ch in "tT":
+            print(session.timing_report())
+        elif ch == "-":
+            session.adjust_radius(-2)
+            print(f"Scribble Radius: {session.scribble_radius}")
+        elif ch == "+":
+            session.adjust_radius(+2)
+            print(f"Scribble Radius: {session.scribble_radius}")
+
+    cv2.destroyAllWindows()
+    return 0

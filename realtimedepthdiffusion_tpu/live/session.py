@@ -1,0 +1,165 @@
+"""Interactive editing session: device-resident state machine.
+
+TPU-native rebuild of the reference's main-loop state (src/main.cpp:20-27,
+180-334) with the host round-trips designed out: the reference paints on the
+GPU, downloads to host, and re-uploads before every solve (SURVEY.md §3.3);
+here the annotation, gray pyramid and depth-state pyramid live on device for
+the whole session, a paint stroke is one compiled dispatch, and a solve is
+one compiled dispatch. Host copies happen only for display/save.
+
+Key/mode semantics preserved exactly (SURVEY.md C6):
+- digits '0'..'4' -> scribble depth min((d)*64, 254)
+- '+'/'-'         -> brush radius +-2 (clamped at 0; quirk #6 fixed)
+- 'd'             -> solve; --live solves every frame
+- 'b'/'g'/'h'     -> sticky refocus/desaturation/haze (mutually exclusive)
+- 's'             -> save AnnotatedImage.png, DepthMap.png, ArtisticEffect.png
+- 't'             -> report last solve wall time
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DiffusionConfig
+from ..core import effects as fx
+from ..core.annotation import paint as _paint
+from ..io import depth_to_u8, imwrite, load_annotation, save_annotation
+from ..pipeline import DepthPipeline
+from ..utils.timing import StageTimer
+
+_KEY_EFFECT = {"b": fx.EFFECT_DEFOCUS, "g": fx.EFFECT_DESATURATION, "h": fx.EFFECT_HAZE}
+
+
+class DepthSession:
+    """One image-editing session (the lifetime of the reference's main())."""
+
+    def __init__(self, rgb: np.ndarray, cfg: DiffusionConfig = DiffusionConfig()):
+        self.cfg = cfg
+        self.rows, self.cols = rgb.shape[:2]
+        self.rgb_np = np.ascontiguousarray(rgb[..., :3], dtype=np.uint8)
+        self.pipe = DepthPipeline(self.rows, self.cols, cfg)
+        self.rgb, self.gray_pyr = self.pipe.prepare_image(self.rgb_np)
+        self.mask = jnp.zeros((self.rows, self.cols), dtype=bool)
+        self.value = jnp.zeros((self.rows, self.cols), dtype=jnp.uint8)
+        self.depth_state = self.pipe.initial_state()
+        self.depth0 = self.depth_state[0]
+        self.artistic: Optional[jnp.ndarray] = None
+        self.effect = fx.EFFECT_NONE
+        self.scribble_color = 0
+        self.scribble_radius = cfg.brush_radius(self.rows, self.cols)
+        self.timer = StageTimer()
+        self.last_solve_ms = 0.0
+        # One compiled paint program serves every stroke (traced scalars).
+        self._paint = jax.jit(_paint)
+        self._edited = jax.jit(
+            lambda rgb, m, v: jnp.where(m[..., None], v[..., None], rgb)
+        )
+
+    # ------------------------------------------------------------ annotation
+    def load_annotation_file(self, path: str) -> None:
+        """-a flag: resume a session from an annotation PNG (the checkpoint
+        format, src/main.cpp:160-170)."""
+        mask, value = load_annotation(path, self.cfg)
+        if mask.shape != (self.rows, self.cols):
+            raise ValueError(
+                f"annotation {mask.shape} does not match image "
+                f"{(self.rows, self.cols)}"
+            )
+        self.mask = jnp.asarray(mask)
+        self.value = jnp.asarray(value)
+
+    def set_color_key(self, digit: int) -> None:
+        """Keys '0'..'4' (src/main.cpp:38-44)."""
+        if 0 <= digit <= 4:
+            self.scribble_color = min(digit * 64, 254)
+
+    def adjust_radius(self, delta: int) -> None:
+        self.scribble_radius = max(self.scribble_radius + delta, 0)
+
+    def paint(self, x: int, y: int) -> None:
+        """Mouse-drag brush stroke (square brush, SURVEY.md C5)."""
+        self.mask, self.value = self._paint(
+            self.mask, self.value, x, y, self.scribble_color, self.scribble_radius
+        )
+
+    # ----------------------------------------------------------------- solve
+    def solve(self) -> np.ndarray:
+        """One coarse-to-fine solve; returns the uint8 depth map. Warm-starts
+        from the previous depth-state pyramid like the reference's persistent
+        device buffers."""
+        t0 = time.perf_counter()
+        with self.timer.stage("solve"):
+            if self.effect == fx.EFFECT_NONE:
+                self.depth0, self.depth_state = self.pipe.solve(
+                    self.gray_pyr, self.mask, self.value, self.depth_state
+                )
+            else:
+                self.depth0, self.depth_state, self.artistic = (
+                    self.pipe.solve_and_effect(
+                        self.effect, self.gray_pyr, self.rgb, self.mask,
+                        self.value, self.depth_state,
+                    )
+                )
+            u8 = np.asarray(self.pipe.depth_u8(self.depth0))
+        self.last_solve_ms = (time.perf_counter() - t0) * 1000.0
+        return u8
+
+    # --------------------------------------------------------------- effects
+    def set_effect_key(self, key: str) -> None:
+        """'b'/'g'/'h': sticky, mutually exclusive (src/main.cpp:190-230)."""
+        eff = _KEY_EFFECT.get(key.lower())
+        if eff is not None:
+            self.effect = eff
+
+    def render_effect(self) -> Optional[np.ndarray]:
+        """Render the active effect from the current depth map."""
+        if self.effect == fx.EFFECT_NONE:
+            return None
+        with self.timer.stage("effect"):
+            depth = jnp.clip(self.depth0, 0.0, 255.0)
+            self.artistic = self.pipe.effect(
+                self.effect, self.rgb, self.gray_pyr[0], depth
+            )
+            return np.asarray(self.artistic)
+
+    # --------------------------------------------------------------- display
+    def edited_image(self) -> np.ndarray:
+        """The scribble overlay view (the reference's 'Edited Image')."""
+        return np.asarray(self._edited(self.rgb, self.mask, self.value))
+
+    def depth_image(self) -> np.ndarray:
+        return np.asarray(self.pipe.depth_u8(self.depth0))
+
+    # ------------------------------------------------------------------ save
+    def save(self, out_dir: str = ".") -> Tuple[str, str, str]:
+        """'s' key: the reference's three PNGs (src/main.cpp:297-318) — the
+        annotated image doubles as the resumable checkpoint via
+        save_annotation's sentinel encoding."""
+        with self.timer.stage("save"):
+            mask_np = np.asarray(self.mask)
+            value_np = np.asarray(self.value)
+            p1 = os.path.join(out_dir, "AnnotatedImage.png")
+            imwrite(p1, np.where(mask_np[..., None], value_np[..., None], self.rgb_np))
+            save_annotation(
+                os.path.join(out_dir, "Annotation.png"), mask_np, value_np, self.cfg
+            )
+            p2 = os.path.join(out_dir, "DepthMap.png")
+            d8 = depth_to_u8(np.asarray(self.depth0))
+            imwrite(p2, np.repeat(d8[..., None], 3, axis=2))
+            p3 = os.path.join(out_dir, "ArtisticEffect.png")
+            art = self.render_effect()
+            imwrite(p3, art if art is not None else np.zeros_like(self.rgb_np))
+        return p1, p2, p3
+
+    def timing_report(self) -> str:
+        """'t' key: the last solve's wall time + per-stage breakdown (the
+        observability the reference lacks, SURVEY.md §5)."""
+        return (
+            f"Processing Time: {self.last_solve_ms:.2f} ms\n{self.timer.report()}"
+        )

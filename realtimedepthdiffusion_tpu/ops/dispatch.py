@@ -1,0 +1,47 @@
+"""Backend dispatch for the per-level solve.
+
+Chooses the execution path for GPUMatrixFreeSolver's role (SURVEY.md C13):
+
+- ``xla``              pure-XLA lax.fori_loop sweeps (core.solver) — runs
+                       anywhere, the correctness anchor.
+- ``pallas``           TPU kernels (ops.pallas_sweep): VMEM-resident for
+                       levels that fit, DMA strip-blocked otherwise.
+- ``pallas_interpret`` same kernels under the Pallas interpreter (CPU
+                       testing of the kernel code paths).
+- ``auto``             pallas on TPU-like backends, xla elsewhere.
+
+The Pallas path implements the reference algorithm (jacobi_chebyshev) only;
+the extended solvers (plain jacobi, red_black with early exit) run on the
+XLA path regardless.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..config import DiffusionConfig
+from ..core import solver as _xla_solver
+
+_TPU_PLATFORMS = ("tpu", "axon")
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.default_backend() in _TPU_PLATFORMS
+    except Exception:
+        return False
+
+
+def solve_level(depth, mask, gray, level, max_level, iters, cfg: DiffusionConfig):
+    """Per-level solve routed to the configured backend."""
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if (_is_tpu() and cfg.solver == "jacobi_chebyshev") else "xla"
+    if backend in ("pallas", "pallas_interpret") and cfg.solver == "jacobi_chebyshev":
+        from .pallas_sweep import solve_level_pallas
+
+        return solve_level_pallas(
+            depth, mask, gray, level, max_level, iters, cfg,
+            interpret=(backend == "pallas_interpret"),
+        )
+    return _xla_solver.solve_level(depth, mask, gray, level, max_level, iters, cfg)

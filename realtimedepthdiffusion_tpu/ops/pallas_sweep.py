@@ -1,0 +1,344 @@
+"""Pallas TPU kernels for the hot solver loop (SURVEY.md C12/C13).
+
+Two kernels replace the reference's one-CUDA-launch-per-sweep design
+(src/GPUSolver.cu:295-309, ~1937 launches/solve):
+
+1. **Resident kernel** (`solve_level_resident`): the whole pyramid level —
+   state, Chebyshev history, weights — lives in VMEM; ALL of the level's
+   sweeps run inside one ``pallas_call`` with zero HBM traffic per sweep.
+   Used for every level whose working set fits VMEM (everything above
+   ~1 MPix), which carries ~90% of the cascade's iteration count.
+
+2. **Strip kernel** (`solve_level_strips`): for full-resolution levels. The
+   image is cut into row strips; each grid step DMAs a strip plus a k-row
+   halo from HBM into VMEM, runs k sweeps locally (halo validity shrinks one
+   ring per sweep, so the strip interior is exactly k-sweep Jacobi — the
+   same argument as the reference's 18x18 shared-memory tiles,
+   src/GPUSolver.cu:239-245, scaled up ~100x), and DMAs the interior back.
+   One launch does k sweeps for the whole image: HBM traffic drops k-fold
+   versus pure-XLA sweeps.
+
+Weight layout: instead of the reference's int2-packed LUT indices gathered
+per sweep (src/GPUSolver.cu:222,250-254), weights are materialized once per
+level as two symmetric planes bh/bv (w between x,x+1 / y,y+1) plus the
+precomputed reciprocal weight-sum — 3 planes instead of 4, no gathers, no
+per-sweep division.
+
+All arrays are pre-padded with a 1-pixel zero ring so neighbor reads are
+static in-bounds slices; the zero ring is never written and matches the
+reference's index-256 "no neighbor" sentinel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DiffusionConfig
+from ..core.solver import chebyshev_omegas
+from ..core.weights import edge_weights
+
+# VMEM budget for choosing the resident kernel (bytes). v5e has ~16 MiB more
+# than the ~6 planes the kernel keeps live; leave slack for Mosaic temps.
+RESIDENT_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _pack_weights_padded(gray, depth, level, max_level, cfg):
+    """(bh, bv, inv_count) planes, each padded with a 1-px zero ring.
+
+    bh[y, x] = weight between (y,x) and (y,x+1) (zero in the last column);
+    bv[y, x] = weight between (y,x) and (y+1,x). The directional planes of
+    core.weights are recovered as shifted views: wl = bh shifted right, etc.
+    """
+    wts = edge_weights(gray, depth, level, max_level, cfg)
+    bh = wts.wr  # wr[y,x] is exactly the (x,x+1) pair weight, 0 at x=W-1
+    bv = wts.wd
+    pad = lambda a: jnp.pad(a.astype(jnp.float32), ((1, 1), (1, 1)))
+    return pad(bh), pad(bv), pad(wts.inv_count)
+
+
+def _sweep_full(up, pp, bh, bv, inv, mask_u8, omega, gamma):
+    """One Jacobi+Chebyshev sweep over a FULL padded block (no interior
+    slicing: every op is lane/sublane-aligned; neighbor access is a hardware
+    roll). Correctness at edges relies on two invariants the callers
+    maintain: (1) every non-real pixel (zero ring / alignment fill) carries
+    mask=1 and value 0, so it is Dirichlet-pinned and roll wraparound reads
+    only pinned zeros or weight-0 contributions; (2) boundary pair weights in
+    bh/bv are zero (the reference's index-256 sentinel)."""
+    hh, ww = up.shape
+    ul = pltpu.roll(up, 1, 1)        # value of (y, x-1)
+    ur = pltpu.roll(up, ww - 1, 1)   # (y, x+1)  (negative shifts unsupported)
+    uu = pltpu.roll(up, 1, 0)        # (y-1, x)
+    ud = pltpu.roll(up, hh - 1, 0)   # (y+1, x)
+    wl = pltpu.roll(bh, 1, 1)        # pair weight (x-1, x)
+    wu = pltpu.roll(bv, 1, 0)        # pair weight (y-1, y)
+    r = jnp.clip((wl * ul + bh * ur + wu * uu + bv * ud) * inv, 0.0, 255.0)
+    out = omega * (gamma * (r - up) + up - pp) + pp
+    return jnp.where(mask_u8 != 0, up, out), up
+
+
+def _resident_kernel(iters, gamma, om_ref, m_ref, bh_ref, bv_ref,
+                     inv_ref, u_ref, out_ref, prev_scr):
+    """All `iters` sweeps with every plane VMEM-resident. u_ref is aliased to
+    out_ref (so out_ref starts holding the seeded input); prev_scr is the
+    Chebyshev history scratch."""
+    del u_ref  # aliased: out_ref already contains the input state
+    prev_scr[:] = jnp.zeros_like(prev_scr)
+
+    def body(i, _):
+        omega = om_ref[i, 0]
+        new_u, new_prev = _sweep_full(
+            out_ref[:], prev_scr[:], bh_ref[:], bv_ref[:], inv_ref[:],
+            m_ref[:], omega, gamma,
+        )
+        prev_scr[:] = new_prev
+        out_ref[:] = new_u
+        return 0
+
+    lax.fori_loop(0, iters, body, 0, unroll=False)
+
+
+def solve_level_resident(
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    gray: jnp.ndarray,
+    level: int,
+    max_level: int,
+    iters: int,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """VMEM-resident fixed-iteration solve of one pyramid level."""
+    h, w = depth.shape
+    bh, bv, inv = _pack_weights_padded(gray, depth, level, max_level, cfg)
+    up = jnp.pad(depth.astype(jnp.float32), ((1, 1), (1, 1)))
+    # The zero ring is Dirichlet-pinned (mask=1, value 0): roll wraparound in
+    # the kernel then only ever reads pinned zeros.
+    mp = jnp.pad(mask.astype(jnp.uint8), ((1, 1), (1, 1)), constant_values=1)
+    omegas = jnp.asarray(chebyshev_omegas(iters, cfg)).reshape(-1, 1)
+
+    kernel = functools.partial(
+        _resident_kernel, iters, float(cfg.chebyshev_gamma)
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h + 2, w + 2), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (iters, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # inv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u (aliased to out)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((h + 2, w + 2), jnp.float32)],
+        input_output_aliases={5: 0},
+        interpret=interpret,
+    )(omegas, mp, bh, bv, inv, up)
+    return out[1 : h + 1, 1 : w + 1]
+
+
+# ---------------------------------------------------------------------------
+# Strip kernel: k-sweep iteration blocking over row strips
+# ---------------------------------------------------------------------------
+
+
+def _strip_kernel(k, pad_rows, block_h, gamma, hp, w,
+                  om_ref, u_hbm, prev_hbm, m_hbm, bh_hbm, bv_hbm, inv_hbm,
+                  uo_hbm, po_hbm, u_s, p_s, m_s, bh_s, bv_s, inv_s, sems):
+    """Grid step s: DMA strip rows [s*block_h, s*block_h + block_h +
+    2*pad_rows) of the pad_rows-padded global arrays into VMEM, run k sweeps,
+    write back the interior block_h rows of u and the Chebyshev history.
+
+    Global arrays are pre-padded with pad_rows >= k+1 zero rows top/bottom
+    (rounded to the sublane tile of 8 so every DMA slice offset/shape is
+    aligned) and 1 zero column left/right: every strip slab is in-bounds, the
+    slab's own ring provides correct frozen halo values, and garbage creeping
+    from the slab edge advances one row per sweep, never reaching the
+    interior (pad_rows > k sweeps).
+    """
+    s = pl.program_id(0)
+    row0 = s * block_h  # top of the slab in padded coords
+    slab_h = block_h + 2 * pad_rows
+
+    def dma_in(dst, src, slot):
+        cp = pltpu.make_async_copy(
+            src.at[pl.ds(row0, slab_h), :], dst, sems.at[slot]
+        )
+        cp.start()
+        return cp
+
+    cps = [
+        dma_in(u_s, u_hbm, 0),
+        dma_in(p_s, prev_hbm, 1),
+        dma_in(m_s, m_hbm, 2),
+        dma_in(bh_s, bh_hbm, 3),
+        dma_in(bv_s, bv_hbm, 4),
+        dma_in(inv_s, inv_hbm, 5),
+    ]
+    for cp in cps:
+        cp.wait()
+
+    def body(i, _):
+        omega = om_ref[i, 0]
+        new_u, new_prev = _sweep_full(
+            u_s[:], p_s[:], bh_s[:], bv_s[:], inv_s[:], m_s[:], omega, gamma
+        )
+        p_s[:] = new_prev
+        u_s[:] = new_u
+        return 0
+
+    lax.fori_loop(0, k, body, 0, unroll=False)
+
+    # Write back the strip interior (skip the pad_rows halo rows).
+    out_row = row0 + pad_rows
+    uo = pltpu.make_async_copy(
+        u_s.at[pl.ds(pad_rows, block_h), :], uo_hbm.at[pl.ds(out_row, block_h), :],
+        sems.at[6],
+    )
+    po = pltpu.make_async_copy(
+        p_s.at[pl.ds(pad_rows, block_h), :], po_hbm.at[pl.ds(out_row, block_h), :],
+        sems.at[7],
+    )
+    uo.start()
+    po.start()
+    uo.wait()
+    po.wait()
+
+
+def _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, gamma, interpret):
+    slab_h = block_h + 2 * pad_rows
+    kern = functools.partial(
+        _strip_kernel, k, pad_rows, block_h, gamma, hp, wp2 - 2
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(n_strips,),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp2), jnp.float32),  # u out
+            jax.ShapeDtypeStruct((hp, wp2), jnp.float32),  # prev out
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (k, 1)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # u
+            pl.BlockSpec(memory_space=pltpu.ANY),  # prev
+            pl.BlockSpec(memory_space=pltpu.ANY),  # mask
+            pl.BlockSpec(memory_space=pltpu.ANY),  # bh
+            pl.BlockSpec(memory_space=pltpu.ANY),  # bv
+            pl.BlockSpec(memory_space=pltpu.ANY),  # inv
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # u slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # prev slab
+            pltpu.VMEM((slab_h, wp2), jnp.uint8),  # mask slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # bh slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # bv slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # inv slab
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        # NOTE: deliberately NO input/output aliasing — strip s+1's input
+        # slab overlaps strip s's output rows, and Jacobi requires reads of
+        # the pre-sweep state. Separate buffers make the sequential grid
+        # race-free by construction.
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+
+def solve_level_strips(
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    gray: jnp.ndarray,
+    level: int,
+    max_level: int,
+    iters: int,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    block_h: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Strip-blocked solve: ceil(iters/k) launches of k fused sweeps."""
+    h, w = depth.shape
+    k = max(int(cfg.pallas_iter_block), 1)
+    gamma = float(cfg.chebyshev_gamma)
+
+    bh, bv, inv = _pack_weights_padded(gray, depth, level, max_level, cfg)
+
+    # Re-pad from the 1-px ring to a pad_rows ring (cols stay 1-px) and pad
+    # rows up to a multiple of block_h. pad_rows = ceil((k+1)/8)*8 keeps all
+    # DMA slice offsets/shapes aligned to the f32 sublane tile.
+    pad_rows = -(-(k + 1) // 8) * 8
+    n_strips = -(-h // block_h)
+    hp = n_strips * block_h + 2 * pad_rows
+    # Lane-tile alignment: DMA slice widths must be multiples of 128, so the
+    # padded width (1 left ring + w + right zero fill) rounds up to 128.
+    wp2 = -(-(w + 2) // 128) * 128
+
+    def repad(a, dtype=jnp.float32):
+        core = a[1 : h + 1, :]  # (h, w+2) keep the column ring
+        return jnp.pad(
+            core.astype(dtype),
+            ((pad_rows, hp - h - pad_rows), (0, wp2 - (w + 2))),
+        )
+
+    u = repad(jnp.pad(depth.astype(jnp.float32), ((1, 1), (1, 1))))
+    m = repad(jnp.pad(mask.astype(jnp.uint8), ((1, 1), (1, 1))), jnp.uint8)
+    bh = repad(bh)
+    bv = repad(bv)
+    inv = repad(inv)
+    prev = jnp.zeros_like(u)
+
+    omegas = np.asarray(chebyshev_omegas(iters, cfg))
+    n_full, rem = divmod(iters, k)
+
+    def fix_halo(a):
+        # The kernels write only rows [pad_rows, hp-pad_rows); restore the
+        # zero halo bands before the buffer is consumed as the next input.
+        a = a.at[:pad_rows, :].set(0.0)
+        return a.at[hp - pad_rows :, :].set(0.0)
+
+    call_k = _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, gamma, interpret)
+    for blk in range(n_full):
+        om = jnp.asarray(omegas[blk * k : (blk + 1) * k]).reshape(-1, 1)
+        u, prev = call_k(om, u, prev, m, bh, bv, inv)
+        u, prev = fix_halo(u), fix_halo(prev)
+    if rem:
+        # Remainder block needs an exact rem-length schedule (omega-0 padding
+        # would corrupt the Chebyshev history).
+        call_r = _strips_call(hp, wp2, rem, pad_rows, n_strips, block_h, gamma, interpret)
+        om = jnp.asarray(omegas[n_full * k :]).reshape(-1, 1)
+        u, prev = call_r(om, u, prev, m, bh, bv, inv)
+    return u[pad_rows : pad_rows + h, 1 : w + 1]
+
+
+def solve_level_pallas(
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    gray: jnp.ndarray,
+    level: int,
+    max_level: int,
+    iters: int,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Choose resident vs strip kernel by VMEM footprint."""
+    h, w = depth.shape
+    # ~6 f32 planes live in the resident kernel.
+    if (h + 2) * (w + 2) * 4 * 6 <= RESIDENT_VMEM_BUDGET:
+        return solve_level_resident(
+            depth, mask, gray, level, max_level, iters, cfg, interpret
+        )
+    return solve_level_strips(
+        depth, mask, gray, level, max_level, iters, cfg, interpret=interpret
+    )

@@ -1,0 +1,87 @@
+"""CLI contract + headless session tests (SURVEY.md C1/C5/C6/C18)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from realtimedepthdiffusion_tpu.config import DiffusionConfig
+from realtimedepthdiffusion_tpu.io import imread_gray, imwrite, load_annotation
+from realtimedepthdiffusion_tpu.live.cli import main, parse_args
+from realtimedepthdiffusion_tpu.live.session import DepthSession
+from tests.conftest import synthetic_pair
+
+
+def test_parse_args_reference_contract():
+    a = parse_args(["-i", "img.jpg", "-a", "ann.png", "--live"])
+    assert a.image == "img.jpg" and a.annotation == "ann.png" and a.live
+    # unknown flags ignored, any order (src/main.cpp:81-90)
+    a = parse_args(["--live", "-x", "-i", "img.jpg"])
+    assert a.image == "img.jpg" and a.live
+
+
+def test_cli_no_args_prints_usage(capsys):
+    assert main([]) == 0
+    assert "Usage" in capsys.readouterr().out
+
+
+def test_session_paint_solve_save(tmp_path):
+    rgb, mask, value = synthetic_pair(70, 90, 5)
+    cfg = DiffusionConfig(max_iterations=60)
+    s = DepthSession(rgb, cfg)
+    # keys: pick depth '3' (=192), paint a stroke, radius bump
+    s.set_color_key(3)
+    assert s.scribble_color == 192
+    s.adjust_radius(+2)
+    s.paint(45, 35)
+    s.set_color_key(0)
+    s.paint(10, 10)
+    d8 = s.solve()
+    assert d8.shape == (70, 90) and d8.dtype == np.uint8
+    assert d8[35, 45] == 192 and d8[10, 10] == 0  # scribbles pinned
+
+    s.set_effect_key("h")
+    art = s.render_effect()
+    assert art.shape == rgb.shape
+
+    p1, p2, p3 = s.save(str(tmp_path))
+    for p in (p1, p2, p3):
+        assert os.path.exists(p)
+    # The annotation checkpoint round-trips
+    m2, v2 = load_annotation(str(tmp_path / "Annotation.png"), cfg)
+    assert m2[35, 45] and v2[35, 45] == 192
+    # DepthMap.png stores the depth replicated to 3 channels
+    dm = imread_gray(p2)
+    assert dm[35, 45] == 192
+
+
+def test_cli_headless_end_to_end(tmp_path):
+    rgb, mask, value = synthetic_pair(70, 90, 6)
+    img = str(tmp_path / "img.png")
+    imwrite(img, rgb)
+    ann = np.where(mask, value, 32).astype(np.uint8)
+    annp = str(tmp_path / "ann.png")
+    imwrite(annp, ann)
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    rc = main([
+        "-i", img, "-a", annp, "--headless", "--solve", "--effect", "g",
+        "--save-dir", out, "--time", "--backend", "xla",
+    ])
+    assert rc == 0
+    for f in ("AnnotatedImage.png", "Annotation.png", "DepthMap.png", "ArtisticEffect.png"):
+        assert os.path.exists(os.path.join(out, f)), f
+    # Depth honors an annotation scribble
+    dm = imread_gray(os.path.join(out, "DepthMap.png"))
+    ys, xs = np.nonzero(mask)
+    assert abs(int(dm[ys[0], xs[0]]) - int(value[ys[0], xs[0]])) <= 1
+
+
+def test_session_timing_report():
+    rgb, _, _ = synthetic_pair(64, 64, 7)
+    s = DepthSession(rgb, DiffusionConfig(max_iterations=30))
+    s.paint(32, 32)
+    s.solve()
+    rep = s.timing_report()
+    assert "Processing Time" in rep and "solve" in rep

@@ -1,0 +1,88 @@
+"""Pallas kernel tests under the interpreter (SURVEY.md §5: every Pallas
+kernel keeps its jnp twin as oracle, tested with interpret=True on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from realtimedepthdiffusion_tpu.config import DiffusionConfig
+from realtimedepthdiffusion_tpu.core import multigrid, solver
+from realtimedepthdiffusion_tpu.oracle import numpy_ref as oracle
+from realtimedepthdiffusion_tpu.ops import pallas_sweep as ps
+from tests.conftest import synthetic_pair
+
+CFG = DiffusionConfig()
+
+
+def _case(rng, h, w):
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    mask = rng.random((h, w)) < 0.06
+    val = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    depth = oracle.seed_depth(np.full((h, w), 255.0, np.float32), mask, val)
+    return gray, mask, depth
+
+
+@pytest.mark.parametrize("iters", [1, 11, 25])
+def test_resident_kernel_matches_xla(rng, iters):
+    gray, mask, depth = _case(rng, 49, 67)
+    want = np.asarray(
+        solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, iters, CFG)
+    )
+    got = np.asarray(
+        ps.solve_level_resident(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, iters, CFG,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    assert np.array_equal(got[mask], depth[mask])
+
+
+@pytest.mark.parametrize("iters,block_h", [(16, 16), (25, 16), (7, 8)])
+def test_strip_kernel_matches_xla(rng, iters, block_h):
+    gray, mask, depth = _case(rng, 49, 67)
+    want = np.asarray(
+        solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, iters, CFG)
+    )
+    got = np.asarray(
+        ps.solve_level_strips(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, iters, CFG,
+            block_h=block_h, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    assert np.array_equal(got[mask], depth[mask])
+
+
+def test_strip_kernel_level_weight_rule(rng):
+    """The strip path must honor the level-dependent depth-threshold weight
+    rule (computed from the incoming pyrUp'd depth)."""
+    gray, mask, _ = _case(rng, 40, 56)
+    depth = (rng.random((40, 56), dtype=np.float32) * 255).astype(np.float32)
+    want = np.asarray(
+        solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 3, 9, CFG)
+    )
+    got = np.asarray(
+        ps.solve_level_strips(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 3, 9, CFG,
+            block_h=16, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_full_cascade_pallas_interpret_backend():
+    """End-to-end cascade with backend='pallas_interpret' matches the XLA
+    cascade (the dispatch path the TPU bench takes, minus compilation)."""
+    rgb, m0, v0 = synthetic_pair(64, 96, 3)
+    g0 = oracle.rgb_to_gray(rgb)
+    cfg_x = DiffusionConfig(max_iterations=40, backend="xla")
+    cfg_p = DiffusionConfig(max_iterations=40, backend="pallas_interpret")
+    gp = multigrid.build_gray_pyramid(jnp.asarray(g0), cfg_x)
+
+    st = multigrid.initial_depth_state(64, 96, cfg_x)
+    d_x, _ = multigrid.solve_cascade(gp, jnp.asarray(m0), jnp.asarray(v0), st, cfg_x)
+    st = multigrid.initial_depth_state(64, 96, cfg_p)
+    d_p, _ = multigrid.solve_cascade(gp, jnp.asarray(m0), jnp.asarray(v0), st, cfg_p)
+    rmse = float(jnp.sqrt(jnp.mean(((d_p - d_x) / 255.0) ** 2)))
+    assert rmse <= 1e-3, rmse
