@@ -19,6 +19,13 @@ from .session import DepthSession
 def run_gui(session: DepthSession, live: bool = False) -> int:
     import cv2  # I/O boundary import
 
+    from ..native.runtime import EventQueue
+
+    # OpenCV fires mouse callbacks on its own thread; events go through the
+    # native MPSC ring buffer and are drained on the solve-loop thread (the
+    # reference mutates shared GPU state directly from the callback,
+    # src/main.cpp:46-62 — a cross-thread hazard this design removes).
+    events = EventQueue(capacity=4096)
     state = {"pressed": False}
 
     def on_mouse(event, x, y, flags, _userdata):
@@ -27,7 +34,7 @@ def run_gui(session: DepthSession, live: bool = False) -> int:
         elif event == cv2.EVENT_LBUTTONUP:
             state["pressed"] = False
         if event == cv2.EVENT_MOUSEMOVE and state["pressed"]:
-            session.paint(x, y)
+            events.push(EventQueue.KIND_PAINT, x, y, 0)
 
     def bgr(rgb):
         return rgb[..., ::-1]
@@ -38,6 +45,10 @@ def run_gui(session: DepthSession, live: bool = False) -> int:
     cv2.setMouseCallback("Edited Image", on_mouse)
 
     while True:
+        while (ev := events.pop()) is not None:
+            if ev[0] == EventQueue.KIND_PAINT:
+                session.paint(ev[1], ev[2])
+
         cv2.imshow("Original Image", bgr(session.rgb_np))
         cv2.imshow("Edited Image", bgr(session.edited_image()))
         cv2.imshow("Depth Image", session.depth_image())
@@ -72,5 +83,6 @@ def run_gui(session: DepthSession, live: bool = False) -> int:
             session.adjust_radius(+2)
             print(f"Scribble Radius: {session.scribble_radius}")
 
+    events.close()
     cv2.destroyAllWindows()
     return 0

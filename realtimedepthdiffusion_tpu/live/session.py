@@ -1,11 +1,13 @@
 """Interactive editing session: device-resident state machine.
 
 TPU-native rebuild of the reference's main-loop state (src/main.cpp:20-27,
-180-334) with the host round-trips designed out: the reference paints on the
-GPU, downloads to host, and re-uploads before every solve (SURVEY.md §3.3);
-here the annotation, gray pyramid and depth-state pyramid live on device for
-the whole session, a paint stroke is one compiled dispatch, and a solve is
-one compiled dispatch. Host copies happen only for display/save.
+180-334) with the host round-trips redesigned: the reference paints on the
+GPU, downloads to host after EVERY stroke, and re-uploads before every solve
+(SURVEY.md §3.3). Here brush strokes hit host annotation planes through the
+native C++ rasterizer (dirty-rect tracked, no device round trip at stroke
+latency), the annotation uploads once per solve, and the gray pyramid +
+depth-state pyramid stay device-resident for the whole session. A solve is
+one compiled dispatch.
 
 Key/mode semantics preserved exactly (SURVEY.md C6):
 - digits '0'..'4' -> scribble depth min((d)*64, 254)
@@ -22,14 +24,13 @@ import os
 import time
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import DiffusionConfig
 from ..core import effects as fx
-from ..core.annotation import paint as _paint
 from ..io import depth_to_u8, imwrite, load_annotation, save_annotation
+from ..native.runtime import NativeRuntime
 from ..pipeline import DepthPipeline
 from ..utils.timing import StageTimer
 
@@ -45,8 +46,14 @@ class DepthSession:
         self.rgb_np = np.ascontiguousarray(rgb[..., :3], dtype=np.uint8)
         self.pipe = DepthPipeline(self.rows, self.cols, cfg)
         self.rgb, self.gray_pyr = self.pipe.prepare_image(self.rgb_np)
-        self.mask = jnp.zeros((self.rows, self.cols), dtype=bool)
-        self.value = jnp.zeros((self.rows, self.cols), dtype=jnp.uint8)
+        # Annotation planes live on HOST and are painted by the native
+        # runtime's brush rasterizer (dirty-rect tracked); they upload to the
+        # device once per solve — the same cadence as the reference's
+        # upload at src/main.cpp:236-237, minus its paint-time downloads.
+        self.native = NativeRuntime()
+        self.mask_np = np.zeros((self.rows, self.cols), dtype=np.uint8)
+        self.value_np = np.zeros((self.rows, self.cols), dtype=np.uint8)
+        self.dirty: Optional[Tuple[int, int, int, int]] = None
         self.depth_state = self.pipe.initial_state()
         self.depth0 = self.depth_state[0]
         self.artistic: Optional[jnp.ndarray] = None
@@ -55,11 +62,6 @@ class DepthSession:
         self.scribble_radius = cfg.brush_radius(self.rows, self.cols)
         self.timer = StageTimer()
         self.last_solve_ms = 0.0
-        # One compiled paint program serves every stroke (traced scalars).
-        self._paint = jax.jit(_paint)
-        self._edited = jax.jit(
-            lambda rgb, m, v: jnp.where(m[..., None], v[..., None], rgb)
-        )
 
     # ------------------------------------------------------------ annotation
     def load_annotation_file(self, path: str) -> None:
@@ -71,8 +73,9 @@ class DepthSession:
                 f"annotation {mask.shape} does not match image "
                 f"{(self.rows, self.cols)}"
             )
-        self.mask = jnp.asarray(mask)
-        self.value = jnp.asarray(value)
+        self.mask_np = np.ascontiguousarray(mask.astype(np.uint8))
+        self.value_np = np.ascontiguousarray(value)
+        self.dirty = (0, 0, self.rows - 1, self.cols - 1)
 
     def set_color_key(self, digit: int) -> None:
         """Keys '0'..'4' (src/main.cpp:38-44)."""
@@ -83,10 +86,21 @@ class DepthSession:
         self.scribble_radius = max(self.scribble_radius + delta, 0)
 
     def paint(self, x: int, y: int) -> None:
-        """Mouse-drag brush stroke (square brush, SURVEY.md C5)."""
-        self.mask, self.value = self._paint(
-            self.mask, self.value, x, y, self.scribble_color, self.scribble_radius
+        """Mouse-drag brush stroke (square brush, SURVEY.md C5): native
+        rasterizer into the host planes, accumulating the dirty rect."""
+        rect = self.native.paint(
+            self.mask_np, self.value_np, x, y, self.scribble_color,
+            self.scribble_radius,
         )
+        if rect is not None:
+            if self.dirty is None:
+                self.dirty = rect
+            else:
+                d = self.dirty
+                self.dirty = (
+                    min(d[0], rect[0]), min(d[1], rect[1]),
+                    max(d[2], rect[2]), max(d[3], rect[3]),
+                )
 
     # ----------------------------------------------------------------- solve
     def solve(self) -> np.ndarray:
@@ -94,16 +108,20 @@ class DepthSession:
         from the previous depth-state pyramid like the reference's persistent
         device buffers."""
         t0 = time.perf_counter()
+        with self.timer.stage("upload"):
+            mask_d = jnp.asarray(self.mask_np.astype(bool))
+            value_d = jnp.asarray(self.value_np)
+            self.dirty = None
         with self.timer.stage("solve"):
             if self.effect == fx.EFFECT_NONE:
                 self.depth0, self.depth_state = self.pipe.solve(
-                    self.gray_pyr, self.mask, self.value, self.depth_state
+                    self.gray_pyr, mask_d, value_d, self.depth_state
                 )
             else:
                 self.depth0, self.depth_state, self.artistic = (
                     self.pipe.solve_and_effect(
-                        self.effect, self.gray_pyr, self.rgb, self.mask,
-                        self.value, self.depth_state,
+                        self.effect, self.gray_pyr, self.rgb, mask_d,
+                        value_d, self.depth_state,
                     )
                 )
             u8 = np.asarray(self.pipe.depth_u8(self.depth0))
@@ -131,7 +149,8 @@ class DepthSession:
     # --------------------------------------------------------------- display
     def edited_image(self) -> np.ndarray:
         """The scribble overlay view (the reference's 'Edited Image')."""
-        return np.asarray(self._edited(self.rgb, self.mask, self.value))
+        m = self.mask_np.astype(bool)[..., None]
+        return np.where(m, self.value_np[..., None], self.rgb_np)
 
     def depth_image(self) -> np.ndarray:
         return np.asarray(self.pipe.depth_u8(self.depth0))
@@ -142,8 +161,8 @@ class DepthSession:
         annotated image doubles as the resumable checkpoint via
         save_annotation's sentinel encoding."""
         with self.timer.stage("save"):
-            mask_np = np.asarray(self.mask)
-            value_np = np.asarray(self.value)
+            mask_np = self.mask_np.astype(bool)
+            value_np = self.value_np
             p1 = os.path.join(out_dir, "AnnotatedImage.png")
             imwrite(p1, np.where(mask_np[..., None], value_np[..., None], self.rgb_np))
             save_annotation(
