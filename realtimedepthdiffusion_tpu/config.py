@@ -80,6 +80,11 @@ class DiffusionConfig:
     defocus_aperture: float = 0.025
     haze_airlight: float = 255.0
 
+    # --- Incremental/live solve: iteration budget for warm-started re-solves
+    #     after small edits (0 = always the full schedule, reference parity).
+    #     The live loop's first solve always uses the full budget. ---
+    incremental_iterations: int = 0
+
     # --- Backend selection: "auto" picks Pallas on TPU, pure-XLA elsewhere ---
     backend: str = "auto"
     # Sweeps fused per Pallas launch for the strip-tiled level-0 kernel.

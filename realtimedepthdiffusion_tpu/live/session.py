@@ -62,6 +62,18 @@ class DepthSession:
         self.scribble_radius = cfg.brush_radius(self.rows, self.cols)
         self.timer = StageTimer()
         self.last_solve_ms = 0.0
+        self.solve_count = 0
+        # Incremental pipeline: reduced iteration budget for warm re-solves
+        # (cfg.incremental_iterations > 0). The depth-state warm start makes
+        # a small budget sufficient after local edits.
+        self._inc_pipe: Optional[DepthPipeline] = None
+        if cfg.incremental_iterations > 0:
+            import dataclasses
+
+            inc_cfg = dataclasses.replace(
+                cfg, max_iterations=cfg.incremental_iterations
+            )
+            self._inc_pipe = DepthPipeline(self.rows, self.cols, inc_cfg)
 
     # ------------------------------------------------------------ annotation
     def load_annotation_file(self, path: str) -> None:
@@ -108,23 +120,27 @@ class DepthSession:
         from the previous depth-state pyramid like the reference's persistent
         device buffers."""
         t0 = time.perf_counter()
+        pipe = self.pipe
+        if self._inc_pipe is not None and self.solve_count > 0:
+            pipe = self._inc_pipe
         with self.timer.stage("upload"):
             mask_d = jnp.asarray(self.mask_np.astype(bool))
             value_d = jnp.asarray(self.value_np)
             self.dirty = None
         with self.timer.stage("solve"):
             if self.effect == fx.EFFECT_NONE:
-                self.depth0, self.depth_state = self.pipe.solve(
+                self.depth0, self.depth_state = pipe.solve(
                     self.gray_pyr, mask_d, value_d, self.depth_state
                 )
             else:
                 self.depth0, self.depth_state, self.artistic = (
-                    self.pipe.solve_and_effect(
+                    pipe.solve_and_effect(
                         self.effect, self.gray_pyr, self.rgb, mask_d,
                         value_d, self.depth_state,
                     )
                 )
             u8 = np.asarray(self.pipe.depth_u8(self.depth0))
+        self.solve_count += 1
         self.last_solve_ms = (time.perf_counter() - t0) * 1000.0
         return u8
 
@@ -175,6 +191,19 @@ class DepthSession:
             art = self.render_effect()
             imwrite(p3, art if art is not None else np.zeros_like(self.rgb_np))
         return p1, p2, p3
+
+    def residual_report(self) -> str:
+        """Per-level residual norms of the current depth state."""
+        res = np.asarray(
+            self.pipe.residuals(
+                self.gray_pyr,
+                jnp.asarray(self.mask_np.astype(bool)),
+                jnp.asarray(self.value_np),
+                self.depth_state,
+            )
+        )
+        parts = [f"L{l}={r:.4f}" for l, r in enumerate(res)]
+        return "Residual (max-norm, per level): " + "  ".join(parts)
 
     def timing_report(self) -> str:
         """'t' key: the last solve's wall time + per-stage breakdown (the

@@ -68,6 +68,24 @@ class DepthPipeline:
             lambda d: jnp.clip(jnp.rint(d), 0, 255).astype(jnp.uint8)
         )
 
+        def _residuals(gray_pyr, mask0, value0, depth_state):
+            # Per-level max-norm residuals of the current depth state — the
+            # convergence observability the reference lacks (its deviceError
+            # buffer is dead, SURVEY.md quirk #2).
+            from .core.multigrid import build_annotation_pyramids
+            from .core.solver import residual_norm
+            from .core.weights import edge_weights
+
+            masks, _ = build_annotation_pyramids(mask0, value0, cfg)
+            L = len(gray_pyr) - 1
+            res = []
+            for l in range(len(gray_pyr)):
+                wts = edge_weights(gray_pyr[l], depth_state[l], l, L, cfg)
+                res.append(residual_norm(depth_state[l], masks[l], wts))
+            return jnp.stack(res)
+
+        self._residuals = jax.jit(_residuals)
+
     # -- setup -----------------------------------------------------------
     def prepare_image(self, rgb_u8: np.ndarray):
         """Upload the image once; returns (rgb_dev, gray_pyramid)."""
@@ -94,6 +112,10 @@ class DepthPipeline:
         """float32 depth -> uint8 display/export (convertTo(CV_8UC1),
         src/main.cpp:290)."""
         return self._to_u8(depth0)
+
+    def residuals(self, gray_pyr, mask0, value0, depth_state) -> jnp.ndarray:
+        """Per-level max-norm residuals of a depth state (coarse last)."""
+        return self._residuals(gray_pyr, mask0, value0, depth_state)
 
 
 @functools.lru_cache(maxsize=8)

@@ -1,0 +1,89 @@
+"""Batch serving + incremental live-solve tests."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from realtimedepthdiffusion_tpu.config import DiffusionConfig
+from realtimedepthdiffusion_tpu.io import imread_gray, imwrite, save_annotation
+from realtimedepthdiffusion_tpu.live.session import DepthSession
+from realtimedepthdiffusion_tpu.serve import discover_pairs, main as serve_main
+from tests.conftest import synthetic_pair
+
+
+def _write_pair(d, name, h, w, seed):
+    rgb, mask, value = synthetic_pair(h, w, seed)
+    imwrite(os.path.join(d, "images", f"{name}.png"), rgb)
+    save_annotation(os.path.join(d, "annotations", f"{name}.png"), mask, value)
+    return rgb, mask, value
+
+
+def test_serve_directory_mode(tmp_path):
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "a", 64, 80, 1)
+    _write_pair(d, "b", 64, 80, 2)  # same shape: pipeline reused
+    _write_pair(d, "c", 72, 96, 3)  # new shape: second pipeline
+    pairs = discover_pairs(os.path.join(d, "images"), os.path.join(d, "annotations"))
+    assert len(pairs) == 3
+
+    out = os.path.join(d, "out")
+    rc = serve_main([
+        "--images", os.path.join(d, "images"),
+        "--annotations", os.path.join(d, "annotations"),
+        "--out", out, "--effect", "h", "--backend", "xla",
+    ])
+    assert rc == 0
+    for name in ("a", "b", "c"):
+        assert os.path.exists(os.path.join(out, f"{name}_depth.png"))
+        assert os.path.exists(os.path.join(out, f"{name}_effect.png"))
+    # depth respects a scribble
+    _, mask, value = synthetic_pair(64, 80, 1)
+    dm = imread_gray(os.path.join(out, "a_depth.png"))
+    ys, xs = np.nonzero(mask)
+    assert abs(int(dm[ys[0], xs[0]]) - int(value[ys[0], xs[0]])) <= 1
+
+
+def test_serve_requires_input(capsys):
+    assert serve_main(["--out", "/tmp/x"]) == 2
+
+
+def test_incremental_solve_converges_to_full():
+    """With incremental_iterations set, warm re-solves after a small edit
+    stay close to a full-budget solve."""
+    rgb, mask, value = synthetic_pair(80, 96, 9)
+    full = DepthSession(rgb, DiffusionConfig(max_iterations=300))
+    inc = DepthSession(
+        rgb, DiffusionConfig(max_iterations=300, incremental_iterations=60)
+    )
+    for s in (full, inc):
+        s.mask_np[:] = mask
+        s.value_np[:] = value
+        s.solve()  # first solve: full budget in both sessions
+
+    # small edit + re-solve
+    for s in (full, inc):
+        s.set_color_key(2)
+        s.paint(48, 40)
+        d = s.solve()
+    d_full = full.depth_image().astype(np.float32)
+    d_inc = inc.depth_image().astype(np.float32)
+    assert inc.solve_count == 2
+    rmse = float(np.sqrt(np.mean(((d_full - d_inc) / 255.0) ** 2)))
+    assert rmse < 3e-2, rmse  # visually near-indistinguishable
+    assert d_inc[40, 48] == 128.0  # new scribble pinned
+
+
+def test_residual_report():
+    rgb, mask, value = synthetic_pair(80, 96, 4)
+    s = DepthSession(rgb, DiffusionConfig(max_iterations=200))
+    s.mask_np[:] = mask
+    s.value_np[:] = value
+    s.solve()
+    rep = s.residual_report()
+    assert "L0=" in rep
+    # residuals are small after a full solve
+    vals = [float(x.split("=")[1]) for x in rep.split(":")[1].split()]
+    assert all(v < 5.0 for v in vals)
