@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -25,24 +26,38 @@ def annotation_pyr_down(
     (y,x) scans fine {2y-1,2y}x{2x-1,2x} in row-major order; any masked fine
     pixel masks the coarse pixel, and the LAST masked fine pixel in scan
     order supplies the value.
+
+    TPU-friendly formulation: the 2x2 priority select becomes a single
+    int32 ``reduce_window`` max over packed keys — strided uint8/bool slicing
+    (the naive lowering) is an order of magnitude slower on TPU.
+
+    Key packing: masked pixels carry ((rank+1) << 8) | value where rank is
+    the pixel's position priority inside its window — even row/col = written
+    later in the reference's scan = higher rank; unmasked pixels carry 0.
+    Ranks are unique within a window, so the max picks exactly the
+    last-writer-wins pixel.
     """
     oh, ow = out_shape
     h, w = mask.shape
-    # Pad one row/col on top/left so the (2y-1, 2x-1) taps are in-bounds;
-    # padded border is unmasked, so it never contributes.
-    mp = jnp.pad(mask, ((1, 1), (1, 1)))
-    vp = jnp.pad(value, ((1, 1), (1, 1)))
-    out_mask = jnp.zeros((oh, ow), dtype=bool)
-    out_val = jnp.zeros((oh, ow), dtype=jnp.uint8)
-    # Scan order (later iterations win): (-1,-1), (-1,0), (0,-1), (0,0).
-    for dy in (-1, 0):
-        for dx in (-1, 0):
-            # Fine coords 2y+dy for y in [0,oh): padded index 2y+dy+1.
-            m = mp[1 + dy : 1 + dy + 2 * oh : 2, 1 + dx : 1 + dx + 2 * ow : 2]
-            v = vp[1 + dy : 1 + dy + 2 * oh : 2, 1 + dx : 1 + dx + 2 * ow : 2]
-            out_val = jnp.where(m, v, out_val)
-            out_mask = out_mask | m
-    return out_mask, out_val
+    # rank = 2*(row is even) + (col is even): fine pixel (2y,2x) has rank 3,
+    # (2y,2x-1) -> 2, (2y-1,2x) -> 1, (2y-1,2x-1) -> 0.
+    ry = 1 - (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) & 1)
+    rx = 1 - (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) & 1)
+    rank = 2 * ry + rx
+    packed = jnp.where(
+        mask, ((rank + 1) << 8) | value.astype(jnp.int32), 0
+    )
+    # Window {2y-1, 2y} x {2x-1, 2x}: pad one row/col on top/left, then a
+    # (2,2)-stride-(2,2) max. Bottom/right padding covers odd sizes.
+    win = jax.lax.reduce_window(
+        packed,
+        jnp.int32(0),
+        jax.lax.max,
+        window_dimensions=(2, 2),
+        window_strides=(2, 2),
+        padding=((1, 2 * oh - h + 1), (1, 2 * ow - w + 1)),
+    )[:oh, :ow]
+    return win != 0, (win & 255).astype(jnp.uint8)
 
 
 def seed_depth(depth: jnp.ndarray, mask: jnp.ndarray, value: jnp.ndarray) -> jnp.ndarray:

@@ -51,6 +51,12 @@ def defocus(
     k = 0.025 * diagonal (src/GPUDepthEffect.cu:42-43); window
     [c-h, c+h-1] per axis clipped to the image; empty window passes the
     source pixel through (the count == 0 branch).
+
+    TPU formulation: per-pixel-offset SAT lookups are gathers, which are
+    slow on TPU vector hardware. Instead, the box mean is computed for every
+    *fixed* half-width value (a handful of static SAT shifts each — pure
+    vector ops) and the per-pixel result is a one-hot accumulation over those
+    candidates. k <= ~55 at 1080p, so there are at most ~28 half values.
     """
     h, w = depth.shape
     k = cfg.defocus_kernel_size(h, w)
@@ -58,27 +64,45 @@ def defocus(
         jnp.int32
     )
     half = ka // 2
+    max_half = k // 2
 
     sat = jnp.cumsum(jnp.cumsum(rgb.astype(jnp.int32), axis=0), axis=1)
-    sat = jnp.pad(sat, ((1, 0), (1, 0), (0, 0)))  # (h+1, w+1, 3), sat[0,*]=0
+    sat = jnp.pad(sat, ((1, 0), (1, 0), (0, 0)))  # (h+1, w+1, 3) exact int32
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    y0 = jnp.maximum(yy - half, 0)
-    y1 = jnp.minimum(yy + half - 1, h - 1)
-    x0 = jnp.maximum(xx - half, 0)
-    x1 = jnp.minimum(xx + half - 1, w - 1)
-    cnt = ((y1 - y0 + 1) * (x1 - x0 + 1)).astype(jnp.float32)
 
-    box = (
-        sat[y1 + 1, x1 + 1]
-        - sat[y0, x1 + 1]
-        - sat[y1 + 1, x0]
-        + sat[y0, x0]
-    ).astype(jnp.float32)
-    empty = (half == 0) | (y0 > y1) | (x0 > x1)
-    mean = (box / jnp.maximum(cnt, 1.0)[..., None]).astype(jnp.uint8)
-    return jnp.where(empty[..., None], rgb, mean)
+    def shifted(dy: int, dx: int) -> jnp.ndarray:
+        """sat[clip(y+dy, 0, h), clip(x+dx, 0, w)] as static pads+slices."""
+        s = sat
+        if dy >= 0:  # rows y+dy, clamped at h: pad bottom with edge
+            s = jnp.pad(s[dy:], ((0, dy), (0, 0), (0, 0)), mode="edge")
+        else:
+            s = jnp.pad(s[:dy], ((-dy, 0), (0, 0), (0, 0)), mode="edge")
+        if dx >= 0:
+            s = jnp.pad(s[:, dx:], ((0, 0), (0, dx), (0, 0)), mode="edge")
+        else:
+            s = jnp.pad(s[:, :dx], ((0, 0), (-dx, 0), (0, 0)), mode="edge")
+        return s[:h, :w]
+
+    out = rgb.astype(jnp.float32)  # half == 0 -> passthrough
+    for hv in range(1, max_half + 1):
+        # Window rows [y-hv, y+hv-1] clipped: SAT corners at row indices
+        # clip(y+hv, 0, h) and clip(y-hv, 0, h) (edge-padding implements the
+        # clip since SAT rows saturate at the image border).
+        br = shifted(hv, hv)
+        tr = shifted(-hv, hv)
+        bl = shifted(hv, -hv)
+        tl = shifted(-hv, -hv)
+        box = (br - tr - bl + tl).astype(jnp.float32)
+        y0 = jnp.maximum(yy - hv, 0)
+        y1 = jnp.minimum(yy + hv - 1, h - 1)
+        x0 = jnp.maximum(xx - hv, 0)
+        x1 = jnp.minimum(xx + hv - 1, w - 1)
+        cnt = ((y1 - y0 + 1) * (x1 - x0 + 1)).astype(jnp.float32)
+        mean = box / cnt[..., None]
+        out = jnp.where((half == hv)[..., None], mean, out)
+    return out.astype(jnp.uint8)
 
 
 def apply_effect(
