@@ -30,7 +30,7 @@ USAGE = (
     "Usage:\n -i input image\n -a annotated image\n --live solve every frame\n"
     " --headless run without GUI\n --solve run one solve (headless)\n"
     " --effect b|g|h artistic effect\n --save-dir DIR output directory\n"
-    " --backend xla|pallas|auto\n --solver jacobi_chebyshev|jacobi|red_black\n"
+    " --checkpoint F save full session state\n --resume F restore session state\n --backend xla|pallas|auto\n --solver jacobi_chebyshev|jacobi|red_black\n"
     " --multigrid cascadic|vcycle\n --time print timing report\n"
 )
 
@@ -44,6 +44,8 @@ class CliArgs:
     solve: bool = False
     effect: Optional[str] = None
     save_dir: Optional[str] = None
+    checkpoint: Optional[str] = None
+    resume: Optional[str] = None
     show_time: bool = False
     backend: str = "auto"
     solver: str = "jacobi_chebyshev"
@@ -80,6 +82,10 @@ def parse_args(argv: List[str]) -> CliArgs:
             a.effect = val()
         elif arg == "--save-dir":
             a.save_dir = val()
+        elif arg == "--checkpoint":
+            a.checkpoint = val()
+        elif arg == "--resume":
+            a.resume = val()
         elif arg == "--time":
             a.show_time = True
         elif arg == "--backend":
@@ -118,6 +124,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     session = DepthSession(rgb, make_config(a))
     if a.annotation:
         session.load_annotation_file(a.annotation)
+    if a.resume:
+        session.load_checkpoint(a.resume)
     if a.effect:
         session.set_effect_key(a.effect)
 
@@ -131,6 +139,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("Saving images...")
             for p in paths:
                 print(f"  {p}")
+        if a.checkpoint:
+            session.save_checkpoint(a.checkpoint)
+            print(f"Checkpoint saved: {a.checkpoint}")
         return 0
 
     from .gui import run_gui  # imports cv2 (I/O boundary)

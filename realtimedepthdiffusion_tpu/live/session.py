@@ -192,6 +192,44 @@ class DepthSession:
             imwrite(p3, art if art is not None else np.zeros_like(self.rgb_np))
         return p1, p2, p3
 
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self, path: str) -> None:
+        """Full session checkpoint: annotation planes + the warm depth-state
+        pyramid + cursor state. Superset of the reference's annotation-PNG
+        checkpoint (src/main.cpp:297-318): resuming restores not only the
+        scribbles but the converged multigrid state, so the next solve is
+        warm from the first frame."""
+        arrays = {
+            "mask": self.mask_np,
+            "value": self.value_np,
+            "scribble_color": np.int32(self.scribble_color),
+            "scribble_radius": np.int32(self.scribble_radius),
+            "effect": np.int32(self.effect),
+            "solve_count": np.int32(self.solve_count),
+        }
+        for i, d in enumerate(self.depth_state):
+            arrays[f"depth_{i}"] = np.asarray(d)
+        np.savez_compressed(path, **arrays)
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path)
+        if data["mask"].shape != (self.rows, self.cols):
+            raise ValueError(
+                f"checkpoint shape {data['mask'].shape} != image "
+                f"{(self.rows, self.cols)}"
+            )
+        self.mask_np = np.ascontiguousarray(data["mask"].astype(np.uint8))
+        self.value_np = np.ascontiguousarray(data["value"].astype(np.uint8))
+        self.scribble_color = int(data["scribble_color"])
+        self.scribble_radius = int(data["scribble_radius"])
+        self.effect = int(data["effect"])
+        self.solve_count = int(data["solve_count"])
+        self.depth_state = tuple(
+            jnp.asarray(data[f"depth_{i}"]) for i in range(len(self.depth_state))
+        )
+        self.depth0 = self.depth_state[0]
+        self.dirty = (0, 0, self.rows - 1, self.cols - 1)
+
     def residual_report(self) -> str:
         """Per-level residual norms of the current depth state."""
         res = np.asarray(

@@ -273,6 +273,13 @@ def solve_level_strips(
     k = max(int(cfg.pallas_iter_block), 1)
     gamma = float(cfg.chebyshev_gamma)
 
+    # Clamp block_h so the 6 slabs + Mosaic temporaries (~9 slab-sized
+    # buffers) stay under the 16 MiB VMEM budget.
+    pad_rows_est = -(-(k + 1) // 8) * 8
+    wp2_est = -(-(w + 2) // 128) * 128
+    max_block = (14 * 1024 * 1024) // (9 * 4 * wp2_est) - 2 * pad_rows_est
+    block_h = max(min(block_h, (max_block // 8) * 8), 8)
+
     bh, bv, inv = _pack_weights_padded(gray, depth, level, max_level, cfg)
 
     # Re-pad from the 1-px ring to a pad_rows ring (cols stay 1-px) and pad

@@ -87,3 +87,43 @@ def test_residual_report():
     # residuals are small after a full solve
     vals = [float(x.split("=")[1]) for x in rep.split(":")[1].split()]
     assert all(v < 5.0 for v in vals)
+
+
+def test_session_checkpoint_roundtrip(tmp_path):
+    rgb, mask, value = synthetic_pair(64, 80, 12)
+    s1 = DepthSession(rgb, DiffusionConfig(max_iterations=60))
+    s1.mask_np[:] = mask
+    s1.value_np[:] = value
+    s1.set_color_key(4)
+    s1.solve()
+    ckpt = str(tmp_path / "sess.npz")
+    s1.save_checkpoint(ckpt)
+
+    s2 = DepthSession(rgb, DiffusionConfig(max_iterations=60))
+    s2.load_checkpoint(ckpt)
+    assert s2.scribble_color == 254 and s2.solve_count == 1
+    assert np.array_equal(s2.mask_np, s1.mask_np)
+    # depth-state pyramid fully restored -> identical re-solve
+    d1 = s1.solve()
+    d2 = s2.solve()
+    assert np.array_equal(d1, d2)
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    from realtimedepthdiffusion_tpu.live.cli import main as cli_main
+
+    rgb, mask, value = synthetic_pair(64, 80, 13)
+    img = str(tmp_path / "i.png")
+    imwrite(img, rgb)
+    ann = str(tmp_path / "a.png")
+    save_annotation(ann, mask, value)
+    ck = str(tmp_path / "c.npz")
+    rc = cli_main(["-i", img, "-a", ann, "--headless", "--solve",
+                   "--checkpoint", ck, "--backend", "xla"])
+    assert rc == 0 and os.path.exists(ck)
+    out = str(tmp_path / "o")
+    os.makedirs(out)
+    rc = cli_main(["-i", img, "--headless", "--resume", ck, "--solve",
+                   "--save-dir", out, "--backend", "xla"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "DepthMap.png"))
