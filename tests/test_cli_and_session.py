@@ -85,3 +85,26 @@ def test_session_timing_report():
     s.solve()
     rep = s.timing_report()
     assert "Processing Time" in rep and "solve" in rep
+
+
+def test_annotation_size_mismatch_raises(tmp_path):
+    """Clean error propagation (SURVEY.md §5 failure handling): a wrong-size
+    annotation raises instead of silently corrupting state."""
+    import pytest as _pytest
+    from realtimedepthdiffusion_tpu.io import save_annotation
+
+    rgb, _, _ = synthetic_pair(70, 90, 8)
+    s = DepthSession(rgb, DiffusionConfig(max_iterations=20))
+    mask = np.zeros((30, 40), bool)
+    val = np.zeros((30, 40), np.uint8)
+    p = str(tmp_path / "wrong.png")
+    save_annotation(p, mask, val)
+    with _pytest.raises(ValueError, match="does not match image"):
+        s.load_annotation_file(p)
+
+
+def test_cli_missing_flag_value():
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="requires a value"):
+        parse_args(["-i"])
