@@ -64,39 +64,52 @@ def _pack_weights_padded(gray, depth, level, max_level, cfg):
     return pad(bh), pad(bv), pad(wts.inv_count)
 
 
-def _sweep_full(up, pp, bh, bv, inv, mask_u8, omega, gamma):
+def _sweep_full(up, pp, wl, bh, wu, bv, inv, mask_u8, a, b, c):
     """One Jacobi+Chebyshev sweep over a FULL padded block (no interior
     slicing: every op is lane/sublane-aligned; neighbor access is a hardware
     roll). Correctness at edges relies on two invariants the callers
     maintain: (1) every non-real pixel (zero ring / alignment fill) carries
     mask=1 and value 0, so it is Dirichlet-pinned and roll wraparound reads
     only pinned zeros or weight-0 contributions; (2) boundary pair weights in
-    bh/bv are zero (the reference's index-256 sentinel)."""
+    bh/bv are zero (the reference's index-256 sentinel).
+
+    wl/wu are the PRE-ROLLED weight planes (hoisted out of the sweep loop by
+    the callers); (a, b, c) = (omega*gamma, omega*(1-gamma), 1-omega) is the
+    algebraically-identical 3-FMA form of the Chebyshev update
+    omega*(gamma*(r-u)+u-p)+p (src/GPUSolver.cu:259)."""
     hh, ww = up.shape
     ul = pltpu.roll(up, 1, 1)        # value of (y, x-1)
     ur = pltpu.roll(up, ww - 1, 1)   # (y, x+1)  (negative shifts unsupported)
     uu = pltpu.roll(up, 1, 0)        # (y-1, x)
     ud = pltpu.roll(up, hh - 1, 0)   # (y+1, x)
-    wl = pltpu.roll(bh, 1, 1)        # pair weight (x-1, x)
-    wu = pltpu.roll(bv, 1, 0)        # pair weight (y-1, y)
     r = jnp.clip((wl * ul + bh * ur + wu * uu + bv * ud) * inv, 0.0, 255.0)
-    out = omega * (gamma * (r - up) + up - pp) + pp
+    out = a * r + b * up + c * pp
     return jnp.where(mask_u8 != 0, up, out), up
 
 
-def _resident_kernel(iters, gamma, om_ref, m_ref, bh_ref, bv_ref,
-                     inv_ref, u_ref, out_ref, prev_scr):
+def _abc_schedule(iters, cfg):
+    """(iters, 3) float32 [a, b, c] per sweep from the omega schedule."""
+    om = chebyshev_omegas(iters, cfg).astype(np.float32)
+    g = np.float32(cfg.chebyshev_gamma)
+    a = om * g
+    return np.stack([a, om - a, np.float32(1.0) - om], axis=1)
+
+
+def _resident_kernel(iters, om_ref, m_ref, bh_ref, bv_ref,
+                     inv_ref, u_ref, out_ref, prev_scr, wl_scr, wu_scr):
     """All `iters` sweeps with every plane VMEM-resident. u_ref is aliased to
     out_ref (so out_ref starts holding the seeded input); prev_scr is the
-    Chebyshev history scratch."""
+    Chebyshev history scratch; wl/wu are rolled once into scratch."""
     del u_ref  # aliased: out_ref already contains the input state
     prev_scr[:] = jnp.zeros_like(prev_scr)
+    wl_scr[:] = pltpu.roll(bh_ref[:], 1, 1)
+    wu_scr[:] = pltpu.roll(bv_ref[:], 1, 0)
 
     def body(i, _):
-        omega = om_ref[i, 0]
         new_u, new_prev = _sweep_full(
-            out_ref[:], prev_scr[:], bh_ref[:], bv_ref[:], inv_ref[:],
-            m_ref[:], omega, gamma,
+            out_ref[:], prev_scr[:], wl_scr[:], bh_ref[:], wu_scr[:],
+            bv_ref[:], inv_ref[:], m_ref[:],
+            om_ref[i, 0], om_ref[i, 1], om_ref[i, 2],
         )
         prev_scr[:] = new_prev
         out_ref[:] = new_u
@@ -122,11 +135,9 @@ def solve_level_resident(
     # The zero ring is Dirichlet-pinned (mask=1, value 0): roll wraparound in
     # the kernel then only ever reads pinned zeros.
     mp = jnp.pad(mask.astype(jnp.uint8), ((1, 1), (1, 1)), constant_values=1)
-    omegas = jnp.asarray(chebyshev_omegas(iters, cfg)).reshape(-1, 1)
+    omegas = jnp.asarray(_abc_schedule(iters, cfg))
 
-    kernel = functools.partial(
-        _resident_kernel, iters, float(cfg.chebyshev_gamma)
-    )
+    kernel = functools.partial(_resident_kernel, iters)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((h + 2, w + 2), jnp.float32),
@@ -139,7 +150,11 @@ def solve_level_resident(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # u (aliased to out)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((h + 2, w + 2), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, w + 2), jnp.float32),  # prev
+            pltpu.VMEM((h + 2, w + 2), jnp.float32),  # wl (rolled bh)
+            pltpu.VMEM((h + 2, w + 2), jnp.float32),  # wu (rolled bv)
+        ],
         input_output_aliases={5: 0},
         interpret=interpret,
     )(omegas, mp, bh, bv, inv, up)
@@ -151,9 +166,10 @@ def solve_level_resident(
 # ---------------------------------------------------------------------------
 
 
-def _strip_kernel(k, pad_rows, block_h, gamma, hp, w,
+def _strip_kernel(k, pad_rows, block_h, hp, w,
                   om_ref, u_hbm, prev_hbm, m_hbm, bh_hbm, bv_hbm, inv_hbm,
-                  uo_hbm, po_hbm, u_s, p_s, m_s, bh_s, bv_s, inv_s, sems):
+                  uo_hbm, po_hbm, u_s, p_s, m_s, bh_s, bv_s, inv_s,
+                  wl_s, wu_s, sems):
     """Grid step s: DMA strip rows [s*block_h, s*block_h + block_h +
     2*pad_rows) of the pad_rows-padded global arrays into VMEM, run k sweeps,
     write back the interior block_h rows of u and the Chebyshev history.
@@ -187,10 +203,13 @@ def _strip_kernel(k, pad_rows, block_h, gamma, hp, w,
     for cp in cps:
         cp.wait()
 
+    wl_s[:] = pltpu.roll(bh_s[:], 1, 1)
+    wu_s[:] = pltpu.roll(bv_s[:], 1, 0)
+
     def body(i, _):
-        omega = om_ref[i, 0]
         new_u, new_prev = _sweep_full(
-            u_s[:], p_s[:], bh_s[:], bv_s[:], inv_s[:], m_s[:], omega, gamma
+            u_s[:], p_s[:], wl_s[:], bh_s[:], wu_s[:], bv_s[:], inv_s[:],
+            m_s[:], om_ref[i, 0], om_ref[i, 1], om_ref[i, 2],
         )
         p_s[:] = new_prev
         u_s[:] = new_u
@@ -214,10 +233,10 @@ def _strip_kernel(k, pad_rows, block_h, gamma, hp, w,
     po.wait()
 
 
-def _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, gamma, interpret):
+def _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret):
     slab_h = block_h + 2 * pad_rows
     kern = functools.partial(
-        _strip_kernel, k, pad_rows, block_h, gamma, hp, wp2 - 2
+        _strip_kernel, k, pad_rows, block_h, hp, wp2 - 2
     )
     return pl.pallas_call(
         kern,
@@ -246,6 +265,8 @@ def _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, gamma, interpret):
             pltpu.VMEM((slab_h, wp2), jnp.float32),  # bh slab
             pltpu.VMEM((slab_h, wp2), jnp.float32),  # bv slab
             pltpu.VMEM((slab_h, wp2), jnp.float32),  # inv slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # wl slab (rolled bh)
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # wu slab (rolled bv)
             pltpu.SemaphoreType.DMA((8,)),
         ],
         # NOTE: deliberately NO input/output aliasing — strip s+1's input
@@ -271,13 +292,12 @@ def solve_level_strips(
     """Strip-blocked solve: ceil(iters/k) launches of k fused sweeps."""
     h, w = depth.shape
     k = max(int(cfg.pallas_iter_block), 1)
-    gamma = float(cfg.chebyshev_gamma)
 
-    # Clamp block_h so the 6 slabs + Mosaic temporaries (~9 slab-sized
+    # Clamp block_h so the 8 slabs + Mosaic temporaries (~11 slab-sized
     # buffers) stay under the 16 MiB VMEM budget.
     pad_rows_est = -(-(k + 1) // 8) * 8
     wp2_est = -(-(w + 2) // 128) * 128
-    max_block = (14 * 1024 * 1024) // (9 * 4 * wp2_est) - 2 * pad_rows_est
+    max_block = (14 * 1024 * 1024) // (11 * 4 * wp2_est) - 2 * pad_rows_est
     block_h = max(min(block_h, (max_block // 8) * 8), 8)
 
     bh, bv, inv = _pack_weights_padded(gray, depth, level, max_level, cfg)
@@ -306,7 +326,7 @@ def solve_level_strips(
     inv = repad(inv)
     prev = jnp.zeros_like(u)
 
-    omegas = np.asarray(chebyshev_omegas(iters, cfg))
+    omegas = _abc_schedule(iters, cfg)
     n_full, rem = divmod(iters, k)
 
     def fix_halo(a):
@@ -315,16 +335,16 @@ def solve_level_strips(
         a = a.at[:pad_rows, :].set(0.0)
         return a.at[hp - pad_rows :, :].set(0.0)
 
-    call_k = _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, gamma, interpret)
+    call_k = _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret)
     for blk in range(n_full):
-        om = jnp.asarray(omegas[blk * k : (blk + 1) * k]).reshape(-1, 1)
+        om = jnp.asarray(omegas[blk * k : (blk + 1) * k])
         u, prev = call_k(om, u, prev, m, bh, bv, inv)
         u, prev = fix_halo(u), fix_halo(prev)
     if rem:
         # Remainder block needs an exact rem-length schedule (omega-0 padding
         # would corrupt the Chebyshev history).
-        call_r = _strips_call(hp, wp2, rem, pad_rows, n_strips, block_h, gamma, interpret)
-        om = jnp.asarray(omegas[n_full * k :]).reshape(-1, 1)
+        call_r = _strips_call(hp, wp2, rem, pad_rows, n_strips, block_h, interpret)
+        om = jnp.asarray(omegas[n_full * k :])
         u, prev = call_r(om, u, prev, m, bh, bv, inv)
     return u[pad_rows : pad_rows + h, 1 : w + 1]
 
