@@ -50,3 +50,31 @@ def test_effects_on_solved_depth(solved):
     for eff in (effects.EFFECT_DEFOCUS, effects.EFFECT_DESATURATION, effects.EFFECT_HAZE):
         out = np.asarray(pipe.effect(eff, rgb_d, gpyr[0], d))
         assert out.shape == rgb.shape and out.dtype == np.uint8
+
+
+@pytest.mark.parametrize("name", ["Arara", "Flower", "StreetArt"])
+def test_more_dataset_pairs_light(name):
+    """Broader dataset sweep at a reduced iteration budget: JAX vs oracle
+    RMSE parity + scribble pinning on three more golden pairs."""
+    import os
+
+    img = f"/root/reference/dataset/images/{name}.jpg"
+    ann = f"/root/reference/dataset/annotations/{name}.png"
+    if not (os.path.exists(img) and os.path.exists(ann)):
+        pytest.skip("reference dataset not mounted")
+    from realtimedepthdiffusion_tpu.io import imread_rgb, load_annotation
+
+    rgb = imread_rgb(img)
+    mask, value = load_annotation(ann)
+    cfg = DiffusionConfig(max_iterations=120)
+    gray = oracle.rgb_to_gray(rgb)
+    want, _ = oracle.solve_pyramid(gray, mask, value, None, cfg)
+
+    h, w = rgb.shape[:2]
+    pipe = DepthPipeline(h, w, cfg)
+    _, gpyr = pipe.prepare_image(rgb)
+    depth, _ = pipe.solve(gpyr, jnp.asarray(mask), jnp.asarray(value), pipe.initial_state())
+    depth = np.asarray(depth)
+    rmse = float(np.sqrt(np.mean(((depth - want) / 255.0) ** 2)))
+    assert rmse <= 1e-3, (name, rmse)
+    assert np.array_equal(depth[mask], value[mask].astype(np.float32))
