@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import DiffusionConfig
@@ -118,10 +119,21 @@ def solve_cascade(
 
 
 def _restrict(r: jnp.ndarray, out_shape: Tuple[int, int]) -> jnp.ndarray:
-    """2x2 full-weighting restriction to floor-size coarse grid."""
+    """2x2 full-weighting restriction to floor-size coarse grid.
+
+    Implemented as a reduce_window mean: stride-2 slicing lowers to
+    pathologically slow strided vector loads on TPU (~20 ms at 1080p vs
+    ~0.1 ms for the windowed reduction)."""
     oh, ow = out_shape
-    r = r[: 2 * oh, : 2 * ow]
-    return 0.25 * (r[0::2, 0::2] + r[0::2, 1::2] + r[1::2, 0::2] + r[1::2, 1::2])
+    s = jax.lax.reduce_window(
+        r[: 2 * oh, : 2 * ow],
+        jnp.float32(0.0),
+        jax.lax.add,
+        window_dimensions=(2, 2),
+        window_strides=(2, 2),
+        padding="VALID",
+    )
+    return 0.25 * s
 
 
 def _smooth_error(e, rhs, mask, wts, sweeps):
