@@ -369,3 +369,69 @@ def solve_level_pallas(
     return solve_level_strips(
         depth, mask, gray, level, max_level, iters, cfg, interpret=interpret
     )
+
+
+# ---------------------------------------------------------------------------
+# Halo-block kernel: k sweeps on an already-halo-extended local block
+# (the multi-chip inner loop — parallel/sharded.py extends each chip's block
+# with a k-wide ppermute halo, then runs the k local sweeps here)
+# ---------------------------------------------------------------------------
+
+
+def _halo_block_kernel(k, om_ref, m_ref, bh_ref, bv_ref, inv_ref,
+                       u_ref, p_ref, uo_ref, po_ref, wl_scr, wu_scr):
+    """k sweeps over a whole extended block resident in VMEM. u/p are
+    aliased to uo/po, so the outputs start holding the inputs."""
+    del u_ref, p_ref  # aliased into uo_ref/po_ref
+    wl_scr[:] = pltpu.roll(bh_ref[:], 1, 1)
+    wu_scr[:] = pltpu.roll(bv_ref[:], 1, 0)
+
+    def body(i, _):
+        new_u, new_prev = _sweep_full(
+            uo_ref[:], po_ref[:], wl_scr[:], bh_ref[:], wu_scr[:],
+            bv_ref[:], inv_ref[:], m_ref[:],
+            om_ref[i, 0], om_ref[i, 1], om_ref[i, 2],
+        )
+        po_ref[:] = new_prev
+        uo_ref[:] = new_u
+        return 0
+
+    lax.fori_loop(0, k, body, 0, unroll=False)
+
+
+def halo_block_sweeps(u_e, p_e, bh_e, bv_e, inv_e, m_e, abc, interpret=False):
+    """Run abc.shape[0] Jacobi+Chebyshev sweeps on a halo-extended block.
+
+    All arrays share the extended shape; the caller guarantees halo width >=
+    number of sweeps (validity shrinks one ring per sweep) and crops
+    afterwards. Returns (u, prev) after the sweeps.
+    """
+    k = abc.shape[0]
+    shp = u_e.shape
+    kern = functools.partial(_halo_block_kernel, k)
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct(shp, jnp.float32),
+            jax.ShapeDtypeStruct(shp, jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # abc (k, 3)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # inv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prev
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(shp, jnp.float32),  # wl
+            pltpu.VMEM(shp, jnp.float32),  # wu
+        ],
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+    )(abc, m_e.astype(jnp.uint8), bh_e, bv_e, inv_e, u_e, p_e)

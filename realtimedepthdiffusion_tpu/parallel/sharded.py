@@ -30,8 +30,7 @@ from ..config import DiffusionConfig
 from ..core import effects as fx
 from ..core.annotation import annotation_pyr_down, seed_depth
 from ..core.pyramid import pyr_up
-from ..core.solver import chebyshev_omegas, jacobi_sweep
-from ..core.weights import EdgeWeights, edge_weights
+from ..core.weights import edge_weights
 from .halo import crop_halo, extend_with_halo
 
 # Halo width == sweeps between exchanges.
@@ -42,45 +41,90 @@ def _pad_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def _use_pallas(cfg: DiffusionConfig) -> str:
+    """'pallas' | 'pallas_interpret' | 'jnp' for the in-shard sweep blocks."""
+    if cfg.backend == "pallas_interpret":
+        return "pallas_interpret"
+    if cfg.backend in ("pallas", "auto") and cfg.solver == "jacobi_chebyshev":
+        from ..ops.dispatch import _is_tpu
+
+        if cfg.backend == "pallas" or _is_tpu():
+            return "pallas"
+    return "jnp"
+
+
 def _sharded_level_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig):
     """Build the shard_map'd fixed-iteration solver for one level geometry.
 
     Expects globally padded (H,W) arrays whose dims divide (dy,dx); pad
-    pixels must be masked (Dirichlet 0) and carry zero weights.
+    pixels must be masked (Dirichlet 0) and carry zero weights. Each k-sweep
+    block between halo exchanges runs as ONE Pallas VMEM kernel on TPU (the
+    multi-chip composition of the single-chip iteration blocking), or as an
+    equivalent jnp roll-based loop elsewhere.
     """
-    gamma = jnp.float32(cfg.chebyshev_gamma)
-    omegas = np.asarray(chebyshev_omegas(iters, cfg))
-    n_full, rem = divmod(iters, k)
+    from ..ops.pallas_sweep import _abc_schedule, halo_block_sweeps
 
-    def local(u, prev, wl, wr, wu, wd, inv, m):
+    abc_all = _abc_schedule(iters, cfg)
+    n_full, rem = divmod(iters, k)
+    mode = _use_pallas(cfg)
+
+    def jnp_block(u_e, p_e, bh_e, bv_e, inv_e, m_e, abc):
+        """jnp twin of the Pallas halo-block kernel (roll wraparound only
+        corrupts the block edge ring, absorbed by the k-wide halo)."""
+        wl_e = jnp.roll(bh_e, 1, 1)
+        wu_e = jnp.roll(bv_e, 1, 0)
+        for j in range(abc.shape[0]):
+            a, b, c = (jnp.float32(abc[j, t]) for t in range(3))
+            r = jnp.clip(
+                (
+                    wl_e * jnp.roll(u_e, 1, 1)
+                    + bh_e * jnp.roll(u_e, -1, 1)
+                    + wu_e * jnp.roll(u_e, 1, 0)
+                    + bv_e * jnp.roll(u_e, -1, 0)
+                )
+                * inv_e,
+                0.0,
+                255.0,
+            )
+            out = a * r + b * u_e + c * p_e
+            u_e, p_e = jnp.where(m_e, u_e, out), u_e
+        return u_e, p_e
+
+    def local(u, prev, bh, bv, inv, m):
         # One-time k-halo extension of the loop invariants.
         ext = lambda a: extend_with_halo(a, k)
-        wts_e = EdgeWeights(ext(wl), ext(wr), ext(wu), ext(wd), ext(inv))
+        bh_e, bv_e, inv_e = ext(bh), ext(bv), ext(inv)
         m_e = ext(m)
 
-        def sweeps(u_c, p_c, oms):
-            """oms: static tuple of omega values; one halo exchange, then
-            len(oms) local sweeps on the extended block (validity shrinks one
-            ring per sweep; the interior crop is exact)."""
+        def sweeps(u_c, p_c, abc):
+            """One halo exchange, then abc.shape[0] <= k local sweeps on the
+            extended block (validity shrinks one ring per sweep; the interior
+            crop is exact)."""
             u_e, p_e = ext(u_c), ext(p_c)
-            for om in oms:
-                r = jacobi_sweep(u_e, wts_e)
-                out = jnp.float32(om) * (gamma * (r - u_e) + u_e - p_e) + p_e
-                u_e, p_e = jnp.where(m_e, u_e, out), u_e
+            if mode == "jnp":
+                u_e, p_e = jnp_block(u_e, p_e, bh_e, bv_e, inv_e, m_e, abc)
+            else:
+                u_e, p_e = halo_block_sweeps(
+                    u_e, p_e, bh_e, bv_e, inv_e, m_e, jnp.asarray(abc),
+                    interpret=(mode == "pallas_interpret"),
+                )
             return crop_halo(u_e, k), crop_halo(p_e, k)
 
         for blk in range(n_full):
-            u, prev = sweeps(u, prev, tuple(omegas[blk * k : (blk + 1) * k]))
+            u, prev = sweeps(u, prev, abc_all[blk * k : (blk + 1) * k])
         if rem:
-            u, prev = sweeps(u, prev, tuple(omegas[n_full * k :]))
+            u, prev = sweeps(u, prev, abc_all[n_full * k :])
         return u
 
     spec = P("dy", "dx")
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec,) * 8,
+        in_specs=(spec,) * 6,
         out_specs=spec,
+        # pallas_call's ShapeDtypeStruct outputs carry no varying-mesh-axes
+        # annotation; skip the checker (all outputs vary over dy/dx).
+        check_vma=False,
     )
 
 
@@ -107,7 +151,8 @@ def solve_level_sharded(
     )
     u = pad(depth.astype(jnp.float32), 0.0)
     m = pad(mask, True)  # pad pixels are Dirichlet-pinned at 0
-    planes = [pad(p, 0.0) for p in (wts.wl, wts.wr, wts.wu, wts.wd, wts.inv_count)]
+    # Packed symmetric planes: bh = pair weight (x,x+1) = wr; bv = wd.
+    planes = [pad(p, 0.0) for p in (wts.wr, wts.wd, wts.inv_count)]
     prev = jnp.zeros_like(u)
 
     fn = _sharded_level_fn(mesh, halo, iters, cfg)

@@ -112,3 +112,23 @@ def test_batched_step_runs_and_pins_scribbles():
     d = np.asarray(depth)
     assert d[0, 16, 16] == 254.0  # the painted near scribble is pinned
     assert len(state) == cfg.num_levels(64, 64)
+
+
+def test_sharded_level_pallas_interpret(rng):
+    """The multi-chip halo-block path through the Pallas kernel (interpret
+    mode on the CPU mesh) matches the jnp in-shard path."""
+    mesh = make_mesh(8)
+    h, w = 64, 96
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    mask = rng.random((h, w)) < 0.06
+    val = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    depth = oracle.seed_depth(np.full((h, w), 255.0, np.float32), mask, val)
+    args = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray))
+
+    cfg_j = DiffusionConfig(backend="xla")
+    cfg_p = DiffusionConfig(backend="pallas_interpret")
+    got_j = np.asarray(sharded.solve_level_sharded(*args, 1, 1, 13, mesh, cfg_j, halo=4))
+    got_p = np.asarray(sharded.solve_level_sharded(*args, 1, 1, 13, mesh, cfg_p, halo=4))
+    np.testing.assert_allclose(got_p, got_j, atol=5e-3)
+    single = np.asarray(solver.solve_level(*args, 1, 1, 13, cfg_j))
+    assert np.sqrt(np.mean(((got_p - single) / 255.0) ** 2)) < 1e-4
