@@ -65,6 +65,10 @@ class DiffusionConfig:
     # --- Multigrid scheme: "cascadic" (reference one-way coarse-to-fine) or
     #     "vcycle" (full V-cycle, BASELINE.json config #4) ---
     multigrid: str = "cascadic"
+    # Fraction of max_iterations used by the cascadic warm start before the
+    # V-cycles (1.0 = full cascade + polishing cycles; lower values shift
+    # work from the cascade onto the cycles).
+    vcycle_warm_fraction: float = 1.0
     vcycle_pre_smooth: int = 8
     vcycle_post_smooth: int = 8
     vcycle_coarse_iters: int = 200

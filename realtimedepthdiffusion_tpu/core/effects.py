@@ -6,7 +6,8 @@ TPU-native rebuild of GPUDepthEffect.cu:
 - defocus/refocus (src/GPUDepthEffect.cu:29-72): depth-proportional box blur.
   The reference's kernel is a naive O(W*H*k^2) gather (its slowest kernel,
   SURVEY.md §3.4); here it is O(W*H) via an exact integer summed-area table
-  (two cumsums + four gathers), identical output up to f32 division rounding.
+  with gather-free fixed-offset box candidates, identical output up to f32
+  division rounding.
 
 All three share one fused entry point (``apply_effect``) so solve+effect can
 compile into a single program (the BASELINE.json north-star fusion).
@@ -63,8 +64,10 @@ def defocus(
     ka = (jnp.float32(k) * jnp.maximum(depth.astype(jnp.float32), 0.0) / 255.0).astype(
         jnp.int32
     )
-    half = ka // 2
     max_half = k // 2
+    # Out-of-range depth (>255, possible on unclipped solver output) maps to
+    # the maximal window rather than silently matching no candidate.
+    half = jnp.minimum(ka // 2, max_half)
 
     sat = jnp.cumsum(jnp.cumsum(rgb.astype(jnp.int32), axis=0), axis=1)
     sat = jnp.pad(sat, ((1, 0), (1, 0), (0, 0)))  # (h+1, w+1, 3) exact int32

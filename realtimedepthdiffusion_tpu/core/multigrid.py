@@ -170,8 +170,14 @@ def solve_vcycle(
         masks.append(m)
         values.append(v)
 
-    # Cascadic warm start with a reduced budget to get near the solution.
-    warm_cfg = cfg
+    # Cascadic warm start at cfg.vcycle_warm_fraction of the iteration
+    # budget; the V-cycles then polish (default: full cascade + cycles).
+    import dataclasses
+
+    warm_iters = max(
+        int(cfg.max_iterations * cfg.vcycle_warm_fraction), 4 * cfg.chebyshev_s
+    )
+    warm_cfg = dataclasses.replace(cfg, max_iterations=warm_iters)
     _, state = solve_cascade(gray_pyr, mask0, value0, depth_state, warm_cfg)
     u = state[0]
 

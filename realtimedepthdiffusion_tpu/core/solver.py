@@ -198,8 +198,10 @@ def solve_red_black(
 
     def body(state):
         u, i, _ = state
-        u = jax.lax.fori_loop(0, chunk, lambda k, v: one_iter(v), u)
-        return u, i + chunk, residual_norm(u, mask, wts)
+        # Never exceed the iteration cap: the final chunk is truncated.
+        n = jnp.minimum(jnp.int32(chunk), jnp.int32(iters) - i)
+        u = jax.lax.fori_loop(0, n, lambda k, v: one_iter(v), u)
+        return u, i + n, residual_norm(u, mask, wts)
 
     u, _, _ = jax.lax.while_loop(cond, body, (u0, jnp.int32(0), jnp.float32(jnp.inf)))
     return u

@@ -41,7 +41,10 @@ def _pad_edge_pairs(bh: jnp.ndarray, bv: jnp.ndarray, h: int, w: int) -> EdgeWei
     wu = jnp.concatenate([zr, bv], axis=0)
     wd = jnp.concatenate([bv, zr], axis=0)
     count = wl + wr + wu + wd
-    inv_count = jnp.where(count > 0, 1.0 / count, 0.0).astype(jnp.float32)
+    # Subnormal sums (all 4 neighbors across extreme edges: count ~ 4e-44)
+    # would overflow 1/count to inf; treat them as isolated pixels, matching
+    # the reference GPU's flush-to-zero arithmetic for the same case.
+    inv_count = jnp.where(count > 1e-30, 1.0 / count, 0.0).astype(jnp.float32)
     return EdgeWeights(wl, wr, wu, wd, inv_count)
 
 

@@ -64,17 +64,17 @@ def run_gui(session: DepthSession, live: bool = False) -> int:
 
         if ch.isdigit():
             session.set_color_key(int(ch))
-        elif ch in "bBgGhH":
+        elif ch and ch in "bBgGhH":
             session.set_effect_key(ch)
             session.render_effect()
-        elif ch in "dD" or live:
+        elif (ch and ch in "dD") or live:
+            # solve() already renders the active effect through the fused
+            # solve+effect program; no second render needed.
             session.solve()
-            if session.effect:
-                session.render_effect()
-        elif ch in "sS":
+        elif ch and ch in "sS":
             session.save(".")
             print("Saving images...")
-        elif ch in "tT":
+        elif ch and ch in "tT":
             print(session.timing_report())
         elif ch == "-":
             session.adjust_radius(-2)

@@ -54,6 +54,8 @@ class DepthSession:
         self.mask_np = np.zeros((self.rows, self.cols), dtype=np.uint8)
         self.value_np = np.zeros((self.rows, self.cols), dtype=np.uint8)
         self.dirty: Optional[Tuple[int, int, int, int]] = None
+        self._mask_d: Optional[jnp.ndarray] = None  # device annotation cache
+        self._value_d: Optional[jnp.ndarray] = None
         self.depth_state = self.pipe.initial_state()
         self.depth0 = self.depth_state[0]
         self.artistic: Optional[jnp.ndarray] = None
@@ -124,8 +126,14 @@ class DepthSession:
         if self._inc_pipe is not None and self.solve_count > 0:
             pipe = self._inc_pipe
         with self.timer.stage("upload"):
-            mask_d = jnp.asarray(self.mask_np.astype(bool))
-            value_d = jnp.asarray(self.value_np)
+            # The dirty rect gates the host->device annotation upload: under
+            # --live the solve runs every frame, but unchanged annotations
+            # (dirty is None after the previous solve) reuse the device
+            # copies instead of re-transferring two full planes.
+            if self.dirty is not None or self._mask_d is None:
+                self._mask_d = jnp.asarray(self.mask_np.astype(bool))
+                self._value_d = jnp.asarray(self.value_np)
+            mask_d, value_d = self._mask_d, self._value_d
             self.dirty = None
         with self.timer.stage("solve"):
             if self.effect == fx.EFFECT_NONE:

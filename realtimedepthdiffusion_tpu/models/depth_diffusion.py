@@ -58,12 +58,15 @@ class DepthDiffusionModel:
     def solve_with_state(self, rgb, mask, value, depth_state=None):
         h, w = rgb.shape[:2]
         pipe = self._pipe(h, w)
-        key = id(rgb) if isinstance(rgb, np.ndarray) else None
-        prepared = self._cache.get(key)
-        if prepared is None:
+        # Cache the latest prepared image; the cache RETAINS the source array
+        # and matches by identity, so a recycled id() can never alias a
+        # different image.
+        cached = self._cache.get("img")
+        if cached is not None and cached[0] is rgb:
+            prepared = cached[1]
+        else:
             prepared = pipe.prepare_image(np.asarray(rgb, dtype=np.uint8))
-            if key is not None:
-                self._cache = {key: prepared}  # cache the latest image only
+            self._cache = {"img": (rgb, prepared)}
         _, gpyr = prepared
         if depth_state is None:
             depth_state = pipe.initial_state()

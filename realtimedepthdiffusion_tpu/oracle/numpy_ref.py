@@ -297,7 +297,8 @@ def solve_level(
     """
     wl, wr, wu, wd = edge_weights(gray, depth, level, max_level, cfg)
     count = wl + wr + wu + wd
-    inv_count = np.where(count > 0, F32(1.0) / count, F32(0.0)).astype(F32)
+    # count > 1e-30: subnormal sums flush to "isolated" (see core/weights.py)
+    inv_count = np.where(count > F32(1e-30), F32(1.0) / count, F32(0.0)).astype(F32)
     gamma = F32(cfg.chebyshev_gamma)
     omegas = chebyshev_omegas(iters, cfg)
 
@@ -324,7 +325,7 @@ def solve_level_red_black(
     the framework's extended solver."""
     wl, wr, wu, wd = edge_weights(gray, depth, level, max_level, cfg)
     count = wl + wr + wu + wd
-    inv_count = np.where(count > 0, F32(1.0) / count, F32(0.0)).astype(F32)
+    inv_count = np.where(count > F32(1e-30), F32(1.0) / count, F32(0.0)).astype(F32)
     h, w = depth.shape
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     red = ((yy + xx) % 2) == 0

@@ -53,7 +53,12 @@ class DepthPipeline:
 
         def _solve_and_effect(effect, gray_pyr, rgb, mask0, value0, depth_state):
             depth0, state = driver(gray_pyr, mask0, value0, depth_state, cfg)
-            out = fx.apply_effect(effect, rgb, gray_pyr[0], depth0, cfg)
+            # Effects consume display-range depth (the unclamped Chebyshev
+            # extrapolation can overshoot [0,255] slightly) — same clip as
+            # every unfused call site.
+            out = fx.apply_effect(
+                effect, rgb, gray_pyr[0], jnp.clip(depth0, 0.0, 255.0), cfg
+            )
             return depth0, state, out
 
         self._solve_and_effect = jax.jit(

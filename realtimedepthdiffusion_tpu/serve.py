@@ -69,7 +69,9 @@ def solve_pairs(
         h, w = rgb.shape[:2]
         if mask.shape != (h, w):
             raise ValueError(f"{ann_path}: shape {mask.shape} != image {(h, w)}")
-        pipe = pipes.setdefault((h, w), DepthPipeline(h, w, cfg))
+        if (h, w) not in pipes:
+            pipes[(h, w)] = DepthPipeline(h, w, cfg)
+        pipe = pipes[(h, w)]
         rgb_d, gpyr = pipe.prepare_image(rgb)
         state = pipe.initial_state()
         mask_d, value_d = jnp.asarray(mask), jnp.asarray(value)
