@@ -16,6 +16,41 @@ from __future__ import annotations
 from .session import DepthSession
 
 
+def handle_key(session: DepthSession, key: int, live: bool = False) -> bool:
+    """Apply one key event (the reference's key contract,
+    src/main.cpp:180-334) to the session; returns True when the loop should
+    exit (Esc). Pure session logic — extracted from the cv2 loop so the
+    state machine is unit-testable without a display.
+
+    Returns True to quit. ``key`` is the raw waitKey byte (-1/255 = none).
+    """
+    if key == 27:  # Esc
+        return True
+    ch = chr(key) if 32 <= key < 127 else ""
+
+    if ch.isdigit():
+        session.set_color_key(int(ch))
+    elif ch and ch in "bBgGhH":
+        session.set_effect_key(ch)
+        session.render_effect()
+    elif (ch and ch in "dD") or live:
+        # solve() already renders the active effect through the fused
+        # solve+effect program; no second render needed.
+        session.solve()
+    elif ch and ch in "sS":
+        session.save(".")
+        print("Saving images...")
+    elif ch and ch in "tT":
+        print(session.timing_report())
+    elif ch == "-":
+        session.adjust_radius(-2)
+        print(f"Scribble Radius: {session.scribble_radius}")
+    elif ch == "+":
+        session.adjust_radius(+2)
+        print(f"Scribble Radius: {session.scribble_radius}")
+    return False
+
+
 def run_gui(session: DepthSession, live: bool = False) -> int:
     import cv2  # I/O boundary import
 
@@ -58,30 +93,8 @@ def run_gui(session: DepthSession, live: bool = False) -> int:
             cv2.imshow("Artistic Image", bgr(np.asarray(session.artistic)))
 
         key = cv2.waitKey(33) & 0xFF
-        if key == 27:  # Esc
+        if handle_key(session, key, live):
             break
-        ch = chr(key) if 32 <= key < 127 else ""
-
-        if ch.isdigit():
-            session.set_color_key(int(ch))
-        elif ch and ch in "bBgGhH":
-            session.set_effect_key(ch)
-            session.render_effect()
-        elif (ch and ch in "dD") or live:
-            # solve() already renders the active effect through the fused
-            # solve+effect program; no second render needed.
-            session.solve()
-        elif ch and ch in "sS":
-            session.save(".")
-            print("Saving images...")
-        elif ch and ch in "tT":
-            print(session.timing_report())
-        elif ch == "-":
-            session.adjust_radius(-2)
-            print(f"Scribble Radius: {session.scribble_radius}")
-        elif ch == "+":
-            session.adjust_radius(+2)
-            print(f"Scribble Radius: {session.scribble_radius}")
 
     events.close()
     cv2.destroyAllWindows()

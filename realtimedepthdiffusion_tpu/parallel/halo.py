@@ -28,8 +28,10 @@ def _perm(n: int, up: bool):
 
 def extend_with_halo(x: jnp.ndarray, k: int, axis_y: str = "dy", axis_x: str = "dx") -> jnp.ndarray:
     """Inside shard_map: return the local block extended by a k-wide halo of
-    neighbor data on all four sides (corners zero — unused by 5-point
-    stencils within k sweeps). Must be called inside shard_map over
+    neighbor data on all four sides. The two-stage exchange (rows first, then
+    columns of the row-extended block) also carries true diagonal-neighbor
+    data into the corners — more than a 5-point stencil strictly needs within
+    k sweeps, but exact. Must be called inside shard_map over
     (axis_y, axis_x)."""
     ny = lax.axis_size(axis_y)
     nx = lax.axis_size(axis_x)

@@ -108,3 +108,37 @@ def test_cli_missing_flag_value():
 
     with _pytest.raises(SystemExit, match="requires a value"):
         parse_args(["-i"])
+
+
+def test_gui_key_state_machine():
+    """The GUI key contract as a displayless state machine (the reference's
+    src/main.cpp:180-334 bindings), including the idle-frame/live semantics."""
+    from realtimedepthdiffusion_tpu.core import effects as fx
+    from realtimedepthdiffusion_tpu.live.gui import handle_key
+
+    rgb, _, _ = synthetic_pair(64, 64, 3)
+    s = DepthSession(rgb, DiffusionConfig(max_iterations=20))
+
+    assert handle_key(s, 27) is True  # Esc quits
+    assert handle_key(s, 255) is False  # idle frame: no-op, no solve
+    assert s.solve_count == 0
+
+    handle_key(s, ord("3"))
+    assert s.scribble_color == 192
+    handle_key(s, ord("+"))
+    r = s.scribble_radius
+    handle_key(s, ord("-"))
+    assert s.scribble_radius == r - 2
+
+    s.paint(32, 32)
+    handle_key(s, ord("d"))
+    assert s.solve_count == 1  # 'd' solves
+
+    handle_key(s, ord("h"))
+    assert s.effect == fx.EFFECT_HAZE and s.artistic is not None
+    handle_key(s, ord("b"))
+    assert s.effect == fx.EFFECT_DEFOCUS  # sticky, mutually exclusive
+
+    # idle frame under --live solves every tick
+    assert handle_key(s, 255, live=True) is False
+    assert s.solve_count == 2
