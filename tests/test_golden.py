@@ -78,3 +78,21 @@ def test_more_dataset_pairs_light(name):
     rmse = float(np.sqrt(np.mean(((depth - want) / 255.0) ** 2)))
     assert rmse <= 1e-3, (name, rmse)
     assert np.array_equal(depth[mask], value[mask].astype(np.float32))
+
+
+def test_golden_fingerprint_stability(solved):
+    """Stored 32x32 mean-pooled fingerprint of the default-config Dog solve:
+    catches silent co-drift of implementation AND oracle (which a relative
+    comparison cannot see). Regenerate deliberately if semantics change:
+    see tests/golden/."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "dog_fingerprint.npz")
+    rgb, mask, value, cfg, pipe, _, _, depth = solved
+    data = np.load(path)
+    h, w = rgb.shape[:2]
+    if not np.array_equal(data["shape"], [h, w]):
+        pytest.skip("fingerprint was built for a different dataset variant")
+    fh, fw = h // 32, w // 32
+    fp = depth[: fh * 32, : fw * 32].reshape(32, fh, 32, fw).mean(axis=(1, 3))
+    np.testing.assert_allclose(fp, data["fingerprint"], atol=1.0)
