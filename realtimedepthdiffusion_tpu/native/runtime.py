@@ -177,8 +177,10 @@ class EventQueue:
 
     def __init__(self, capacity: int = 1024) -> None:
         self.lib = get_lib()
+        self._closed = False
         if self.lib is not None:
             self._q = self.lib.rtdd_queue_create(capacity)
+            self._deque = None
         else:
             import collections
 
@@ -186,12 +188,18 @@ class EventQueue:
             self._deque = collections.deque(maxlen=capacity)
 
     def push(self, kind: int, a: int = 0, b: int = 0, c: int = 0) -> bool:
+        # After close() events are dropped (the GUI's mouse-callback thread
+        # can still fire during shutdown).
+        if self._closed:
+            return False
         if self._q is not None:
             return bool(self.lib.rtdd_queue_push(self._q, kind, a, b, c))
         self._deque.append((kind, a, b, c))
         return True
 
     def pop(self):
+        if self._closed:
+            return None
         if self._q is not None:
             out = (ctypes.c_int32 * 4)()
             if self.lib.rtdd_queue_pop(self._q, out):
@@ -203,11 +211,14 @@ class EventQueue:
             return None
 
     def __len__(self) -> int:
+        if self._closed:
+            return 0
         if self._q is not None:
             return self.lib.rtdd_queue_size(self._q)
         return len(self._deque)
 
     def close(self) -> None:
+        self._closed = True
         if self._q is not None:
             self.lib.rtdd_queue_destroy(self._q)
             self._q = None

@@ -23,6 +23,7 @@ from ..config import DiffusionConfig
 from ..core import solver as _xla_solver
 
 _TPU_PLATFORMS = ("tpu", "axon")
+VALID_BACKENDS = ("auto", "xla", "pallas", "pallas_interpret")
 
 
 def _is_tpu() -> bool:
@@ -34,6 +35,10 @@ def _is_tpu() -> bool:
 
 def solve_level(depth, mask, gray, level, max_level, iters, cfg: DiffusionConfig):
     """Per-level solve routed to the configured backend."""
+    if cfg.backend not in VALID_BACKENDS:
+        raise ValueError(
+            f"unknown backend {cfg.backend!r}; expected one of {VALID_BACKENDS}"
+        )
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if (_is_tpu() and cfg.solver == "jacobi_chebyshev") else "xla"

@@ -166,7 +166,7 @@ def solve_level_resident(
 # ---------------------------------------------------------------------------
 
 
-def _strip_kernel(k, pad_rows, block_h, hp, w,
+def _strip_kernel(k, pad_rows, block_h,
                   om_ref, u_hbm, prev_hbm, m_hbm, bh_hbm, bv_hbm, inv_hbm,
                   uo_hbm, po_hbm, u_s, p_s, m_s, bh_s, bv_s, inv_s,
                   wl_s, wu_s, sems):
@@ -235,9 +235,7 @@ def _strip_kernel(k, pad_rows, block_h, hp, w,
 
 def _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret):
     slab_h = block_h + 2 * pad_rows
-    kern = functools.partial(
-        _strip_kernel, k, pad_rows, block_h, hp, wp2 - 2
-    )
+    kern = functools.partial(_strip_kernel, k, pad_rows, block_h)
     return pl.pallas_call(
         kern,
         grid=(n_strips,),
@@ -247,16 +245,16 @@ def _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret):
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (k, 1)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # u
-            pl.BlockSpec(memory_space=pltpu.ANY),  # prev
-            pl.BlockSpec(memory_space=pltpu.ANY),  # mask
-            pl.BlockSpec(memory_space=pltpu.ANY),  # bh
-            pl.BlockSpec(memory_space=pltpu.ANY),  # bv
-            pl.BlockSpec(memory_space=pltpu.ANY),  # inv
+            pl.BlockSpec(memory_space=pl.ANY),  # u
+            pl.BlockSpec(memory_space=pl.ANY),  # prev
+            pl.BlockSpec(memory_space=pl.ANY),  # mask
+            pl.BlockSpec(memory_space=pl.ANY),  # bh
+            pl.BlockSpec(memory_space=pl.ANY),  # bv
+            pl.BlockSpec(memory_space=pl.ANY),  # inv
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((slab_h, wp2), jnp.float32),  # u slab
@@ -293,24 +291,22 @@ def solve_level_strips(
     h, w = depth.shape
     k = max(int(cfg.pallas_iter_block), 1)
 
+    # pad_rows = ceil((k+1)/8)*8 keeps every DMA slice offset/shape aligned
+    # to the f32 sublane tile; wp2 rounds the padded width to the lane tile.
+    pad_rows = -(-(k + 1) // 8) * 8
+    wp2 = -(-(w + 2) // 128) * 128
+
     # Clamp block_h so the 8 slabs + Mosaic temporaries (~11 slab-sized
     # buffers) stay under the 16 MiB VMEM budget.
-    pad_rows_est = -(-(k + 1) // 8) * 8
-    wp2_est = -(-(w + 2) // 128) * 128
-    max_block = (14 * 1024 * 1024) // (11 * 4 * wp2_est) - 2 * pad_rows_est
+    max_block = (14 * 1024 * 1024) // (11 * 4 * wp2) - 2 * pad_rows
     block_h = max(min(block_h, (max_block // 8) * 8), 8)
 
     bh, bv, inv = _pack_weights_padded(gray, depth, level, max_level, cfg)
 
     # Re-pad from the 1-px ring to a pad_rows ring (cols stay 1-px) and pad
-    # rows up to a multiple of block_h. pad_rows = ceil((k+1)/8)*8 keeps all
-    # DMA slice offsets/shapes aligned to the f32 sublane tile.
-    pad_rows = -(-(k + 1) // 8) * 8
+    # rows up to a multiple of block_h.
     n_strips = -(-h // block_h)
     hp = n_strips * block_h + 2 * pad_rows
-    # Lane-tile alignment: DMA slice widths must be multiples of 128, so the
-    # padded width (1 left ring + w + right zero fill) rounds up to 128.
-    wp2 = -(-(w + 2) // 128) * 128
 
     def repad(a, dtype=jnp.float32):
         core = a[1 : h + 1, :]  # (h, w+2) keep the column ring

@@ -331,11 +331,15 @@ def solve_level_red_black(
     red = ((yy + xx) % 2) == 0
 
     u = depth.astype(F32).copy()
+    check_every = max(int(cfg.residual_check_every), 1)
     for i in range(iters):
         for color in (red, ~red):
             upd = jacobi_sweep(u, wl, wr, wu, wd, inv_count)
             u = np.where(color & ~mask, upd, u)
-        if tolerance is not None:
+        # Residual checked on the same cadence as core.solver.solve_red_black
+        # (every cfg.residual_check_every iterations), so both early-exit
+        # implementations stop at the same iterate.
+        if tolerance is not None and (i + 1) % check_every == 0:
             r = jacobi_sweep(u, wl, wr, wu, wd, inv_count)
             res = np.max(np.abs(np.where(mask, F32(0.0), r - u)))
             if res < tolerance * F32(255.0):

@@ -140,7 +140,15 @@ def solve_level_sharded(
     halo: int = DEFAULT_HALO,
 ) -> jnp.ndarray:
     """Sharded equivalent of core.solver.solve_level: weights from the
-    incoming depth, pad to the mesh grid, iterate with halo exchange, crop."""
+    incoming depth, pad to the mesh grid, iterate with halo exchange, crop.
+
+    Only the reference solver is implemented multi-chip in this round."""
+    if cfg.solver != "jacobi_chebyshev":
+        raise NotImplementedError(
+            f"multi-chip path implements solver='jacobi_chebyshev' only, "
+            f"got {cfg.solver!r}; use the single-chip pipeline for extended "
+            f"solvers"
+        )
     h, w = depth.shape
     dy, dx = mesh.shape["dy"], mesh.shape["dx"]
     wts = edge_weights(gray, depth, level, max_level, cfg)
@@ -174,7 +182,14 @@ def solve_cascade_sharded(
     A level runs sharded when every chip's block is at least halo x halo;
     the tiny coarse levels run as ordinary global XLA ops (GSPMD replicates
     or subdivides them as it sees fit — they are microseconds of work).
+
+    Only the reference solver/multigrid pair is implemented multi-chip.
     """
+    if cfg.solver != "jacobi_chebyshev" or cfg.multigrid != "cascadic":
+        raise NotImplementedError(
+            "multi-chip path implements solver='jacobi_chebyshev' with "
+            f"multigrid='cascadic' only, got ({cfg.solver!r}, {cfg.multigrid!r})"
+        )
     from ..core.solver import solve_level  # local import to avoid cycle
 
     levels = len(gray_pyr)
@@ -245,7 +260,6 @@ def batched_step(
 
     def shardings():
         levels = cfg.num_levels(rows, cols)
-        state_spec = tuple(img_spec for _ in range(levels))
         in_sh = (
             NamedSharding(mesh, P("batch", "dy", "dx", None)),  # rgb (B,H,W,3)
             NamedSharding(mesh, img_spec),  # mask
