@@ -32,6 +32,7 @@ USAGE = (
     " --effect b|g|h artistic effect\n --save-dir DIR output directory\n"
     " --checkpoint F save full session state\n --resume F restore session state\n --backend xla|pallas|auto\n --solver jacobi_chebyshev|jacobi|red_black\n"
     " --multigrid cascadic|vcycle\n --time print timing report\n"
+    " --trace DIR dump a jax.profiler trace of the solve\n --verbose debug logging\n"
 )
 
 
@@ -47,6 +48,8 @@ class CliArgs:
     checkpoint: Optional[str] = None
     resume: Optional[str] = None
     show_time: bool = False
+    trace_dir: Optional[str] = None
+    verbose: bool = False
     backend: str = "auto"
     solver: str = "jacobi_chebyshev"
     multigrid: str = "cascadic"
@@ -88,6 +91,10 @@ def parse_args(argv: List[str]) -> CliArgs:
             a.resume = val()
         elif arg == "--time":
             a.show_time = True
+        elif arg == "--trace":
+            a.trace_dir = val()
+        elif arg == "--verbose":
+            a.verbose = True
         elif arg == "--backend":
             a.backend = val()
         elif arg == "--solver":
@@ -118,6 +125,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(USAGE_SHORT)
         return 0
 
+    if a.verbose:
+        import logging
+
+        logging.basicConfig(level=logging.DEBUG, format="%(name)s %(message)s")
+
     from .session import DepthSession  # defer jax import until needed
 
     rgb = imread_rgb(a.image)
@@ -131,9 +143,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if a.headless:
         if a.solve or a.live or a.effect:
-            session.solve()
+            if a.trace_dir:
+                from ..utils.timing import device_trace
+
+                with device_trace(a.trace_dir):
+                    session.solve()
+                print(f"Profiler trace written to {a.trace_dir}")
+            else:
+                session.solve()
             if a.show_time:
                 print(session.timing_report())
+                print(session.residual_report())
         if a.save_dir:
             paths = session.save(a.save_dir)
             print("Saving images...")

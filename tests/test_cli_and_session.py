@@ -142,3 +142,20 @@ def test_gui_key_state_machine():
     # idle frame under --live solves every tick
     assert handle_key(s, 255, live=True) is False
     assert s.solve_count == 2
+
+
+def test_cli_trace_and_verbose(tmp_path):
+    """--trace wraps the solve in a jax.profiler trace (SURVEY §5
+    observability); --verbose enables debug logging."""
+    from realtimedepthdiffusion_tpu.io import imwrite, save_annotation
+
+    rgb, mask, value = synthetic_pair(64, 64, 14)
+    img = str(tmp_path / "i.png")
+    imwrite(img, rgb)
+    ann = str(tmp_path / "a.png")
+    save_annotation(ann, mask, value)
+    trace_dir = str(tmp_path / "trace")
+    rc = main(["-i", img, "-a", ann, "--headless", "--solve", "--time",
+               "--trace", trace_dir, "--verbose", "--backend", "xla"])
+    assert rc == 0
+    assert os.path.isdir(trace_dir) and len(os.listdir(trace_dir)) > 0
