@@ -238,9 +238,20 @@ def batched_step(
     Returns (jitted_fn, make_example_args): fn(rgb_batch, mask_batch,
     value_batch, depth_state_batch) -> (depth_batch, new_state, effect_batch).
     This is the "training step" analog the driver dry-runs multi-chip.
+
+    NOTE: the batched path forces the XLA in-shard sweeps — Pallas TPU
+    kernels with ANY-memory-space operands currently have no vmap batching
+    rule (JAX limitation), so vmap(pallas strip kernel) fails to lower.
+    Single-image multi-chip solves (solve_cascade_sharded) keep the Pallas
+    halo-block kernel.
     """
+    import dataclasses
+
     from ..core.color import rgb_to_gray
     from ..core.multigrid import build_gray_pyramid, initial_depth_state
+
+    if cfg.backend in ("auto", "pallas"):
+        cfg = dataclasses.replace(cfg, backend="xla")
 
     def single(rgb, mask, value, depth_state):
         gray0 = rgb_to_gray(rgb)
