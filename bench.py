@@ -25,10 +25,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache (repo-local, gitignored): the first bench
+    run pays the ~2-5 min remote compile; subsequent runs start in seconds."""
+    import os
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never a requirement
+        log("compile cache unavailable:", e)
+
+
 def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from realtimedepthdiffusion_tpu.config import DiffusionConfig
     from realtimedepthdiffusion_tpu.core import effects as fx

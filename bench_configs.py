@@ -30,6 +30,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
+
     from realtimedepthdiffusion_tpu.config import DiffusionConfig
     from realtimedepthdiffusion_tpu.core import effects as fx
     from realtimedepthdiffusion_tpu.core import multigrid, solver
