@@ -4,7 +4,7 @@ This module is the semantic ground truth for the whole framework: every JAX /
 Pallas implementation is unit-tested against these functions. It re-derives —
 it does not translate — the behavior of the CUDA reference
 (/root/reference/src/GPUSolver.cu, GPUImageProcessing.cu, GPUDepthEffect.cu)
-in float32 NumPy, with two documented, intentional deviations:
+in float32 NumPy, with three documented, intentional deviations:
 
 1. ``sum / count`` is computed as ``sum * (1 / count)`` (precomputed
    reciprocal) so that the TPU kernels, which hoist the reciprocal out of the
@@ -15,6 +15,11 @@ in float32 NumPy, with two documented, intentional deviations:
    the level-dependent edge rule (the reference's raw C cast of a possibly
    out-of-range float to ``unsigned char`` is undefined behavior —
    src/GPUSolver.cu:168/199 reading unclamped Chebyshev output).
+3. Subnormal weight sums (< 1e-30, e.g. an isolated extreme-contrast pixel)
+   are flushed to the "isolated pixel -> 0" rule instead of dividing —
+   1/count would overflow float32 to inf; GPUs flush such subnormals to zero
+   anyway, landing on the reference's count==0 branch
+   (src/GPUSolver.cu:103).
 
 Everything here is single-threaded NumPy and runs with no JAX at all.
 """

@@ -185,3 +185,27 @@ def test_red_black_early_exit(rng):
     got = np.asarray(u)
     assert np.array_equal(got[mask], depth[mask])
     assert got.min() >= 0.0 and got.max() <= 255.0
+
+
+def test_subnormal_weight_sum_is_isolated():
+    """An extreme-contrast isolated pixel produces a subnormal weight sum
+    (~4*exp(-0.4*255) ~ 2e-44); 1/count would overflow to inf and poison the
+    solve with NaN. The framework flushes it to the isolated-pixel rule
+    (result 0, like GPU FTZ hitting the reference's count==0 branch)."""
+    gray = np.zeros((5, 5), np.uint8)
+    gray[2, 2] = 255  # isolated extreme-contrast pixel
+    mask = np.zeros((5, 5), bool)
+    depth = np.full((5, 5), 200.0, np.float32)
+
+    jw = weights.edge_weights(jnp.asarray(gray), None, 1, 1, CFG)
+    assert np.isfinite(np.asarray(jw.inv_count)).all()
+    assert float(jw.inv_count[2, 2]) == 0.0
+
+    out = np.asarray(
+        solver.solve_level(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, 50, CFG
+        )
+    )
+    assert np.isfinite(out).all()
+    want = oracle.solve_level(depth, mask, gray, 1, 1, 50, CFG)
+    np.testing.assert_allclose(out, want, atol=5e-2)
