@@ -44,18 +44,19 @@ def chebyshev_omegas(iters: int, cfg: DiffusionConfig = DiffusionConfig()) -> np
     float64 update arithmetic. Computed host-side once (it depends only on
     the static iteration count) and baked into the compiled program."""
     s = cfg.chebyshev_s
-    rho = np.float32(cfg.chebyshev_rho)
+    # C operator semantics of `4.0 / (4.0 - rho * rho * omega)` with float
+    # rho/omega: the product chain evaluates left-to-right entirely in
+    # float32; only the subtraction against the double literal promotes.
+    rho2 = np.float32(cfg.chebyshev_rho) * np.float32(cfg.chebyshev_rho)
     out = np.empty(max(iters, 1), dtype=np.float32)
     omega = np.float32(0.0)
     for i in range(max(iters, 1)):
         if i < s:
             omega = np.float32(1.0)
         elif i == s:
-            omega = np.float32(2.0 / (2.0 - np.float64(rho) * np.float64(rho)))
+            omega = np.float32(2.0 / (2.0 - np.float64(rho2)))
         else:
-            omega = np.float32(
-                4.0 / (4.0 - np.float64(rho) * np.float64(rho) * np.float64(omega))
-            )
+            omega = np.float32(4.0 / (4.0 - np.float64(rho2 * omega)))
         out[i] = omega
     return out[:iters]
 

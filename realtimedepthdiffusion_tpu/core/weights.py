@@ -41,10 +41,13 @@ def _pad_edge_pairs(bh: jnp.ndarray, bv: jnp.ndarray, h: int, w: int) -> EdgeWei
     wu = jnp.concatenate([zr, bv], axis=0)
     wd = jnp.concatenate([bv, zr], axis=0)
     count = wl + wr + wu + wd
-    # Subnormal sums (all 4 neighbors across extreme edges: count ~ 4e-44)
-    # would overflow 1/count to inf; treat them as isolated pixels, matching
-    # the reference GPU's flush-to-zero arithmetic for the same case.
-    inv_count = jnp.where(count > 1e-30, 1.0 / count, 0.0).astype(jnp.float32)
+    # A pixel is "isolated" (depth 0, src/GPUSolver.cu:103) exactly when the
+    # reciprocal overflows: count == 0 or subnormal-small (< ~2.9e-39, all 4
+    # neighbors at extreme contrast). Flush only the non-finite reciprocals
+    # so every sum the reference computes a weighted mean for stays on the
+    # weighted-mean path.
+    inv = jnp.float32(1.0) / count
+    inv_count = jnp.where(jnp.isfinite(inv), inv, jnp.float32(0.0)).astype(jnp.float32)
     return EdgeWeights(wl, wr, wu, wd, inv_count)
 
 

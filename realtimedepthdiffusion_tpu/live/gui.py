@@ -28,24 +28,33 @@ def handle_key(session: DepthSession, key: int, live: bool = False) -> bool:
         return True
     ch = chr(key) if 32 <= key < 127 else ""
 
+    # The reference's per-frame branches are INDEPENDENT ifs
+    # (src/main.cpp:188-332): one frame can change color, latch an effect,
+    # solve, save, print timing and resize the brush all at once, and under
+    # --live the solve runs every frame regardless of other keys. A sticky
+    # effect also re-renders every frame (`key=='b' || refocusEffect`,
+    # src/main.cpp:190), not just on its keypress.
     if ch.isdigit():
         session.set_color_key(int(ch))
-    elif ch and ch in "bBgGhH":
+    if ch and ch in "bBgGhH":
         session.set_effect_key(ch)
+    solving = (ch and ch in "dD") or live
+    if session.effect and not solving:
+        # solve() renders the active effect through the fused solve+effect
+        # program (from the fresher post-solve depth); only render separately
+        # on frames without a solve.
         session.render_effect()
-    elif (ch and ch in "dD") or live:
-        # solve() already renders the active effect through the fused
-        # solve+effect program; no second render needed.
+    if solving:
         session.solve()
-    elif ch and ch in "sS":
+    if ch and ch in "sS":
         session.save(".")
         print("Saving images...")
-    elif ch and ch in "tT":
+    if ch and ch in "tT":
         print(session.timing_report())
-    elif ch == "-":
+    if ch == "-":
         session.adjust_radius(-2)
         print(f"Scribble Radius: {session.scribble_radius}")
-    elif ch == "+":
+    if ch == "+":
         session.adjust_radius(+2)
         print(f"Scribble Radius: {session.scribble_radius}")
     return False
@@ -79,10 +88,21 @@ def run_gui(session: DepthSession, live: bool = False) -> int:
     cv2.namedWindow("Depth Image")
     cv2.setMouseCallback("Edited Image", on_mouse)
 
-    while True:
+    quit_requested = False
+    while not quit_requested:
+        # Drain the queue on this (solve-loop) thread: paint events from the
+        # mouse thread, key events from the previous UI tick. Every frame
+        # ends in exactly one handle_key pass so the per-frame contract
+        # (live solve + sticky effect render) runs even with no key pressed.
+        frame_key = 255
         while (ev := events.pop()) is not None:
             if ev[0] == EventQueue.KIND_PAINT:
                 session.paint(ev[1], ev[2])
+            elif ev[0] == EventQueue.KIND_KEY:
+                frame_key = ev[1]
+        quit_requested = handle_key(session, frame_key, live)
+        if quit_requested:
+            break
 
         cv2.imshow("Original Image", bgr(session.rgb_np))
         cv2.imshow("Edited Image", bgr(session.edited_image()))
@@ -93,8 +113,8 @@ def run_gui(session: DepthSession, live: bool = False) -> int:
             cv2.imshow("Artistic Image", bgr(np.asarray(session.artistic)))
 
         key = cv2.waitKey(33) & 0xFF
-        if handle_key(session, key, live):
-            break
+        if key != 255:
+            events.push(EventQueue.KIND_KEY, key)
 
     events.close()
     cv2.destroyAllWindows()

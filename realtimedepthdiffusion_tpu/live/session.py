@@ -30,7 +30,7 @@ import numpy as np
 from ..config import DiffusionConfig
 from ..core import effects as fx
 from ..io import depth_to_u8, imwrite, load_annotation, save_annotation
-from ..native.runtime import NativeRuntime
+from ..native.runtime import Arena, NativeRuntime
 from ..pipeline import DepthPipeline
 from ..utils.timing import StageTimer
 
@@ -51,8 +51,14 @@ class DepthSession:
         # device once per solve — the same cadence as the reference's
         # upload at src/main.cpp:236-237, minus its paint-time downloads.
         self.native = NativeRuntime()
-        self.mask_np = np.zeros((self.rows, self.cols), dtype=np.uint8)
-        self.value_np = np.zeros((self.rows, self.cols), dtype=np.uint8)
+        # All host frame buffers for the session come from one native arena
+        # slab: the two annotation planes plus the edited-image compositing
+        # buffer the GUI redraws every tick. Views stay valid for the
+        # session's lifetime (the session owns the arena).
+        self.arena = Arena(2 * self.rows * self.cols + 3 * self.rows * self.cols + 4 * 64)
+        self.mask_np = self.arena.alloc_u8((self.rows, self.cols))
+        self.value_np = self.arena.alloc_u8((self.rows, self.cols))
+        self._edited_buf = self.arena.alloc_u8((self.rows, self.cols, 3))
         self.dirty: Optional[Tuple[int, int, int, int]] = None
         self._mask_d: Optional[jnp.ndarray] = None  # device annotation cache
         self._value_d: Optional[jnp.ndarray] = None
@@ -87,8 +93,9 @@ class DepthSession:
                 f"annotation {mask.shape} does not match image "
                 f"{(self.rows, self.cols)}"
             )
-        self.mask_np = np.ascontiguousarray(mask.astype(np.uint8))
-        self.value_np = np.ascontiguousarray(value)
+        # copy into the arena-backed planes (they must keep their storage)
+        np.copyto(self.mask_np, mask.astype(np.uint8))
+        np.copyto(self.value_np, value)
         self.dirty = (0, 0, self.rows - 1, self.cols - 1)
 
     def set_color_key(self, digit: int) -> None:
@@ -172,9 +179,13 @@ class DepthSession:
 
     # --------------------------------------------------------------- display
     def edited_image(self) -> np.ndarray:
-        """The scribble overlay view (the reference's 'Edited Image')."""
-        m = self.mask_np.astype(bool)[..., None]
-        return np.where(m, self.value_np[..., None], self.rgb_np)
+        """The scribble overlay view (the reference's 'Edited Image'),
+        composited into the arena-backed display buffer (redrawn every GUI
+        tick; reusing one slab avoids ~6 MB/frame of allocator churn)."""
+        np.copyto(self._edited_buf, self.rgb_np)
+        m = self.mask_np != 0
+        self._edited_buf[m] = self.value_np[m][:, None]
+        return self._edited_buf
 
     def depth_image(self) -> np.ndarray:
         return np.asarray(self.pipe.depth_u8(self.depth0))
@@ -226,8 +237,8 @@ class DepthSession:
                 f"checkpoint shape {data['mask'].shape} != image "
                 f"{(self.rows, self.cols)}"
             )
-        self.mask_np = np.ascontiguousarray(data["mask"].astype(np.uint8))
-        self.value_np = np.ascontiguousarray(data["value"].astype(np.uint8))
+        np.copyto(self.mask_np, data["mask"].astype(np.uint8))
+        np.copyto(self.value_np, data["value"].astype(np.uint8))
         self.scribble_color = int(data["scribble_color"])
         self.scribble_radius = int(data["scribble_radius"])
         self.effect = int(data["effect"])

@@ -170,14 +170,82 @@ class NativeRuntime:
         return np.where(m != 0, v, np.uint8(sentinel)).astype(np.uint8)
 
 
-class EventQueue:
-    """MPSC UI-event ring buffer (native), with a deque fallback."""
+class Arena:
+    """Bump allocator for a session's host-side frame buffers (native
+    rtdd_arena_*), with a plain-NumPy fallback.
 
-    KIND_PAINT, KIND_KEY, KIND_SOLVE, KIND_QUIT = 0, 1, 2, 3
+    Buffers returned by :meth:`alloc_u8` are NumPy views into the arena and
+    stay valid until :meth:`close` — the owning session must outlive them.
+    One arena serves one session: annotation planes + display compositing
+    buffers come from a single contiguous, 64-byte-aligned slab instead of
+    scattered allocator churn (the role the reference's per-level cudaMalloc
+    block plays on the device side, src/GPUSolver.cu:33-54).
+    """
+
+    def __init__(self, capacity_bytes: int) -> None:
+        self.lib = get_lib()
+        self.capacity = int(capacity_bytes)
+        self._a = (
+            self.lib.rtdd_arena_create(self.capacity) if self.lib is not None else None
+        )
+        self._fallback_used = 0
+
+    @property
+    def native(self) -> bool:
+        return self._a is not None
+
+    def alloc_u8(self, shape, align: int = 64) -> np.ndarray:
+        """Zero-initialized uint8 array carved from the arena."""
+        n = int(np.prod(shape))
+        if self._a is not None:
+            ptr = self.lib.rtdd_arena_alloc(self._a, n, align)
+            if ptr:
+                flat = np.ctypeslib.as_array(
+                    ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)), (n,)
+                )
+                arr = flat.reshape(shape)
+                arr.fill(0)
+                return arr
+            # capacity exhausted: fall through to a heap allocation
+        self._fallback_used += n
+        return np.zeros(shape, dtype=np.uint8)
+
+    @property
+    def used(self) -> int:
+        if self._a is not None:
+            return int(self.lib.rtdd_arena_used(self._a)) + self._fallback_used
+        return self._fallback_used
+
+    def close(self) -> None:
+        if self._a is not None:
+            self.lib.rtdd_arena_destroy(self._a)
+            self._a = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class EventQueue:
+    """MPSC UI-event ring buffer (native), with a deque fallback.
+
+    Event kinds: PAINT from the mouse-callback thread (a,b = x,y), KEY from
+    the UI tick (a = key byte). All UI events flow through this one queue and
+    are drained on the solve-loop thread (live/gui.py) — the reference
+    instead mutates shared GPU state directly from OpenCV's callback thread
+    (src/main.cpp:46-62)."""
+
+    KIND_PAINT, KIND_KEY = 0, 1
 
     def __init__(self, capacity: int = 1024) -> None:
         self.lib = get_lib()
         self._closed = False
+        # Guards the closed-check/native-call pairs: close() may race a
+        # push() from OpenCV's mouse-callback thread during GUI shutdown;
+        # without the lock that is a use-after-free on the destroyed queue.
+        self._state_lock = threading.Lock()
         if self.lib is not None:
             self._q = self.lib.rtdd_queue_create(capacity)
             self._deque = None
@@ -190,38 +258,42 @@ class EventQueue:
     def push(self, kind: int, a: int = 0, b: int = 0, c: int = 0) -> bool:
         # After close() events are dropped (the GUI's mouse-callback thread
         # can still fire during shutdown).
-        if self._closed:
-            return False
-        if self._q is not None:
-            return bool(self.lib.rtdd_queue_push(self._q, kind, a, b, c))
-        self._deque.append((kind, a, b, c))
-        return True
+        with self._state_lock:
+            if self._closed:
+                return False
+            if self._q is not None:
+                return bool(self.lib.rtdd_queue_push(self._q, kind, a, b, c))
+            self._deque.append((kind, a, b, c))
+            return True
 
     def pop(self):
-        if self._closed:
-            return None
-        if self._q is not None:
-            out = (ctypes.c_int32 * 4)()
-            if self.lib.rtdd_queue_pop(self._q, out):
-                return tuple(out)
-            return None
-        try:
-            return self._deque.popleft()
-        except IndexError:
-            return None
+        with self._state_lock:
+            if self._closed:
+                return None
+            if self._q is not None:
+                out = (ctypes.c_int32 * 4)()
+                if self.lib.rtdd_queue_pop(self._q, out):
+                    return tuple(out)
+                return None
+            try:
+                return self._deque.popleft()
+            except IndexError:
+                return None
 
     def __len__(self) -> int:
-        if self._closed:
-            return 0
-        if self._q is not None:
-            return self.lib.rtdd_queue_size(self._q)
-        return len(self._deque)
+        with self._state_lock:
+            if self._closed:
+                return 0
+            if self._q is not None:
+                return self.lib.rtdd_queue_size(self._q)
+            return len(self._deque)
 
     def close(self) -> None:
-        self._closed = True
-        if self._q is not None:
-            self.lib.rtdd_queue_destroy(self._q)
-            self._q = None
+        with self._state_lock:
+            self._closed = True
+            if self._q is not None:
+                self.lib.rtdd_queue_destroy(self._q)
+                self._q = None
 
     def __del__(self):  # pragma: no cover
         try:

@@ -46,14 +46,16 @@ int rtdd_plan(int rows, int cols, int base_size, int max_iterations,
     return levels;
 }
 
-// Chebyshev omega schedule (src/GPUSolver.cu:295-299 semantics: float
-// storage, double update arithmetic).
+/// Chebyshev omega schedule (src/GPUSolver.cu:295-299 semantics: float
+// storage; `rho * rho * omega` is a float chain, only the subtraction
+// against the 2.0/4.0 double literals promotes).
 void rtdd_chebyshev_omegas(int iters, int s, float rho, float* out) {
     float omega = 0.0f;
+    float rho2 = rho * rho;
     for (int i = 0; i < iters; ++i) {
         if (i < s) omega = 1.0f;
-        else if (i == s) omega = (float)(2.0 / (2.0 - (double)rho * (double)rho));
-        else omega = (float)(4.0 / (4.0 - (double)rho * (double)rho * (double)omega));
+        else if (i == s) omega = (float)(2.0 / (2.0 - (double)rho2));
+        else omega = (float)(4.0 / (4.0 - (double)(rho2 * omega)));
         out[i] = omega;
     }
 }
@@ -189,8 +191,11 @@ struct RtddArena {
 
 void* rtdd_arena_create(size_t bytes) {
     RtddArena* a = new RtddArena();
-    a->base = (uint8_t*)std::malloc(bytes);
-    a->capacity = a->base ? bytes : 0;
+    // 64-aligned base so per-allocation alignment (offset rounding in
+    // rtdd_arena_alloc) holds in absolute addresses, not just offsets.
+    size_t rounded = (bytes + 63) & ~(size_t)63;
+    a->base = (uint8_t*)std::aligned_alloc(64, rounded);
+    a->capacity = a->base ? rounded : 0;
     a->offset = 0;
     return a;
 }

@@ -15,11 +15,12 @@ in float32 NumPy, with three documented, intentional deviations:
    the level-dependent edge rule (the reference's raw C cast of a possibly
    out-of-range float to ``unsigned char`` is undefined behavior —
    src/GPUSolver.cu:168/199 reading unclamped Chebyshev output).
-3. Subnormal weight sums (< 1e-30, e.g. an isolated extreme-contrast pixel)
-   are flushed to the "isolated pixel -> 0" rule instead of dividing —
-   1/count would overflow float32 to inf; GPUs flush such subnormals to zero
-   anyway, landing on the reference's count==0 branch
-   (src/GPUSolver.cu:103).
+3. Weight sums whose float32 reciprocal is non-finite (count == 0 or
+   < ~2.9e-39 — all four neighbors at extreme contrast) are flushed to the
+   "isolated pixel -> 0" rule instead of dividing; GPUs flush such
+   subnormals to zero anyway, landing on the reference's count==0 branch
+   (src/GPUSolver.cu:103). Every sum with a representable reciprocal takes
+   the weighted-mean path, exactly like the reference.
 
 Everything here is single-threaded NumPy and runs with no JAX at all.
 """
@@ -250,16 +251,18 @@ def chebyshev_omegas(iters: int, cfg: DiffusionConfig = DiffusionConfig()) -> np
     float/double arithmetic: omega is stored in float32 but each update is
     evaluated in float64 (C literals 2.0/4.0 promote)."""
     s = cfg.chebyshev_s
-    rho = F32(cfg.chebyshev_rho)
+    # `rho * rho * omega` is a float32 chain in C (left-assoc float ops);
+    # only the subtraction against the 2.0/4.0 double literals promotes.
+    rho2 = F32(cfg.chebyshev_rho) * F32(cfg.chebyshev_rho)
     out = np.empty(iters, dtype=F32)
     omega = F32(0.0)
     for i in range(iters):
         if i < s:
             omega = F32(1.0)
         elif i == s:
-            omega = F32(2.0 / (2.0 - np.float64(rho) * np.float64(rho)))
+            omega = F32(2.0 / (2.0 - np.float64(rho2)))
         else:
-            omega = F32(4.0 / (4.0 - np.float64(rho) * np.float64(rho) * np.float64(omega)))
+            omega = F32(4.0 / (4.0 - np.float64(rho2 * omega)))
         out[i] = omega
     return out
 
@@ -267,6 +270,15 @@ def chebyshev_omegas(iters: int, cfg: DiffusionConfig = DiffusionConfig()) -> np
 # ---------------------------------------------------------------------------
 # The solver (matrixFreeSolver / solveDiffusion semantics)
 # ---------------------------------------------------------------------------
+
+
+def _inv_count(count: np.ndarray) -> np.ndarray:
+    """Reciprocal weight sum; 0 exactly where 1/count is non-finite
+    (count == 0 or subnormal-small) — the reference's "isolated pixel"
+    branch (src/GPUSolver.cu:103). See deviation #3 in the module doc."""
+    with np.errstate(divide="ignore", over="ignore"):
+        inv = F32(1.0) / count.astype(F32)
+    return np.where(np.isfinite(inv), inv, F32(0.0)).astype(F32)
 
 
 def jacobi_sweep(u, wl, wr, wu, wd, inv_count):
@@ -301,9 +313,7 @@ def solve_level(
     the inner Jacobi average is (src/GPUSolver.cu:104 vs :259).
     """
     wl, wr, wu, wd = edge_weights(gray, depth, level, max_level, cfg)
-    count = wl + wr + wu + wd
-    # count > 1e-30: subnormal sums flush to "isolated" (see core/weights.py)
-    inv_count = np.where(count > F32(1e-30), F32(1.0) / count, F32(0.0)).astype(F32)
+    inv_count = _inv_count(wl + wr + wu + wd)
     gamma = F32(cfg.chebyshev_gamma)
     omegas = chebyshev_omegas(iters, cfg)
 
@@ -329,8 +339,7 @@ def solve_level_red_black(
     tolerance parameter, src/main.cpp:264); defined here as the oracle for
     the framework's extended solver."""
     wl, wr, wu, wd = edge_weights(gray, depth, level, max_level, cfg)
-    count = wl + wr + wu + wd
-    inv_count = np.where(count > F32(1e-30), F32(1.0) / count, F32(0.0)).astype(F32)
+    inv_count = _inv_count(wl + wr + wu + wd)
     h, w = depth.shape
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     red = ((yy + xx) % 2) == 0

@@ -143,6 +143,22 @@ def test_gui_key_state_machine():
     assert handle_key(s, 255, live=True) is False
     assert s.solve_count == 2
 
+    # the reference's branches are independent ifs (src/main.cpp:188-332):
+    # a --live frame with any other key pressed STILL solves that frame
+    n = s.solve_count
+    handle_key(s, ord("2"), live=True)  # color change + live solve
+    assert s.scribble_color == 128 and s.solve_count == n + 1
+    handle_key(s, ord("+"), live=True)  # radius change + live solve
+    assert s.solve_count == n + 2
+    handle_key(s, ord("g"), live=True)  # effect latch + live solve (fused render)
+    assert s.effect == fx.EFFECT_DESATURATION and s.solve_count == n + 3
+
+    # a sticky effect re-renders every frame even without a solve
+    # (src/main.cpp:190 `key=='b' || refocusEffect`)
+    s.artistic = None
+    handle_key(s, 255, live=False)
+    assert s.artistic is not None
+
 
 def test_cli_trace_and_verbose(tmp_path):
     """--trace wraps the solve in a jax.profiler trace (SURVEY §5

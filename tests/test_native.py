@@ -8,7 +8,7 @@ import pytest
 
 from realtimedepthdiffusion_tpu.config import DiffusionConfig
 from realtimedepthdiffusion_tpu.core.solver import chebyshev_omegas
-from realtimedepthdiffusion_tpu.native.runtime import EventQueue, NativeRuntime
+from realtimedepthdiffusion_tpu.native.runtime import Arena, EventQueue, NativeRuntime
 from realtimedepthdiffusion_tpu.oracle import numpy_ref as oracle
 
 CFG = DiffusionConfig()
@@ -65,6 +65,57 @@ def test_annotation_codec_roundtrip(rt):
     assert np.array_equal(mask, plane != 32)
     back = rt.annotation_encode(mask, value, 32)
     assert np.array_equal(back, plane)
+
+
+def test_arena_alloc_alignment_and_reuse(rt):
+    a = Arena(4096)
+    assert a.native
+    x = a.alloc_u8((8, 16))
+    y = a.alloc_u8((4, 4), align=64)
+    assert x.shape == (8, 16) and not x.any()
+    assert y.ctypes.data % 64 == 0
+    x[:] = 7
+    assert not y.any()  # allocations don't alias
+    assert a.used >= 8 * 16 + 4 * 4
+    # capacity exhaustion falls back to the heap, still zeroed
+    z = a.alloc_u8((100, 100))
+    assert z.shape == (100, 100) and not z.any()
+    a.close()
+
+
+def test_session_buffers_are_arena_backed():
+    from tests.conftest import synthetic_pair
+    from realtimedepthdiffusion_tpu.live.session import DepthSession
+
+    rgb, _, _ = synthetic_pair(32, 48, 5)
+    s = DepthSession(rgb, DiffusionConfig(max_iterations=5))
+    if s.arena.native:
+        assert s.arena.used >= 2 * 32 * 48 + 3 * 32 * 48
+    s.paint(10, 10)
+    img = s.edited_image()
+    assert img is s._edited_buf  # composited in place, no per-frame alloc
+    assert (img[10, 10] == s.scribble_color).all()
+
+
+def test_event_queue_close_push_race():
+    """close() vs push() from another thread must never fault (the GUI's
+    mouse callback can fire during shutdown); post-close pushes return
+    False."""
+    for _ in range(20):
+        q = EventQueue(capacity=64)
+        stop = threading.Event()
+
+        def pusher():
+            while not stop.is_set():
+                q.push(EventQueue.KIND_PAINT, 1, 2, 3)
+
+        t = threading.Thread(target=pusher)
+        t.start()
+        q.close()
+        stop.set()
+        t.join()
+        assert q.push(EventQueue.KIND_PAINT, 0, 0, 0) is False
+        assert q.pop() is None
 
 
 def test_event_queue_order_and_overflow():
