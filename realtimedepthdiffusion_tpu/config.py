@@ -47,6 +47,13 @@ class DiffusionConfig:
 
     # --- Pyramid geometry (src/main.cpp:95,103) ---
     pyramid_base_size: int = 45
+    # Gray-chain convention: "opencv" (default) reproduces the binary's
+    # actual numerics — a ceil-size cv::pyrDown chain consumed cropped to the
+    # floor-size solver buffers (bug #1's always-taken CPU fallback,
+    # src/main.cpp:241-247 + the rows/cols-vs-pitch mismatch at :266-268);
+    # "floor" chains at floor sizes (single clean convention, differs near
+    # odd-level borders).
+    gray_pyramid: str = "opencv"
 
     # --- Level-dependent edge rule (src/GPUSolver.cu:201-202) ---
     depth_edge_threshold: int = 4  # 0 is forced at level 0 by the solver

@@ -24,23 +24,44 @@ import jax.numpy as jnp
 
 from ..config import DiffusionConfig
 from .annotation import annotation_pyr_down, seed_depth
-from .pyramid import pyr_down_gray, pyr_up
+from .pyramid import pyr_down_gray, pyr_down_gray_ceil, pyr_up
 from .solver import edge_weights, jacobi_sweep_raw
 
 
 def build_gray_pyramid(gray0: jnp.ndarray, cfg: DiffusionConfig) -> Tuple[jnp.ndarray, ...]:
-    """Gray pyramid via repeated Gaussian pyrDown, floor sizes.
+    """Gray pyramid via repeated Gaussian pyrDown, consumed at floor sizes.
+
+    gray_pyramid="opencv" (default, reference-faithful): the chain runs at
+    OpenCV's ceil sizes exactly like the binary's always-taken CPU pyrDown
+    fallback (bug #1, src/main.cpp:241-247), and each level is cropped to
+    the floor size the solver indexes (the binary passes the floor-size
+    depth mats' rows/cols with the ceil gray buffer's own pitch,
+    src/main.cpp:266-268). gray_pyramid="floor" chains at floor sizes — a
+    cleaner single convention whose coarse levels differ near the
+    bottom/right border on odd-size levels (up to ~5e-3 depth RMSE on
+    border-dominated pairs; see PARITY.md).
 
     The gray image never changes during a session, so unlike the reference —
-    which rebuilds this every solve through a host round-trip (bug #1,
-    src/main.cpp:241-247) — callers compute it once per image.
+    which rebuilds this every solve through a host round-trip — callers
+    compute it once per image.
     """
     h, w = gray0.shape
     levels = cfg.num_levels(h, w)
     pyr = [gray0]
-    for l in range(1, levels):
-        th, tw = cfg.level_size(h, w, l)
-        pyr.append(pyr_down_gray(pyr[-1])[:th, :tw])
+    if cfg.gray_pyramid == "opencv":
+        full = gray0
+        for l in range(1, levels):
+            full = pyr_down_gray_ceil(full)
+            th, tw = cfg.level_size(h, w, l)
+            pyr.append(full[:th, :tw])
+    elif cfg.gray_pyramid == "floor":
+        for l in range(1, levels):
+            th, tw = cfg.level_size(h, w, l)
+            pyr.append(pyr_down_gray(pyr[-1])[:th, :tw])
+    else:
+        raise ValueError(
+            f"unknown gray_pyramid {cfg.gray_pyramid!r}; expected 'opencv' or 'floor'"
+        )
     return tuple(pyr)
 
 

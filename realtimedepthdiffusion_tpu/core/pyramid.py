@@ -25,6 +25,16 @@ def _reflect_pad2(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(a, pad, mode="reflect")
 
 
+def _pyr_down_gray_to(gray: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    p = _reflect_pad2(gray).astype(jnp.int32)
+    # Out-of-range slice ends clamp (Python semantics), which for the ceil
+    # size on an odd axis still yields exactly oh/ow samples — the last tap
+    # lands on the reflect-101 pad.
+    acc = sum(_KI[t] * p[:, t : t + 2 * ow : 2] for t in range(5))
+    out = sum(_KI[t] * acc[t : t + 2 * oh : 2, :] for t in range(5))
+    return ((out + 128) >> 8).astype(jnp.uint8)
+
+
 def pyr_down_gray(gray: jnp.ndarray) -> jnp.ndarray:
     """uint8 Gaussian pyrDown to (H//2, W//2).
 
@@ -33,11 +43,18 @@ def pyr_down_gray(gray: jnp.ndarray) -> jnp.ndarray:
     reference's cv::pyrDown chain wherever sizes agree.
     """
     h, w = gray.shape
-    oh, ow = h // 2, w // 2
-    p = _reflect_pad2(gray).astype(jnp.int32)
-    acc = sum(_KI[t] * p[:, t : t + 2 * ow : 2] for t in range(5))
-    out = sum(_KI[t] * acc[t : t + 2 * oh : 2, :] for t in range(5))
-    return ((out + 128) >> 8).astype(jnp.uint8)
+    return _pyr_down_gray_to(gray, h // 2, w // 2)
+
+
+def pyr_down_gray_ceil(gray: jnp.ndarray) -> jnp.ndarray:
+    """uint8 Gaussian pyrDown to OpenCV's native ((H+1)//2, (W+1)//2) —
+    bit-exact with cv::pyrDown (verified in tests/test_faithful.py). Used by
+    the reference-faithful gray chain (config gray_pyramid="opencv"): the
+    binary's CPU pyrDown fallback (src/main.cpp:241-247, always taken — bug
+    #1) builds ceil-size levels that the solver consumes cropped to its
+    floor-size rows/cols."""
+    h, w = gray.shape
+    return _pyr_down_gray_to(gray, (h + 1) // 2, (w + 1) // 2)
 
 
 def pyr_up(src: jnp.ndarray, out_shape: Tuple[int, int]) -> jnp.ndarray:
@@ -46,14 +63,17 @@ def pyr_up(src: jnp.ndarray, out_shape: Tuple[int, int]) -> jnp.ndarray:
 
     TPU-native equivalent of cv::cuda::pyrUp on the depth map between
     multigrid levels (src/main.cpp:272-279), without the reference's
-    odd-size host fallback. Border semantics match cv::pyrUp: reflect-101 on
-    the *zero-inserted* grid; an odd-size target appends the reflect-101 of
-    the output itself (out[2h] = out[2h-2]).
+    odd-size host fallback. Border semantics match cv::pyrUp (verified
+    against cv2 in tests/test_faithful.py): reflect-101 on the
+    *zero-inserted* grid, with OpenCV's axis-asymmetric odd-size extension —
+    odd height copies the previous even output row (out[2h] = out[2h-2]),
+    odd width takes the last source column at full kernel weight
+    (out[:, 2w] = vertically-filtered src[:, w-1]).
     """
     oh, ow = out_shape
     x = src.astype(jnp.float32)
 
-    def axis_up(a: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    def axis_up(a: jnp.ndarray, n_out: int, odd_copy_out: bool) -> jnp.ndarray:
         h = a.shape[0]
         # Zero-insert: z[2i] = a[i], z[2i+1] = 0 (stack + reshape, no gather).
         z = jnp.stack([a, jnp.zeros_like(a)], axis=1).reshape((2 * h,) + a.shape[1:])
@@ -66,9 +86,10 @@ def pyr_up(src: jnp.ndarray, out_shape: Tuple[int, int]) -> jnp.ndarray:
             + zp[4 : 2 * h + 4]
         ) * jnp.float32(0.125)
         if n_out == 2 * h + 1:
-            out = jnp.concatenate([out, out[2 * h - 2 : 2 * h - 1]], axis=0)
+            extra = out[2 * h - 2 : 2 * h - 1] if odd_copy_out else a[h - 1 : h]
+            out = jnp.concatenate([out, extra.astype(jnp.float32)], axis=0)
         return out[:n_out]
 
-    t = axis_up(x, oh)
-    t = jnp.swapaxes(axis_up(jnp.swapaxes(t, 0, 1), ow), 0, 1)
+    t = axis_up(x, oh, odd_copy_out=True)
+    t = jnp.swapaxes(axis_up(jnp.swapaxes(t, 0, 1), ow, odd_copy_out=False), 0, 1)
     return t.astype(jnp.float32)

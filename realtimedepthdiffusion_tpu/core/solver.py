@@ -155,6 +155,25 @@ def solve_jacobi(
     return jax.lax.fori_loop(0, iters, body, u0)
 
 
+def red_black_parity(h: int, w: int) -> jnp.ndarray:
+    """Checkerboard mask: True at red cells ((y+x) even)."""
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return ((yy + xx) % 2) == 0
+
+
+def red_black_iter(u: jnp.ndarray, mask: jnp.ndarray, wts: EdgeWeights,
+                   red: jnp.ndarray) -> jnp.ndarray:
+    """One red-black Gauss-Seidel iteration: red cells take the clipped
+    weighted average of the current state, then black cells of the
+    half-updated state. Shared with the Pallas red-black kernels
+    (ops/pallas_sweep.py), which must produce the same iterate."""
+    upd = jacobi_sweep(u, wts)
+    u = jnp.where(red & ~mask, upd, u)
+    upd = jacobi_sweep(u, wts)
+    return jnp.where(~red & ~mask, upd, u)
+
+
 def solve_red_black(
     depth: jnp.ndarray,
     mask: jnp.ndarray,
@@ -174,18 +193,13 @@ def solve_red_black(
     ``cfg.residual_check_every`` iterations).
     """
     h, w = depth.shape
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    red = ((yy + xx) % 2) == 0
+    red = red_black_parity(h, w)
     u0 = depth.astype(jnp.float32)
     if early_exit is None:
         early_exit = cfg.early_exit
 
     def one_iter(u):
-        upd = jacobi_sweep(u, wts)
-        u = jnp.where(red & ~mask, upd, u)
-        upd = jacobi_sweep(u, wts)
-        return jnp.where(~red & ~mask, upd, u)
+        return red_black_iter(u, mask, wts, red)
 
     if not early_exit:
         return jax.lax.fori_loop(0, iters, lambda i, u: one_iter(u), u0)

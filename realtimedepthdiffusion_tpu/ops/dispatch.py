@@ -10,9 +10,9 @@ Chooses the execution path for GPUMatrixFreeSolver's role (SURVEY.md C13):
                        testing of the kernel code paths).
 - ``auto``             pallas on TPU-like backends, xla elsewhere.
 
-The Pallas path implements the reference algorithm (jacobi_chebyshev) only;
-the extended solvers (plain jacobi, red_black with early exit) run on the
-XLA path regardless.
+The Pallas path implements the reference algorithm (jacobi_chebyshev) and
+red-black Gauss-Seidel (with early exit); plain jacobi runs on the XLA path
+regardless (it exists as a correctness anchor, not a perf target).
 """
 
 from __future__ import annotations
@@ -40,13 +40,20 @@ def solve_level(depth, mask, gray, level, max_level, iters, cfg: DiffusionConfig
             f"unknown backend {cfg.backend!r}; expected one of {VALID_BACKENDS}"
         )
     backend = cfg.backend
+    _pallas_solvers = ("jacobi_chebyshev", "red_black")
     if backend == "auto":
-        backend = "pallas" if (_is_tpu() and cfg.solver == "jacobi_chebyshev") else "xla"
-    if backend in ("pallas", "pallas_interpret") and cfg.solver == "jacobi_chebyshev":
+        backend = "pallas" if (_is_tpu() and cfg.solver in _pallas_solvers) else "xla"
+    if backend in ("pallas", "pallas_interpret") and cfg.solver in _pallas_solvers:
+        interpret = backend == "pallas_interpret"
+        if cfg.solver == "red_black":
+            from .pallas_sweep import solve_level_red_black_pallas
+
+            return solve_level_red_black_pallas(
+                depth, mask, gray, level, max_level, iters, cfg, interpret=interpret
+            )
         from .pallas_sweep import solve_level_pallas
 
         return solve_level_pallas(
-            depth, mask, gray, level, max_level, iters, cfg,
-            interpret=(backend == "pallas_interpret"),
+            depth, mask, gray, level, max_level, iters, cfg, interpret=interpret
         )
     return _xla_solver.solve_level(depth, mask, gray, level, max_level, iters, cfg)

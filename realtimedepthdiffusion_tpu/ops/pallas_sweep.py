@@ -166,7 +166,7 @@ def solve_level_resident(
 # ---------------------------------------------------------------------------
 
 
-def _strip_kernel(k, pad_rows, block_h,
+def _strip_kernel(k, pad_rows, block_h, n_strips,
                   om_ref, u_hbm, prev_hbm, m_hbm, bh_hbm, bv_hbm, inv_hbm,
                   uo_hbm, po_hbm, u_s, p_s, m_s, bh_s, bv_s, inv_s,
                   wl_s, wu_s, sems):
@@ -180,6 +180,13 @@ def _strip_kernel(k, pad_rows, block_h,
     slab's own ring provides correct frozen halo values, and garbage creeping
     from the slab edge advances one row per sweep, never reaching the
     interior (pad_rows > k sweeps).
+
+    The first/last strips also write the global top/bottom halo bands into
+    the (fresh, otherwise-uninitialized) output buffers: those slab rows are
+    provably still zero after the sweeps (zero state, zero weights, zero
+    reciprocal => the update is identically zero), so the outputs come back
+    fully formed and the caller chains launches with no host-level halo
+    re-zeroing pass.
     """
     s = pl.program_id(0)
     row0 = s * block_h  # top of the slab in padded coords
@@ -232,10 +239,44 @@ def _strip_kernel(k, pad_rows, block_h,
     uo.wait()
     po.wait()
 
+    # Boundary strips also emit the global halo bands (still all-zero slab
+    # rows, see docstring) so the output buffers are complete.
+    @pl.when(s == 0)
+    def _write_top():
+        tu = pltpu.make_async_copy(
+            u_s.at[pl.ds(0, pad_rows), :], uo_hbm.at[pl.ds(0, pad_rows), :],
+            sems.at[8],
+        )
+        tp = pltpu.make_async_copy(
+            p_s.at[pl.ds(0, pad_rows), :], po_hbm.at[pl.ds(0, pad_rows), :],
+            sems.at[9],
+        )
+        tu.start()
+        tp.start()
+        tu.wait()
+        tp.wait()
+
+    @pl.when(s == n_strips - 1)
+    def _write_bottom():
+        src = pad_rows + block_h
+        dst = row0 + pad_rows + block_h
+        bu = pltpu.make_async_copy(
+            u_s.at[pl.ds(src, pad_rows), :], uo_hbm.at[pl.ds(dst, pad_rows), :],
+            sems.at[8],
+        )
+        bp = pltpu.make_async_copy(
+            p_s.at[pl.ds(src, pad_rows), :], po_hbm.at[pl.ds(dst, pad_rows), :],
+            sems.at[9],
+        )
+        bu.start()
+        bp.start()
+        bu.wait()
+        bp.wait()
+
 
 def _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret):
     slab_h = block_h + 2 * pad_rows
-    kern = functools.partial(_strip_kernel, k, pad_rows, block_h)
+    kern = functools.partial(_strip_kernel, k, pad_rows, block_h, n_strips)
     return pl.pallas_call(
         kern,
         grid=(n_strips,),
@@ -265,7 +306,7 @@ def _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret):
             pltpu.VMEM((slab_h, wp2), jnp.float32),  # inv slab
             pltpu.VMEM((slab_h, wp2), jnp.float32),  # wl slab (rolled bh)
             pltpu.VMEM((slab_h, wp2), jnp.float32),  # wu slab (rolled bv)
-            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.SemaphoreType.DMA((10,)),
         ],
         # NOTE: deliberately NO input/output aliasing — strip s+1's input
         # slab overlaps strip s's output rows, and Jacobi requires reads of
@@ -325,17 +366,10 @@ def solve_level_strips(
     omegas = _abc_schedule(iters, cfg)
     n_full, rem = divmod(iters, k)
 
-    def fix_halo(a):
-        # The kernels write only rows [pad_rows, hp-pad_rows); restore the
-        # zero halo bands before the buffer is consumed as the next input.
-        a = a.at[:pad_rows, :].set(0.0)
-        return a.at[hp - pad_rows :, :].set(0.0)
-
     call_k = _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret)
     for blk in range(n_full):
         om = jnp.asarray(omegas[blk * k : (blk + 1) * k])
         u, prev = call_k(om, u, prev, m, bh, bv, inv)
-        u, prev = fix_halo(u), fix_halo(prev)
     if rem:
         # Remainder block needs an exact rem-length schedule (omega-0 padding
         # would corrupt the Chebyshev history).
@@ -368,6 +402,277 @@ def solve_level_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Red-black Gauss-Seidel kernels (BASELINE config #2 on the fast path)
+# ---------------------------------------------------------------------------
+
+
+def _rb_iter_full(u, wl, bh, wu, bv, inv, mask_u8, red):
+    """One red-black Gauss-Seidel iteration over a full padded block: red
+    cells take the clipped weighted average of the current state, then black
+    cells of the half-updated state — the Pallas twin of
+    core.solver.red_black_iter (same op order, same clamp points)."""
+
+    def half(u, sel):
+        hh, ww = u.shape
+        ul = pltpu.roll(u, 1, 1)
+        ur = pltpu.roll(u, ww - 1, 1)
+        uu = pltpu.roll(u, 1, 0)
+        ud = pltpu.roll(u, hh - 1, 0)
+        r = jnp.clip((wl * ul + bh * ur + wu * uu + bv * ud) * inv, 0.0, 255.0)
+        return jnp.where(sel & (mask_u8 == 0), r, u)
+
+    u = half(u, red)
+    return half(u, jnp.logical_not(red))
+
+
+def _red_mask(shape, row0, parity):
+    """Checkerboard (True at red) for a block whose padded-global origin is
+    (row0, 0); ``parity`` statically folds the pad offsets so red matches the
+    UNPADDED (y+x) even rule of core.solver.red_black_parity."""
+    yy = lax.broadcasted_iota(jnp.int32, shape, 0)
+    xx = lax.broadcasted_iota(jnp.int32, shape, 1)
+    return ((yy + xx + row0 + parity) % 2) == 0
+
+
+def _resident_rb_kernel(iters, parity, m_ref, bh_ref, bv_ref, inv_ref,
+                        u_ref, out_ref, wl_scr, wu_scr):
+    """All `iters` red-black iterations with every plane VMEM-resident.
+    u_ref is aliased to out_ref; no Chebyshev history (plain GS)."""
+    del u_ref
+    wl_scr[:] = pltpu.roll(bh_ref[:], 1, 1)
+    wu_scr[:] = pltpu.roll(bv_ref[:], 1, 0)
+    red = _red_mask(out_ref.shape, 0, parity)
+
+    def body(i, _):
+        out_ref[:] = _rb_iter_full(
+            out_ref[:], wl_scr[:], bh_ref[:], wu_scr[:], bv_ref[:],
+            inv_ref[:], m_ref[:], red,
+        )
+        return 0
+
+    lax.fori_loop(0, iters, body, 0, unroll=False)
+
+
+def _rb_resident_call(depth, mask, bh, bv, inv, iters, interpret):
+    h, w = depth.shape
+    up = jnp.pad(depth.astype(jnp.float32), ((1, 1), (1, 1)))
+    mp = jnp.pad(mask.astype(jnp.uint8), ((1, 1), (1, 1)), constant_values=1)
+    # (1,1) pad offsets cancel in (y+x) parity -> offset 0.
+    kernel = functools.partial(_resident_rb_kernel, iters, 0)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h + 2, w + 2), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # inv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u (aliased to out)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, w + 2), jnp.float32),  # wl
+            pltpu.VMEM((h + 2, w + 2), jnp.float32),  # wu
+        ],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(mp, bh, bv, inv, up)
+    return out[1 : h + 1, 1 : w + 1]
+
+
+def _strip_rb_kernel(k, pad_rows, block_h, n_strips, parity,
+                     u_hbm, m_hbm, bh_hbm, bv_hbm, inv_hbm, uo_hbm,
+                     u_s, m_s, bh_s, bv_s, inv_s, wl_s, wu_s, sems):
+    """Strip-blocked red-black: same slab DMA structure as _strip_kernel but
+    one red-black iteration advances the dependency cone TWO rings (black
+    reads red-updated neighbors), so the caller sizes pad_rows >= 2k+1. No
+    Chebyshev history plane."""
+    s = pl.program_id(0)
+    row0 = s * block_h
+    slab_h = block_h + 2 * pad_rows
+
+    def dma_in(dst, src, slot):
+        cp = pltpu.make_async_copy(src.at[pl.ds(row0, slab_h), :], dst, sems.at[slot])
+        cp.start()
+        return cp
+
+    cps = [
+        dma_in(u_s, u_hbm, 0),
+        dma_in(m_s, m_hbm, 1),
+        dma_in(bh_s, bh_hbm, 2),
+        dma_in(bv_s, bv_hbm, 3),
+        dma_in(inv_s, inv_hbm, 4),
+    ]
+    for cp in cps:
+        cp.wait()
+
+    wl_s[:] = pltpu.roll(bh_s[:], 1, 1)
+    wu_s[:] = pltpu.roll(bv_s[:], 1, 0)
+    red = _red_mask(u_s.shape, row0, parity)
+
+    def body(i, _):
+        u_s[:] = _rb_iter_full(
+            u_s[:], wl_s[:], bh_s[:], wu_s[:], bv_s[:], inv_s[:], m_s[:], red
+        )
+        return 0
+
+    lax.fori_loop(0, k, body, 0, unroll=False)
+
+    uo = pltpu.make_async_copy(
+        u_s.at[pl.ds(pad_rows, block_h), :],
+        uo_hbm.at[pl.ds(row0 + pad_rows, block_h), :], sems.at[5],
+    )
+    uo.start()
+    uo.wait()
+
+    # Boundary strips emit the (provably still-zero) global halo bands so the
+    # fresh output buffer is complete — same argument as _strip_kernel.
+    @pl.when(s == 0)
+    def _write_top():
+        tu = pltpu.make_async_copy(
+            u_s.at[pl.ds(0, pad_rows), :], uo_hbm.at[pl.ds(0, pad_rows), :],
+            sems.at[6],
+        )
+        tu.start()
+        tu.wait()
+
+    @pl.when(s == n_strips - 1)
+    def _write_bottom():
+        bu = pltpu.make_async_copy(
+            u_s.at[pl.ds(pad_rows + block_h, pad_rows), :],
+            uo_hbm.at[pl.ds(row0 + pad_rows + block_h, pad_rows), :],
+            sems.at[6],
+        )
+        bu.start()
+        bu.wait()
+
+
+def _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret):
+    slab_h = block_h + 2 * pad_rows
+    # parity: rows shifted by pad_rows (multiple of 8, even), cols by the
+    # 1-px ring -> net +1 in (y+x).
+    kern = functools.partial(_strip_rb_kernel, k, pad_rows, block_h, n_strips, 1)
+    return pl.pallas_call(
+        kern,
+        grid=(n_strips,),
+        out_shape=jax.ShapeDtypeStruct((hp, wp2), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # u
+            pl.BlockSpec(memory_space=pl.ANY),  # mask
+            pl.BlockSpec(memory_space=pl.ANY),  # bh
+            pl.BlockSpec(memory_space=pl.ANY),  # bv
+            pl.BlockSpec(memory_space=pl.ANY),  # inv
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # u slab
+            pltpu.VMEM((slab_h, wp2), jnp.uint8),  # mask slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # bh slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # bv slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # inv slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # wl slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # wu slab
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+
+def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
+    """`iters` red-black iterations on the Pallas path (resident or strips by
+    VMEM footprint). Weight planes come 1-px ring-padded (from
+    _pack_weights_padded). Returns the unpadded state."""
+    h, w = depth.shape
+    if iters <= 0:
+        return depth.astype(jnp.float32)
+    # 5 f32 planes live in the resident kernel (no Chebyshev history).
+    if (h + 2) * (w + 2) * 4 * 5 <= RESIDENT_VMEM_BUDGET:
+        return _rb_resident_call(depth, mask, bh1, bv1, inv1, iters, interpret)
+
+    k = max(int(cfg.pallas_iter_block), 1)
+    # Dependencies advance 2 rings per red-black iteration.
+    pad_rows = -(-(2 * k + 1) // 8) * 8
+    wp2 = -(-(w + 2) // 128) * 128
+    max_block = (14 * 1024 * 1024) // (10 * 4 * wp2) - 2 * pad_rows
+    block_h = max(min(128, (max_block // 8) * 8), 8)
+    n_strips = -(-h // block_h)
+    hp = n_strips * block_h + 2 * pad_rows
+
+    def repad(a, dtype=jnp.float32):
+        core = a[1 : h + 1, :]
+        return jnp.pad(core.astype(dtype), ((pad_rows, hp - h - pad_rows), (0, wp2 - (w + 2))))
+
+    u = repad(jnp.pad(depth.astype(jnp.float32), ((1, 1), (1, 1))))
+    m = repad(jnp.pad(mask.astype(jnp.uint8), ((1, 1), (1, 1))), jnp.uint8)
+    bh = repad(bh1)
+    bv = repad(bv1)
+    inv = repad(inv1)
+
+    n_full, rem = divmod(iters, k)
+    call_k = _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret)
+    for _ in range(n_full):
+        u = call_k(u, m, bh, bv, inv)
+    if rem:
+        call_r = _rb_strips_call(hp, wp2, rem, pad_rows, n_strips, block_h, interpret)
+        u = call_r(u, m, bh, bv, inv)
+    return u[pad_rows : pad_rows + h, 1 : w + 1]
+
+
+def solve_level_red_black_pallas(
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    gray: jnp.ndarray,
+    level: int,
+    max_level: int,
+    iters: int,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Red-black Gauss-Seidel on the Pallas path, with the same optional
+    residual-tolerance early exit as core.solver.solve_red_black: full
+    ``residual_check_every`` chunks run in the kernels inside a while_loop;
+    a truncated final chunk (iters not divisible by the cadence) falls back
+    to the XLA iteration with a dynamic trip count, so both paths stop at
+    the identical iterate."""
+    from ..core import solver as _xla
+
+    wts = edge_weights(gray, depth, level, max_level, cfg)
+    pad = lambda a: jnp.pad(a.astype(jnp.float32), ((1, 1), (1, 1)))
+    bh1, bv1, inv1 = pad(wts.wr), pad(wts.wd), pad(wts.inv_count)
+    u0 = depth.astype(jnp.float32)
+
+    if not cfg.early_exit:
+        return _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret)
+
+    h, w = depth.shape
+    tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
+    chunk = max(int(cfg.residual_check_every), 1)
+
+    def cond(state):
+        u, i, res = state
+        return (i + chunk <= iters) & (res >= tol)
+
+    def body(state):
+        u, i, _ = state
+        u = _rb_pallas_iterations(u, mask, bh1, bv1, inv1, chunk, cfg, interpret)
+        return u, i + chunk, _xla.residual_norm(u, mask, wts)
+
+    u, i, res = lax.while_loop(
+        cond, body, (u0, jnp.int32(0), jnp.float32(jnp.inf))
+    )
+    rem = jnp.maximum(jnp.int32(iters) - i, 0)
+    red = _xla.red_black_parity(h, w)
+
+    def xla_tail(u):
+        return lax.fori_loop(
+            0, rem, lambda j, v: _xla.red_black_iter(v, mask, wts, red), u
+        )
+
+    return lax.cond((res >= tol) & (rem > 0), xla_tail, lambda u: u, u)
+
+
+# ---------------------------------------------------------------------------
 # Halo-block kernel: k sweeps on an already-halo-extended local block
 # (the multi-chip inner loop — parallel/sharded.py extends each chip's block
 # with a k-wide ppermute halo, then runs the k local sweeps here)
@@ -393,6 +698,54 @@ def _halo_block_kernel(k, om_ref, m_ref, bh_ref, bv_ref, inv_ref,
         return 0
 
     lax.fori_loop(0, k, body, 0, unroll=False)
+
+
+def _halo_block_rb_kernel(k, m_ref, bh_ref, bv_ref, inv_ref, red_ref,
+                          u_ref, uo_ref, wl_scr, wu_scr):
+    """k red-black iterations over a halo-extended block in VMEM. The red
+    checkerboard arrives as a plane (u8) because the block's global parity
+    origin is only known to the shard_map caller."""
+    del u_ref  # aliased into uo_ref
+    wl_scr[:] = pltpu.roll(bh_ref[:], 1, 1)
+    wu_scr[:] = pltpu.roll(bv_ref[:], 1, 0)
+    red = red_ref[:] != 0
+
+    def body(i, _):
+        uo_ref[:] = _rb_iter_full(
+            uo_ref[:], wl_scr[:], bh_ref[:], wu_scr[:], bv_ref[:],
+            inv_ref[:], m_ref[:], red,
+        )
+        return 0
+
+    lax.fori_loop(0, k, body, 0, unroll=False)
+
+
+def halo_block_rb_sweeps(u_e, bh_e, bv_e, inv_e, m_e, red_e, k, interpret=False):
+    """Run k red-black iterations on a halo-extended block (the multi-chip
+    red-black inner loop). The caller guarantees halo width >= 2k (each
+    iteration's black half-sweep reads red-updated neighbors, so validity
+    shrinks two rings per iteration) and crops afterwards."""
+    shp = u_e.shape
+    kern = functools.partial(_halo_block_rb_kernel, k)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(shp, jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # inv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # red
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # u
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM(shp, jnp.float32),  # wl
+            pltpu.VMEM(shp, jnp.float32),  # wu
+        ],
+        input_output_aliases={5: 0},
+        interpret=interpret,
+    )(m_e.astype(jnp.uint8), bh_e, bv_e, inv_e, red_e.astype(jnp.uint8), u_e)
 
 
 def halo_block_sweeps(u_e, p_e, bh_e, bv_e, inv_e, m_e, abc, interpret=False):

@@ -64,18 +64,11 @@ def _reflect101_pad2(a: np.ndarray) -> np.ndarray:
     return np.pad(a, pad, mode="reflect")
 
 
-def pyr_down_gray(gray: np.ndarray) -> np.ndarray:
-    """Gaussian 5-tap pyrDown for uint8, output size (H//2, W//2).
-
-    Same filter and fixed-point rounding as OpenCV's 8U pyrDown
-    (kernel outer([1,4,6,4,1]), sum 256, round-half-up), BORDER_REFLECT_101,
-    sampled at even coordinates — but with *floor* output size, which is this
-    framework's single pyramid convention.
-    """
+def _pyr_down_gray_to(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
     h, w = gray.shape
-    oh, ow = h // 2, w // 2
     p = _reflect101_pad2(gray).astype(np.int64)
-    # Horizontal pass at even output columns.
+    # Horizontal pass at even output columns (slice ends clamp, so the ceil
+    # size on an odd axis still yields exactly ow samples).
     acc = np.zeros((h + 4, ow), dtype=np.int64)
     for t in range(5):
         acc += _PYR_KI[t] * p[:, t : t + 2 * ow : 2]
@@ -86,6 +79,24 @@ def pyr_down_gray(gray: np.ndarray) -> np.ndarray:
     return ((out + 128) >> 8).astype(np.uint8)
 
 
+def pyr_down_gray(gray: np.ndarray) -> np.ndarray:
+    """Gaussian 5-tap pyrDown for uint8, output size (H//2, W//2).
+
+    Same filter and fixed-point rounding as OpenCV's 8U pyrDown
+    (kernel outer([1,4,6,4,1]), sum 256, round-half-up), BORDER_REFLECT_101,
+    sampled at even coordinates — with *floor* output size.
+    """
+    h, w = gray.shape
+    return _pyr_down_gray_to(gray, h // 2, w // 2)
+
+
+def pyr_down_gray_ceil(gray: np.ndarray) -> np.ndarray:
+    """cv::pyrDown's native ceil output size — bit-exact with cv2.pyrDown
+    (tests/test_faithful.py). Feeds the reference-faithful gray chain."""
+    h, w = gray.shape
+    return _pyr_down_gray_to(gray, (h + 1) // 2, (w + 1) // 2)
+
+
 def pyr_up(src: np.ndarray, out_shape: tuple) -> np.ndarray:
     """Gaussian pyrUp for float32 to an explicit target size.
 
@@ -93,14 +104,18 @@ def pyr_up(src: np.ndarray, out_shape: tuple) -> np.ndarray:
     (cv::pyrUp semantics, src/main.cpp:273/277), reflect-101 borders, floor
     convention: target may be 2h or 2h+1 per axis.
 
-    Border semantics match cv::pyrUp: reflect-101 applied to the
-    *zero-inserted* grid (which differs from reflecting the source at the
-    bottom/right edge); an odd-size target appends the reflect-101 of the
-    output itself (out[2h] = out[2h-2]).
+    Border semantics match cv::pyrUp (verified against cv2 directly in
+    tests/test_faithful.py): reflect-101 applied to the *zero-inserted*
+    grid, and the odd-size extension is AXIS-ASYMMETRIC the way OpenCV's
+    horizontal-then-vertical implementation makes it — an odd-height target
+    copies the previous even output row (out[2h] = out[2h-2]) while an
+    odd-width target takes the last *source* column at full kernel weight
+    (out[:, 2w] = 8*src[:, w-1]/8, i.e. the vertically-filtered last
+    column).
     """
     oh, ow = out_shape
 
-    def axis_up(a: np.ndarray, n_out: int) -> np.ndarray:
+    def axis_up(a: np.ndarray, n_out: int, odd_copy_out: bool) -> np.ndarray:
         h = a.shape[0]
         z = np.zeros((2 * h,) + a.shape[1:], dtype=F32)
         z[0::2] = a
@@ -113,11 +128,12 @@ def pyr_up(src: np.ndarray, out_shape: tuple) -> np.ndarray:
             + zp[4 : 2 * h + 4]
         ) * F32(0.125)
         if n_out == 2 * h + 1:
-            out = np.concatenate([out, out[2 * h - 2 : 2 * h - 1]], axis=0)
+            extra = out[2 * h - 2 : 2 * h - 1] if odd_copy_out else a[h - 1 : h]
+            out = np.concatenate([out, extra.astype(F32)], axis=0)
         return out[:n_out]
 
-    t = axis_up(src.astype(F32), oh)
-    t = np.moveaxis(axis_up(np.moveaxis(t, 1, 0), ow), 0, 1)
+    t = axis_up(src.astype(F32), oh, odd_copy_out=True)
+    t = np.moveaxis(axis_up(np.moveaxis(t, 1, 0), ow, odd_copy_out=False), 0, 1)
     return t.astype(F32)
 
 
@@ -389,8 +405,13 @@ def solve_pyramid(
     grays = [gray0]
     masks = [mask0]
     values = [value0]
+    gray_full = gray0  # ceil chain for gray_pyramid="opencv" (see multigrid)
     for l in range(1, levels):
-        grays.append(pyr_down_gray(grays[-1])[: sizes[l][0], : sizes[l][1]])
+        if cfg.gray_pyramid == "opencv":
+            gray_full = pyr_down_gray_ceil(gray_full)
+            grays.append(gray_full[: sizes[l][0], : sizes[l][1]])
+        else:
+            grays.append(pyr_down_gray(grays[-1])[: sizes[l][0], : sizes[l][1]])
         m, v = annotation_pyr_down(masks[-1], values[-1], sizes[l])
         masks.append(m)
         values.append(v)

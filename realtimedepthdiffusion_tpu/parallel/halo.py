@@ -32,23 +32,24 @@ def extend_with_halo(x: jnp.ndarray, k: int, axis_y: str = "dy", axis_x: str = "
     columns of the row-extended block) also carries true diagonal-neighbor
     data into the corners — more than a 5-point stencil strictly needs within
     k sweeps, but exact. Must be called inside shard_map over
-    (axis_y, axis_x)."""
+    (axis_y, axis_x). The spatial block is the LAST two axes; leading axes
+    (e.g. a local batch) ride along — one exchange serves the whole local
+    batch."""
     ny = lax.axis_size(axis_y)
     nx = lax.axis_size(axis_x)
-    h, w = x.shape
 
     # My top halo is the up-neighbor's bottom k rows: data flows i-1 -> i,
     # i.e. perm pairs (i, i+1) with every source sending its bottom rows.
-    top_halo = lax.ppermute(x[-k:, :], axis_y, _perm(ny, up=False))
+    top_halo = lax.ppermute(x[..., -k:, :], axis_y, _perm(ny, up=False))
     # My bottom halo is the down-neighbor's top k rows: flows i+1 -> i.
-    bot_halo = lax.ppermute(x[:k, :], axis_y, _perm(ny, up=True))
-    xv = jnp.concatenate([top_halo, x, bot_halo], axis=0)  # (h+2k, w)
+    bot_halo = lax.ppermute(x[..., :k, :], axis_y, _perm(ny, up=True))
+    xv = jnp.concatenate([top_halo, x, bot_halo], axis=-2)  # (..., h+2k, w)
 
-    left_halo = lax.ppermute(xv[:, -k:], axis_x, _perm(nx, up=False))
-    right_halo = lax.ppermute(xv[:, :k], axis_x, _perm(nx, up=True))
-    return jnp.concatenate([left_halo, xv, right_halo], axis=1)  # (h+2k, w+2k)
+    left_halo = lax.ppermute(xv[..., :, -k:], axis_x, _perm(nx, up=False))
+    right_halo = lax.ppermute(xv[..., :, :k], axis_x, _perm(nx, up=True))
+    return jnp.concatenate([left_halo, xv, right_halo], axis=-1)  # (..., h+2k, w+2k)
 
 
 def crop_halo(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Drop the k-wide halo ring."""
-    return x[k:-k, k:-k]
+    """Drop the k-wide halo ring (last two axes)."""
+    return x[..., k:-k, k:-k]

@@ -4,13 +4,18 @@ mesh).
 Scale-out design (SURVEY.md §5 "long-context" analog): each image is
 partitioned into a dy x dx grid of per-chip blocks; every k sweeps the chips
 exchange a k-wide halo over ICI (parallel/halo.py) and run k purely-local
-Jacobi+Chebyshev sweeps — iteration blocking that amortizes ICI latency
-exactly like the single-chip Pallas kernel amortizes HBM traffic. Coarse
-pyramid levels whose blocks would be thinner than the halo run replicated
-(they are tiny); fine levels run sharded. The 'batch' axis is plain data
-parallelism over independent images (the framework's serving axis; the
-reference is strictly single-image).
+sweeps — iteration blocking that amortizes ICI latency exactly like the
+single-chip Pallas kernel amortizes HBM traffic. Coarse pyramid levels whose
+blocks would be thinner than the halo run replicated (they are tiny); fine
+levels run sharded. The 'batch' axis is plain data parallelism over
+independent images (the framework's serving axis; the reference is strictly
+single-image): the batched step shard_maps over ALL THREE axes and iterates
+the local batch inside the shard, so the Pallas halo-block VMEM kernels run
+in batched serving too (no vmap-over-pallas, which has no batching rule for
+ANY-memory-space operands).
 
+Solvers: the reference algorithm (jacobi_chebyshev) and red-black
+Gauss-Seidel with a pmax'd global residual early exit (BASELINE config #2).
 Numerics are identical to core.solver (same sweep, schedule, masking), so
 single-chip and sharded solves agree to fp rounding.
 """
@@ -36,6 +41,8 @@ from .halo import crop_halo, extend_with_halo
 # Halo width == sweeps between exchanges.
 DEFAULT_HALO = 8
 
+_SHARDED_SOLVERS = ("jacobi_chebyshev", "red_black")
+
 
 def _pad_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
@@ -45,7 +52,7 @@ def _use_pallas(cfg: DiffusionConfig) -> str:
     """'pallas' | 'pallas_interpret' | 'jnp' for the in-shard sweep blocks."""
     if cfg.backend == "pallas_interpret":
         return "pallas_interpret"
-    if cfg.backend in ("pallas", "auto") and cfg.solver == "jacobi_chebyshev":
+    if cfg.backend in ("pallas", "auto") and cfg.solver in _SHARDED_SOLVERS:
         from ..ops.dispatch import _is_tpu
 
         if cfg.backend == "pallas" or _is_tpu():
@@ -53,14 +60,28 @@ def _use_pallas(cfg: DiffusionConfig) -> str:
     return "jnp"
 
 
-def _sharded_level_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig):
-    """Build the shard_map'd fixed-iteration solver for one level geometry.
+def _foreach_image(fn, *arrays):
+    """Apply a 2-D block function over an optional leading local-batch axis
+    (static python loop — the in-shard batch is tiny and vmap cannot batch
+    the ANY/VMEM Pallas operands)."""
+    if arrays[0].ndim == 2:
+        return fn(*arrays)
+    outs = [fn(*(a[i] for a in arrays)) for i in range(arrays[0].shape[0])]
+    if isinstance(outs[0], tuple):
+        return tuple(jnp.stack(parts) for parts in zip(*outs))
+    return jnp.stack(outs)
 
-    Expects globally padded (H,W) arrays whose dims divide (dy,dx); pad
-    pixels must be masked (Dirichlet 0) and carry zero weights. Each k-sweep
-    block between halo exchanges runs as ONE Pallas VMEM kernel on TPU (the
-    multi-chip composition of the single-chip iteration blocking), or as an
-    equivalent jnp roll-based loop elsewhere.
+
+def _sharded_level_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
+                      batched: bool = False):
+    """Build the shard_map'd fixed-iteration Jacobi+Chebyshev solver for one
+    level geometry.
+
+    Expects globally padded (..., H, W) arrays whose spatial dims divide
+    (dy,dx); pad pixels must be masked (Dirichlet 0) and carry zero weights.
+    Each k-sweep block between halo exchanges runs as ONE Pallas VMEM kernel
+    on TPU (the multi-chip composition of the single-chip iteration
+    blocking), or as an equivalent jnp roll-based loop elsewhere.
     """
     from ..ops.pallas_sweep import _abc_schedule, halo_block_sweeps
 
@@ -71,16 +92,16 @@ def _sharded_level_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig):
     def jnp_block(u_e, p_e, bh_e, bv_e, inv_e, m_e, abc):
         """jnp twin of the Pallas halo-block kernel (roll wraparound only
         corrupts the block edge ring, absorbed by the k-wide halo)."""
-        wl_e = jnp.roll(bh_e, 1, 1)
-        wu_e = jnp.roll(bv_e, 1, 0)
+        wl_e = jnp.roll(bh_e, 1, -1)
+        wu_e = jnp.roll(bv_e, 1, -2)
         for j in range(abc.shape[0]):
             a, b, c = (jnp.float32(abc[j, t]) for t in range(3))
             r = jnp.clip(
                 (
-                    wl_e * jnp.roll(u_e, 1, 1)
-                    + bh_e * jnp.roll(u_e, -1, 1)
-                    + wu_e * jnp.roll(u_e, 1, 0)
-                    + bv_e * jnp.roll(u_e, -1, 0)
+                    wl_e * jnp.roll(u_e, 1, -1)
+                    + bh_e * jnp.roll(u_e, -1, -1)
+                    + wu_e * jnp.roll(u_e, 1, -2)
+                    + bv_e * jnp.roll(u_e, -1, -2)
                 )
                 * inv_e,
                 0.0,
@@ -104,9 +125,13 @@ def _sharded_level_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig):
             if mode == "jnp":
                 u_e, p_e = jnp_block(u_e, p_e, bh_e, bv_e, inv_e, m_e, abc)
             else:
-                u_e, p_e = halo_block_sweeps(
-                    u_e, p_e, bh_e, bv_e, inv_e, m_e, jnp.asarray(abc),
-                    interpret=(mode == "pallas_interpret"),
+                abc_d = jnp.asarray(abc)
+                u_e, p_e = _foreach_image(
+                    lambda ue, pe, bhe, bve, inve, me: halo_block_sweeps(
+                        ue, pe, bhe, bve, inve, me, abc_d,
+                        interpret=(mode == "pallas_interpret"),
+                    ),
+                    u_e, p_e, bh_e, bv_e, inv_e, m_e,
                 )
             return crop_halo(u_e, k), crop_halo(p_e, k)
 
@@ -116,7 +141,7 @@ def _sharded_level_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig):
             u, prev = sweeps(u, prev, abc_all[n_full * k :])
         return u
 
-    spec = P("dy", "dx")
+    spec = P("batch", "dy", "dx") if batched else P("dy", "dx")
     return jax.shard_map(
         local,
         mesh=mesh,
@@ -126,6 +151,146 @@ def _sharded_level_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig):
         # annotation; skip the checker (all outputs vary over dy/dx).
         check_vma=False,
     )
+
+
+def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
+                         batched: bool = False):
+    """Build the shard_map'd red-black Gauss-Seidel solver for one level
+    geometry, with the optional residual early exit made global by a pmax
+    over the spatial mesh axes: every chip sees the same max-norm residual,
+    so all agree on the stopping iteration (BASELINE config #2, multi-chip).
+
+    One red-black iteration advances the dependency cone two rings (black
+    reads red-updated neighbors), so blocks exchange a 2k-wide halo per k
+    iterations. Returns (u, iters_done, residual); when early exit is off,
+    iters_done == iters and residual is +inf.
+    """
+    from ..ops.pallas_sweep import halo_block_rb_sweeps
+
+    mode = _use_pallas(cfg)
+    ew = 2 * k  # halo width per k-iteration block
+    tol = np.float32(cfg.tolerance) * np.float32(255.0)
+    chunk = max(int(cfg.residual_check_every), 1)
+
+    def jnp_rb_block(u_e, bh_e, bv_e, inv_e, m_e, red_e, n):
+        wl_e = jnp.roll(bh_e, 1, -1)
+        wu_e = jnp.roll(bv_e, 1, -2)
+
+        def half(u, sel):
+            r = jnp.clip(
+                (
+                    wl_e * jnp.roll(u, 1, -1)
+                    + bh_e * jnp.roll(u, -1, -1)
+                    + wu_e * jnp.roll(u, 1, -2)
+                    + bv_e * jnp.roll(u, -1, -2)
+                )
+                * inv_e,
+                0.0,
+                255.0,
+            )
+            return jnp.where(sel & ~m_e, r, u)
+
+        for _ in range(n):
+            u_e = half(u_e, red_e)
+            u_e = half(u_e, ~red_e)
+        return u_e
+
+    def local(u, bh, bv, inv, m):
+        sp = u.shape[-2:]
+        # Global origin of this block (in padded-global coords) for the red
+        # checkerboard parity: red == ((y + x) % 2 == 0) globally.
+        oy = lax.axis_index("dy") * sp[0]
+        ox = lax.axis_index("dx") * sp[1]
+        eshape = (sp[0] + 2 * ew, sp[1] + 2 * ew)
+        yy = lax.broadcasted_iota(jnp.int32, eshape, 0)
+        xx = lax.broadcasted_iota(jnp.int32, eshape, 1)
+        red_e2 = ((yy + xx + oy + ox - 2 * ew) % 2) == 0
+        if u.ndim == 3:
+            red_e2 = jnp.broadcast_to(red_e2, (u.shape[0],) + eshape)
+
+        ext = lambda a: extend_with_halo(a, ew)
+        bh_e, bv_e, inv_e, m_e = ext(bh), ext(bv), ext(inv), ext(m)
+        # 1-ring-extended invariants for the residual probe.
+        c1 = lambda a: a[..., ew - 1 : -(ew - 1), ew - 1 : -(ew - 1)]
+        bh_1, bv_1, inv_1 = c1(bh_e), c1(bv_e), c1(inv_e)
+        wl_1 = jnp.roll(bh_1, 1, -1)
+        wu_1 = jnp.roll(bv_1, 1, -2)
+
+        def rb_iters(u_c, n):
+            """One 2k-halo exchange + n <= k local red-black iterations."""
+            u_e = ext(u_c)
+            if mode == "jnp":
+                u_e = jnp_rb_block(u_e, bh_e, bv_e, inv_e, m_e, red_e2, n)
+            else:
+                u_e = _foreach_image(
+                    lambda ue, bhe, bve, inve, me, rede: halo_block_rb_sweeps(
+                        ue, bhe, bve, inve, me, rede, n,
+                        interpret=(mode == "pallas_interpret"),
+                    ),
+                    u_e, bh_e, bv_e, inv_e, m_e, red_e2,
+                )
+            return crop_halo(u_e, ew)
+
+        def run_chunk(u_c, n_iters):
+            n_full, rem_i = divmod(n_iters, k)
+            for _ in range(n_full):
+                u_c = rb_iters(u_c, k)
+            if rem_i:
+                u_c = rb_iters(u_c, rem_i)
+            return u_c
+
+        def local_residual(u_c):
+            """Max-norm residual of this block, pmax'd to a global value
+            (core.solver.residual_norm semantics: |relax(u) - u| off-mask)."""
+            u_1 = extend_with_halo(u_c, 1)
+            r = jnp.clip(
+                (
+                    wl_1 * jnp.roll(u_1, 1, -1)
+                    + bh_1 * jnp.roll(u_1, -1, -1)
+                    + wu_1 * jnp.roll(u_1, 1, -2)
+                    + bv_1 * jnp.roll(u_1, -1, -2)
+                )
+                * inv_1,
+                0.0,
+                255.0,
+            )
+            d = jnp.abs(crop_halo(r, 1) - u_c)
+            res = jnp.max(jnp.where(m, 0.0, d))
+            res = lax.pmax(lax.pmax(res, "dy"), "dx")
+            if batched:
+                res = lax.pmax(res, "batch")
+            return res
+
+        if not cfg.early_exit:
+            return run_chunk(u, iters), jnp.int32(iters), jnp.float32(jnp.inf)
+
+        def cond(state):
+            u_c, i, res = state
+            return (i + chunk <= iters) & (res >= tol)
+
+        def body(state):
+            u_c, i, _ = state
+            u_c = run_chunk(u_c, chunk)
+            return u_c, i + chunk, local_residual(u_c)
+
+        return lax.while_loop(
+            cond, body, (u, jnp.int32(0), jnp.float32(jnp.inf))
+        )
+
+    spec = P("batch", "dy", "dx") if batched else P("dy", "dx")
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec,) * 5,
+        out_specs=(spec, P(), P()),
+        check_vma=False,
+    )
+
+
+def _batched_edge_weights(gray, depth, level, max_level, cfg):
+    if gray.ndim == 2:
+        return edge_weights(gray, depth, level, max_level, cfg)
+    return jax.vmap(lambda g, d: edge_weights(g, d, level, max_level, cfg))(gray, depth)
 
 
 def solve_level_sharded(
@@ -142,30 +307,59 @@ def solve_level_sharded(
     """Sharded equivalent of core.solver.solve_level: weights from the
     incoming depth, pad to the mesh grid, iterate with halo exchange, crop.
 
-    Only the reference solver is implemented multi-chip in this round."""
-    if cfg.solver != "jacobi_chebyshev":
+    Accepts (H, W) arrays or (B, H, W) batches (the batched step's in-shard
+    path). Solvers: jacobi_chebyshev (reference) and red_black (+ early
+    exit with a globally agreed pmax residual)."""
+    if cfg.solver not in _SHARDED_SOLVERS:
         raise NotImplementedError(
-            f"multi-chip path implements solver='jacobi_chebyshev' only, "
-            f"got {cfg.solver!r}; use the single-chip pipeline for extended "
-            f"solvers"
+            f"multi-chip path implements solvers {_SHARDED_SOLVERS}, got "
+            f"{cfg.solver!r}; use the single-chip pipeline for 'jacobi'"
         )
-    h, w = depth.shape
+    batched = depth.ndim == 3
+    h, w = depth.shape[-2:]
     dy, dx = mesh.shape["dy"], mesh.shape["dx"]
-    wts = edge_weights(gray, depth, level, max_level, cfg)
+    wts = _batched_edge_weights(gray, depth, level, max_level, cfg)
 
     hp, wp = _pad_up(h, dy), _pad_up(w, dx)
+    lead = [(0, 0)] * (depth.ndim - 2)
     pad = lambda a, fill: jnp.pad(
-        a, ((0, hp - h), (0, wp - w)), constant_values=fill
+        a, lead + [(0, hp - h), (0, wp - w)], constant_values=fill
     )
     u = pad(depth.astype(jnp.float32), 0.0)
     m = pad(mask, True)  # pad pixels are Dirichlet-pinned at 0
     # Packed symmetric planes: bh = pair weight (x,x+1) = wr; bv = wd.
     planes = [pad(p, 0.0) for p in (wts.wr, wts.wd, wts.inv_count)]
-    prev = jnp.zeros_like(u)
 
-    fn = _sharded_level_fn(mesh, halo, iters, cfg)
+    if cfg.solver == "red_black":
+        fn = _sharded_level_rb_fn(mesh, halo, iters, cfg, batched)
+        out, done, res = fn(u, *planes, m)
+        out = out[..., :h, :w]
+        if not cfg.early_exit:
+            return out
+        # Truncated final chunk (iters not divisible by the check cadence):
+        # identical tail to the single-chip path, as plain (GSPMD-sharded)
+        # XLA ops with a dynamic trip count.
+        from ..core.solver import red_black_iter, red_black_parity
+
+        rem = jnp.maximum(jnp.int32(iters) - done, 0)
+        red = red_black_parity(h, w)
+        step = (
+            (lambda v: jax.vmap(
+                lambda vi, mi, *ws: red_black_iter(
+                    vi, mi, type(wts)(*ws), red
+                )
+            )(v, mask, *wts))
+            if batched
+            else (lambda v: red_black_iter(v, mask, wts, red))
+        )
+        tail = lambda v: lax.fori_loop(0, rem, lambda j, x: step(x), v)
+        tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
+        return lax.cond((res >= tol) & (rem > 0), tail, lambda v: v, out)
+
+    prev = jnp.zeros_like(u)
+    fn = _sharded_level_fn(mesh, halo, iters, cfg, batched)
     out = fn(u, prev, *planes, m)
-    return out[:h, :w]
+    return out[..., :h, :w]
 
 
 def solve_cascade_sharded(
@@ -183,24 +377,43 @@ def solve_cascade_sharded(
     the tiny coarse levels run as ordinary global XLA ops (GSPMD replicates
     or subdivides them as it sees fit — they are microseconds of work).
 
-    Only the reference solver/multigrid pair is implemented multi-chip.
+    Accepts single images or batches (leading axis). Solvers:
+    jacobi_chebyshev and red_black; the V-cycle scheme remains single-chip
+    (its coarse-grid work is too small to shard profitably).
     """
-    if cfg.solver != "jacobi_chebyshev" or cfg.multigrid != "cascadic":
+    if cfg.solver not in _SHARDED_SOLVERS or cfg.multigrid != "cascadic":
         raise NotImplementedError(
-            "multi-chip path implements solver='jacobi_chebyshev' with "
+            f"multi-chip path implements solvers {_SHARDED_SOLVERS} with "
             f"multigrid='cascadic' only, got ({cfg.solver!r}, {cfg.multigrid!r})"
         )
     from ..core.solver import solve_level  # local import to avoid cycle
 
+    batched = mask0.ndim == 3
     levels = len(gray_pyr)
     L = levels - 1
-    sizes = [g.shape for g in gray_pyr]
+    sizes = [g.shape[-2:] for g in gray_pyr]
     dy, dx = mesh.shape["dy"], mesh.shape["dx"]
+
+    _ann_down = (
+        (lambda m, v, s: jax.vmap(lambda mi, vi: annotation_pyr_down(mi, vi, s))(m, v))
+        if batched
+        else annotation_pyr_down
+    )
+    _pyr_up = (
+        (lambda d, s: jax.vmap(lambda di: pyr_up(di, s))(d)) if batched else pyr_up
+    )
+    _solve_level_xla = (
+        (lambda d, m, g, lv, it: jax.vmap(
+            lambda di, mi, gi: solve_level(di, mi, gi, lv, L, it, cfg)
+        )(d, m, g))
+        if batched
+        else (lambda d, m, g, lv, it: solve_level(d, m, g, lv, L, it, cfg))
+    )
 
     masks = [mask0]
     values = [value0]
     for l in range(1, levels):
-        m, v = annotation_pyr_down(masks[-1], values[-1], sizes[l])
+        m, v = _ann_down(masks[-1], values[-1], sizes[l])
         masks.append(m)
         values.append(v)
 
@@ -215,11 +428,11 @@ def solve_cascade_sharded(
                 mesh, cfg, halo,
             )
         else:
-            state[level] = solve_level(
-                state[level], masks[level], gray_pyr[level], level, L, iters, cfg
+            state[level] = _solve_level_xla(
+                state[level], masks[level], gray_pyr[level], level, iters
             )
         if level > 0:
-            up = pyr_up(state[level], sizes[level - 1])
+            up = _pyr_up(state[level], sizes[level - 1])
             state[level - 1] = seed_depth(up, masks[level - 1], values[level - 1])
     return state[0], tuple(state)
 
@@ -239,34 +452,27 @@ def batched_step(
     value_batch, depth_state_batch) -> (depth_batch, new_state, effect_batch).
     This is the "training step" analog the driver dry-runs multi-chip.
 
-    NOTE: the batched path forces the XLA in-shard sweeps — Pallas TPU
-    kernels with ANY-memory-space operands currently have no vmap batching
-    rule (JAX limitation), so vmap(pallas strip kernel) fails to lower.
-    Single-image multi-chip solves (solve_cascade_sharded) keep the Pallas
-    halo-block kernel.
+    The solve levels shard over all three mesh axes with the local batch
+    iterated INSIDE the shard, so the Pallas halo-block VMEM kernels serve
+    the batched path too (vmap over ANY-memory-space Pallas operands has no
+    batching rule — the round-1 limitation this structure removes). The glue
+    (gray pyramid, annotation pyramids, pyrUp, effects) runs as batched
+    global XLA ops that GSPMD partitions along 'batch'.
     """
-    import dataclasses
-
     from ..core.color import rgb_to_gray
     from ..core.multigrid import build_gray_pyramid, initial_depth_state
 
-    if cfg.backend in ("auto", "pallas"):
-        cfg = dataclasses.replace(cfg, backend="xla")
-
-    def single(rgb, mask, value, depth_state):
-        gray0 = rgb_to_gray(rgb)
-        gpyr = build_gray_pyramid(gray0, cfg)
+    def step(rgb, mask, value, depth_state):
+        gray0 = jax.vmap(rgb_to_gray)(rgb)
+        gpyr = jax.vmap(lambda g: build_gray_pyramid(g, cfg))(gray0)
         depth0, new_state = solve_cascade_sharded(
             gpyr, mask, value, depth_state, mesh, cfg, halo
         )
-        out = fx.apply_effect(effect, rgb, gray0, jnp.clip(depth0, 0.0, 255.0), cfg)
+        out = jax.vmap(
+            lambda r, g, d: fx.apply_effect(effect, r, g, d, cfg)
+        )(rgb, gray0, jnp.clip(depth0, 0.0, 255.0))
         return depth0, new_state, out
 
-    # Batch axis: vmap; XLA partitions it over 'batch' via the input
-    # shardings below.
-    step = jax.vmap(single)
-
-    batch_spec = P("batch")
     img_spec = P("batch", "dy", "dx")
 
     def shardings():

@@ -71,6 +71,68 @@ def test_strip_kernel_level_weight_rule(rng):
     np.testing.assert_allclose(got, want, atol=5e-3)
 
 
+@pytest.mark.parametrize("iters", [1, 6, 13])
+def test_rb_resident_kernel_matches_xla(rng, iters):
+    """Red-black Pallas (resident) == core.solver red-black, same iterate."""
+    gray, mask, depth = _case(rng, 49, 67)
+    cfg = DiffusionConfig(solver="red_black")
+    want = np.asarray(
+        solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, iters, cfg)
+    )
+    got = np.asarray(
+        ps.solve_level_red_black_pallas(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, iters, cfg,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    assert np.array_equal(got[mask], depth[mask])
+
+
+@pytest.mark.parametrize("iters", [4, 9])
+def test_rb_strip_kernel_matches_xla(rng, iters):
+    """Red-black strip kernel (2-rings-per-iteration halo) == XLA red-black,
+    forced onto the strip path via a tiny VMEM budget."""
+    gray, mask, depth = _case(rng, 49, 67)
+    cfg = DiffusionConfig(solver="red_black", pallas_iter_block=4)
+    want = np.asarray(
+        solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, iters, cfg)
+    )
+    # Route through the public entry but force strips by shrinking the budget.
+    budget = ps.RESIDENT_VMEM_BUDGET
+    ps.RESIDENT_VMEM_BUDGET = 0
+    try:
+        got = np.asarray(
+            ps.solve_level_red_black_pallas(
+                jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, iters, cfg,
+                interpret=True,
+            )
+        )
+    finally:
+        ps.RESIDENT_VMEM_BUDGET = budget
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    assert np.array_equal(got[mask], depth[mask])
+
+
+def test_rb_pallas_early_exit_matches_xla(rng):
+    """Early-exit red-black on the Pallas path stops at the same iterate as
+    the XLA while_loop version (chunked residual cadence + truncated tail)."""
+    gray, mask, depth = _case(rng, 40, 56)
+    cfg = DiffusionConfig(solver="red_black", early_exit=True,
+                          residual_check_every=6, tolerance=1e-4)
+    iters = 20  # 3 full chunks of 6 + truncated tail of 2
+    want = np.asarray(
+        solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, iters, cfg)
+    )
+    got = np.asarray(
+        ps.solve_level_red_black_pallas(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, iters, cfg,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
 def test_full_cascade_pallas_interpret_backend():
     """End-to-end cascade with backend='pallas_interpret' matches the XLA
     cascade (the dispatch path the TPU bench takes, minus compilation)."""

@@ -114,6 +114,91 @@ def test_batched_step_runs_and_pins_scribbles():
     assert len(state) == cfg.num_levels(64, 64)
 
 
+def test_sharded_red_black_matches_single_chip(rng):
+    """Sharded red-black (2k-halo color-masked blocks) == core red-black."""
+    mesh = make_mesh(8)
+    cfg = DiffusionConfig(solver="red_black")
+    h, w = 65, 97
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    mask = rng.random((h, w)) < 0.06
+    val = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    depth = oracle.seed_depth(np.full((h, w), 255.0, np.float32), mask, val)
+
+    got = np.asarray(
+        sharded.solve_level_sharded(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, 13,
+            mesh, cfg, halo=4,
+        )
+    )
+    want = np.asarray(
+        solver.solve_level(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, 13, cfg
+        )
+    )
+    assert np.sqrt(np.mean(((got - want) / 255.0) ** 2)) < 1e-4
+    assert np.array_equal(got[mask], depth[mask])
+
+
+def test_sharded_red_black_early_exit_matches_single_chip(rng):
+    """Config #2 multi-chip: pmax'd global residual early exit stops the
+    sharded solve at the same iterate as the single-chip while_loop,
+    including the truncated final chunk."""
+    mesh = make_mesh(8)
+    cfg = DiffusionConfig(solver="red_black", early_exit=True,
+                          residual_check_every=6, tolerance=1e-4)
+    h, w = 64, 96
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    mask = rng.random((h, w)) < 0.06
+    val = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    depth = oracle.seed_depth(np.full((h, w), 255.0, np.float32), mask, val)
+    args = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray))
+
+    got = np.asarray(
+        sharded.solve_level_sharded(*args, 1, 1, 20, mesh, cfg, halo=4)
+    )
+    want = np.asarray(solver.solve_level(*args, 1, 1, 20, cfg))
+    assert np.sqrt(np.mean(((got - want) / 255.0) ** 2)) < 1e-4
+
+
+def test_sharded_cascade_red_black_parity():
+    """solve_cascade_sharded with solver='red_black' (config #2 end-to-end,
+    the round-1 NotImplementedError lifted)."""
+    mesh = make_mesh(8)
+    cfg = DiffusionConfig(max_iterations=24, solver="red_black",
+                          early_exit=True, residual_check_every=8)
+    rgb, m0, v0 = synthetic_pair(64, 96, 3)
+    g0 = oracle.rgb_to_gray(rgb)
+    gp = multigrid.build_gray_pyramid(jnp.asarray(g0), cfg)
+
+    st = multigrid.initial_depth_state(64, 96, cfg)
+    d_s, _ = sharded.solve_cascade_sharded(
+        gp, jnp.asarray(m0), jnp.asarray(v0), st, mesh, cfg, halo=4
+    )
+    st = multigrid.initial_depth_state(64, 96, cfg)
+    d_1, _ = multigrid.solve_cascade(gp, jnp.asarray(m0), jnp.asarray(v0), st, cfg)
+    rmse = float(jnp.sqrt(jnp.mean(((d_s - d_1) / 255.0) ** 2)))
+    assert rmse <= 1e-3, rmse
+
+
+def test_batched_step_takes_pallas_branch():
+    """The batched serving path must run the Pallas halo-block kernels
+    in-shard (interpret mode on the CPU mesh) and agree with the XLA-mode
+    batched step — the round-1 vmap-over-pallas limitation removed."""
+    mesh = make_mesh(8)
+    cfg_p = DiffusionConfig(max_iterations=16, backend="pallas_interpret")
+    cfg_x = DiffusionConfig(max_iterations=16, backend="xla")
+    # The kernel branch must actually be reachable from batched_step:
+    assert sharded._use_pallas(cfg_p) == "pallas_interpret"
+
+    fn_p, make_args = sharded.batched_step(mesh, 64, 64, cfg_p)
+    fn_x, _ = sharded.batched_step(mesh, 64, 64, cfg_x)
+    args = make_args(2)
+    d_p, _, out_p = fn_p(*args)
+    d_x, _, out_x = fn_x(*args)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=5e-3)
+    assert out_p.shape == (2, 64, 64, 3)
+
+
 def test_sharded_level_pallas_interpret(rng):
     """The multi-chip halo-block path through the Pallas kernel (interpret
     mode on the CPU mesh) matches the jnp in-shard path."""
