@@ -2,8 +2,10 @@
 
 Headline metric (BASELINE.md): ms per annotation update at 1080p on one TPU
 core — a full coarse-to-fine solve (5 levels, 1937 Jacobi+Chebyshev sweeps:
-1000/500/250/125/62) PLUS the fused haze effect, the same work the reference
-performs per frame under ``--live`` (src/main.cpp:232-295).
+1000/500/250/125/62) PLUS the fused DEFOCUS effect — the reference's most
+expensive kernel (O(k^2) gather, src/GPUDepthEffect.cu:29-72), i.e. the
+WORST-CASE frame, the same work the reference performs per frame under
+``--live`` with refocus latched (src/main.cpp:190-202,232-295).
 ``vs_baseline`` = 16 ms target / measured ms (>1 means faster than target).
 
 Methodology: this environment reaches the TPU through a network relay with
@@ -81,10 +83,11 @@ def main():
     state0 = multigrid.initial_depth_state(h, w, cfg)
 
     def frame(state):
-        """One annotation update: full solve + fused haze effect."""
+        """One annotation update: full solve + fused defocus (worst-case
+        effect — haze/desaturation frames are strictly cheaper)."""
         depth0, state = multigrid.solve_cascade(gpyr, mask_d, value_d, state, cfg)
         out = fx.apply_effect(
-            fx.EFFECT_HAZE, rgb_d, gpyr[0], jnp.clip(depth0, 0.0, 255.0), cfg
+            fx.EFFECT_DEFOCUS, rgb_d, gpyr[0], jnp.clip(depth0, 0.0, 255.0), cfg
         )
         return state, out
 
@@ -131,7 +134,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "1080p solve+effect ms/frame (1937 Chebyshev sweeps, 5-level cascade, 1 TPU core, relay-RTT-excluded)",
+                "metric": "1080p solve+defocus ms/frame, worst-case effect (1937 Chebyshev sweeps, 5-level cascade, 1 TPU core, relay-RTT-excluded)",
                 "value": round(dt_ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(16.0 / dt_ms, 3),

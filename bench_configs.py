@@ -15,7 +15,6 @@ All numbers are per-frame device times via the K-chained methodology
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import sys
 import time
@@ -119,21 +118,24 @@ def main():
     emit("config4 full V-cycle 1080p (warm cascade + 2 cycles)", ms,
          extra={"within_16ms_budget": bool(ms < 16.0)})
 
-    # 5. Live loop: incremental re-solve (warm, reduced budget) + fused haze.
+    # 5. Live loop: LOCALIZED incremental re-solve (dirty-window solve at the
+    # fine levels + coarse far-field delta, core/incremental.py) + fused haze.
+    from realtimedepthdiffusion_tpu.core.incremental import solve_incremental
+
     cfg5 = DiffusionConfig(incremental_iterations=120)
-    inc_cfg = dataclasses.replace(cfg5, max_iterations=120)
     _, warm = jax.jit(
         lambda m, v, s: multigrid.solve_cascade(gp, m, v, s, cfg5)
     )(mask_d, value_d, multigrid.initial_depth_state(h, w, cfg5))
+    center = jnp.asarray([140, 230], jnp.int32)  # at the first scribble block
     def live_step(state):
-        d0, s = multigrid.solve_cascade(gp, mask_d, value_d, state, inc_cfg)
+        d0, s = solve_incremental(gp, mask_d, value_d, state, center, cfg5)
         out = fx.apply_effect(fx.EFFECT_HAZE, rgb_d, gray0,
-                              jnp.clip(d0, 0.0, 255.0), inc_cfg)
+                              jnp.clip(d0, 0.0, 255.0), cfg5)
         # tie the effect into the carried state so it is not dead code
         s0 = s[0] + out[0, 0, 0].astype(jnp.float32) * jnp.float32(1e-30)
         return (s0,) + tuple(s[1:])
     ms = chained_ms(live_step, warm)
-    emit("config5 live incremental update + fused haze 1080p", ms)
+    emit("config5 live incremental update (windowed) + fused haze 1080p", ms)
 
 
 if __name__ == "__main__":

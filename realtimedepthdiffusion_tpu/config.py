@@ -95,6 +95,14 @@ class DiffusionConfig:
     #     after small edits (0 = always the full schedule, reference parity).
     #     The live loop's first solve always uses the full budget. ---
     incremental_iterations: int = 0
+    # Window side (pixels at level 0, halved per level) for the localized
+    # incremental re-solve around the dirty rect; levels whose whole extent
+    # fits the scaled window take a full warm re-solve instead. Sized so the
+    # window solve runs in the VMEM-resident Pallas kernel.
+    incremental_window: int = 384
+    # Global sweeps per windowed level that polish the injected coarse
+    # correction along image edges before the deep window solve.
+    incremental_global_smooth: int = 8
 
     # --- Backend selection: "auto" picks Pallas on TPU, pure-XLA elsewhere ---
     backend: str = "auto"

@@ -71,33 +71,28 @@ def defocus(
 
     sat = jnp.cumsum(jnp.cumsum(rgb.astype(jnp.int32), axis=0), axis=1)
     sat = jnp.pad(sat, ((1, 0), (1, 0), (0, 0)))  # (h+1, w+1, 3) exact int32
+    # One edge-extended SAT: every candidate corner becomes a pure static
+    # SLICE of this array (edge values implement the window clip since SAT
+    # rows/cols saturate at the image border). The round-1 version edge-
+    # padded the SAT 4x per candidate — ~100 materialized copies that XLA
+    # couldn't fuse away; slices of one buffer fuse into the select chain.
+    m = max_half
+    sat_e = jnp.pad(sat, ((m, m), (m, m), (0, 0)), mode="edge")
+
+    def corner(dy: int, dx: int) -> jnp.ndarray:
+        """sat[clip(y+dy, 0, h), clip(x+dx, 0, w)] as a slice of sat_e."""
+        return sat_e[m + dy : m + dy + h, m + dx : m + dx + w]
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
-    def shifted(dy: int, dx: int) -> jnp.ndarray:
-        """sat[clip(y+dy, 0, h), clip(x+dx, 0, w)] as static pads+slices."""
-        s = sat
-        if dy >= 0:  # rows y+dy, clamped at h: pad bottom with edge
-            s = jnp.pad(s[dy:], ((0, dy), (0, 0), (0, 0)), mode="edge")
-        else:
-            s = jnp.pad(s[:dy], ((-dy, 0), (0, 0), (0, 0)), mode="edge")
-        if dx >= 0:
-            s = jnp.pad(s[:, dx:], ((0, 0), (0, dx), (0, 0)), mode="edge")
-        else:
-            s = jnp.pad(s[:, :dx], ((0, 0), (-dx, 0), (0, 0)), mode="edge")
-        return s[:h, :w]
-
     out = rgb.astype(jnp.float32)  # half == 0 -> passthrough
     for hv in range(1, max_half + 1):
         # Window rows [y-hv, y+hv-1] clipped: SAT corners at row indices
-        # clip(y+hv, 0, h) and clip(y-hv, 0, h) (edge-padding implements the
-        # clip since SAT rows saturate at the image border).
-        br = shifted(hv, hv)
-        tr = shifted(-hv, hv)
-        bl = shifted(hv, -hv)
-        tl = shifted(-hv, -hv)
-        box = (br - tr - bl + tl).astype(jnp.float32)
+        # clip(y+hv, 0, h) and clip(y-hv, 0, h).
+        box = (
+            corner(hv, hv) - corner(-hv, hv) - corner(hv, -hv) + corner(-hv, -hv)
+        ).astype(jnp.float32)
         y0 = jnp.maximum(yy - hv, 0)
         y1 = jnp.minimum(yy + hv - 1, h - 1)
         x0 = jnp.maximum(xx - hv, 0)

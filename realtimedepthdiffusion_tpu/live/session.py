@@ -125,25 +125,76 @@ class DepthSession:
 
     # ----------------------------------------------------------------- solve
     def solve(self) -> np.ndarray:
-        """One coarse-to-fine solve; returns the uint8 depth map. Warm-starts
-        from the previous depth-state pyramid like the reference's persistent
-        device buffers."""
+        """One solve; returns the uint8 depth map. Warm-starts from the
+        previous depth-state pyramid like the reference's persistent device
+        buffers.
+
+        Incremental mode (cfg.incremental_iterations > 0): after the first
+        full solve, an edit whose dirty rect fits the incremental window
+        takes the LOCAL path — the host uploads only the dirty window of the
+        annotation planes (device-side dynamic_update_slice) and the solver
+        re-solves just a window around the edit at the fine levels
+        (core/incremental.py). Larger edits (annotation/checkpoint loads)
+        fall back to the full warm re-solve.
+        """
         t0 = time.perf_counter()
         pipe = self.pipe
         if self._inc_pipe is not None and self.solve_count > 0:
             pipe = self._inc_pipe
+
+        rect = self.dirty
+        center = None
+        use_local = False
+        if (
+            self._inc_pipe is not None
+            and self.solve_count > 0
+            and rect is not None
+            and self._mask_d is not None
+        ):
+            s_win = min(self.cfg.incremental_window, self.rows, self.cols)
+            use_local = (
+                rect[2] - rect[0] + 1 <= s_win and rect[3] - rect[1] + 1 <= s_win
+            )
+
         with self.timer.stage("upload"):
-            # The dirty rect gates the host->device annotation upload: under
-            # --live the solve runs every frame, but unchanged annotations
-            # (dirty is None after the previous solve) reuse the device
-            # copies instead of re-transferring two full planes.
-            if self.dirty is not None or self._mask_d is None:
+            # The dirty rect gates (and now crops) the host->device
+            # annotation transfer: under --live the solve runs every frame,
+            # but unchanged annotations reuse the device copies, and small
+            # edits upload only the window bytes.
+            if use_local:
+                s_win = min(self.cfg.incremental_window, self.rows, self.cols)
+                cy = (rect[0] + rect[2]) // 2
+                cx = (rect[1] + rect[3]) // 2
+                oy = min(max(cy - s_win // 2, 0), self.rows - s_win)
+                ox = min(max(cx - s_win // 2, 0), self.cols - s_win)
+                mw = jnp.asarray(
+                    self.mask_np[oy : oy + s_win, ox : ox + s_win].astype(bool)
+                )
+                vw = jnp.asarray(self.value_np[oy : oy + s_win, ox : ox + s_win])
+                self._mask_d, self._value_d = self.pipe.update_annotation_window(
+                    self._mask_d, self._value_d, mw, vw,
+                    (jnp.int32(oy), jnp.int32(ox)),
+                )
+                center = jnp.asarray([cy, cx], dtype=jnp.int32)
+            elif self.dirty is not None or self._mask_d is None:
                 self._mask_d = jnp.asarray(self.mask_np.astype(bool))
                 self._value_d = jnp.asarray(self.value_np)
             mask_d, value_d = self._mask_d, self._value_d
             self.dirty = None
         with self.timer.stage("solve"):
-            if self.effect == fx.EFFECT_NONE:
+            if use_local:
+                if self.effect == fx.EFFECT_NONE:
+                    self.depth0, self.depth_state = self.pipe.solve_incremental(
+                        self.gray_pyr, mask_d, value_d, self.depth_state, center
+                    )
+                else:
+                    self.depth0, self.depth_state, self.artistic = (
+                        self.pipe.solve_incremental_and_effect(
+                            self.effect, self.gray_pyr, self.rgb, mask_d,
+                            value_d, self.depth_state, center,
+                        )
+                    )
+            elif self.effect == fx.EFFECT_NONE:
                 self.depth0, self.depth_state = pipe.solve(
                     self.gray_pyr, mask_d, value_d, self.depth_state
                 )

@@ -64,6 +64,39 @@ class DepthPipeline:
         self._solve_and_effect = jax.jit(
             _solve_and_effect, static_argnums=(0,), donate_argnums=(5,)
         )
+
+        def _solve_incremental(gray_pyr, mask0, value0, depth_state, center):
+            from .core.incremental import solve_incremental
+
+            return solve_incremental(gray_pyr, mask0, value0, depth_state, center, cfg)
+
+        self._solve_incremental = jax.jit(_solve_incremental, donate_argnums=(3,))
+
+        def _solve_incremental_and_effect(effect, gray_pyr, rgb, mask0, value0,
+                                          depth_state, center):
+            from .core.incremental import solve_incremental
+
+            depth0, state = solve_incremental(
+                gray_pyr, mask0, value0, depth_state, center, cfg
+            )
+            out = fx.apply_effect(
+                effect, rgb, gray_pyr[0], jnp.clip(depth0, 0.0, 255.0), cfg
+            )
+            return depth0, state, out
+
+        self._solve_incremental_and_effect = jax.jit(
+            _solve_incremental_and_effect, static_argnums=(0,), donate_argnums=(5,)
+        )
+
+        def _update_annotation_window(mask_d, value_d, mask_win, value_win, origin):
+            # Device-side dirty-window annotation update: the host uploads
+            # only the window bytes instead of two full planes.
+            return (
+                jax.lax.dynamic_update_slice(mask_d, mask_win, origin),
+                jax.lax.dynamic_update_slice(value_d, value_win, origin),
+            )
+
+        self._update_annotation_window = jax.jit(_update_annotation_window)
         self._effect = jax.jit(
             lambda effect, rgb, gray, depth: fx.apply_effect(effect, rgb, gray, depth, cfg),
             static_argnums=(0,),
@@ -109,6 +142,23 @@ class DepthPipeline:
     def solve_and_effect(self, effect: int, gray_pyr, rgb, mask0, value0, depth_state):
         """Fused solve + effect; returns (depth0, new_state, effect_rgb_u8)."""
         return self._solve_and_effect(effect, gray_pyr, rgb, mask0, value0, depth_state)
+
+    def solve_incremental(self, gray_pyr, mask0, value0, depth_state, center_yx):
+        """Localized warm re-solve around an edit (core/incremental.py);
+        returns (depth0, new_state). ``center_yx``: (2,) int32, L0 coords."""
+        return self._solve_incremental(gray_pyr, mask0, value0, depth_state, center_yx)
+
+    def solve_incremental_and_effect(self, effect: int, gray_pyr, rgb, mask0,
+                                     value0, depth_state, center_yx):
+        return self._solve_incremental_and_effect(
+            effect, gray_pyr, rgb, mask0, value0, depth_state, center_yx
+        )
+
+    def update_annotation_window(self, mask_d, value_d, mask_win, value_win, origin):
+        """Upload only a dirty window into the device annotation planes."""
+        return self._update_annotation_window(
+            mask_d, value_d, mask_win, value_win, origin
+        )
 
     def effect(self, effect: int, rgb, gray0, depth0):
         return self._effect(effect, rgb, gray0, depth0)

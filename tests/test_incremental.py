@@ -1,0 +1,135 @@
+"""Localized incremental re-solve (core/incremental.py): convergence parity
+vs the full re-solve, scribble pinning, and the session's dirty-window
+upload path."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from realtimedepthdiffusion_tpu.config import DiffusionConfig
+from realtimedepthdiffusion_tpu.pipeline import DepthPipeline
+from tests.conftest import synthetic_pair
+
+
+def _solve_pair(rgb, m0, v0, cfg):
+    h, w = rgb.shape[:2]
+    pipe = DepthPipeline(h, w, cfg)
+    _, gp = pipe.prepare_image(rgb)
+    d0, st = pipe.solve(gp, jnp.asarray(m0), jnp.asarray(v0), pipe.initial_state())
+    return pipe, gp, d0, st
+
+
+def test_incremental_parity_dataset():
+    """Realistic live-editing scenario (extend an existing stroke on a dense
+    dataset annotation): the windowed incremental solve must track the full
+    warm re-solve closely — measured 1.0e-2 normalized RMSE; bound 2e-2.
+    (For reference, the round-1 budget-120 full-cascade incremental measures
+    2.0e-2 on the same case while doing ~8x the fine-level work.)"""
+    img = "/root/reference/dataset/images/Dog.jpg"
+    ann = "/root/reference/dataset/annotations/Dog.png"
+    if not (os.path.exists(img) and os.path.exists(ann)):
+        pytest.skip("reference dataset not mounted")
+    from realtimedepthdiffusion_tpu.io import imread_rgb, load_annotation
+
+    rgb = imread_rgb(img)
+    m0, v0 = load_annotation(ann)
+    cfg = DiffusionConfig(incremental_iterations=120)
+    pipe, gp, _, st = _solve_pair(rgb, m0, v0, cfg)
+
+    ys, xs = np.nonzero(m0)
+    cy, cx = int(ys[len(ys) // 2]), int(xs[len(xs) // 2])
+    val = int(v0[cy, cx])
+    m2, v2 = m0.copy(), v0.copy()
+    m2[cy + 15 : cy + 35, cx + 15 : cx + 35] = True
+    v2[cy + 15 : cy + 35, cx + 15 : cx + 35] = val
+    center = jnp.asarray([cy + 25, cx + 25], jnp.int32)
+
+    d_inc, _ = pipe.solve_incremental(
+        gp, jnp.asarray(m2), jnp.asarray(v2), tuple(jnp.array(s) for s in st), center
+    )
+    d_full, _ = pipe.solve(
+        gp, jnp.asarray(m2), jnp.asarray(v2), tuple(jnp.array(s) for s in st)
+    )
+    d_inc, d_full = np.asarray(d_inc), np.asarray(d_full)
+    rmse = float(np.sqrt(np.mean(((d_inc - d_full) / 255.0) ** 2)))
+    assert rmse <= 2e-2, rmse
+    assert np.array_equal(d_inc[m2], v2[m2].astype(np.float32))
+
+
+def test_incremental_parity_synthetic_sparse():
+    """Worst-case: ultra-sparse annotations (0.4% coverage) where one new
+    scribble rebalances the whole harmonic field. The localized solve's
+    far-field comes from the pyrUp'd coarse delta; documented loose bound."""
+    rgb, m0, v0 = synthetic_pair(420, 560, 7)
+    cfg = DiffusionConfig(incremental_iterations=120)
+    pipe, gp, _, st = _solve_pair(rgb, m0, v0, cfg)
+
+    m2, v2 = m0.copy(), v0.copy()
+    m2[290:310, 390:410] = True
+    v2[290:310, 390:410] = 64
+    center = jnp.asarray([300, 400], jnp.int32)
+
+    d_inc, state2 = pipe.solve_incremental(
+        gp, jnp.asarray(m2), jnp.asarray(v2), tuple(jnp.array(s) for s in st), center
+    )
+    d_full, _ = pipe.solve(
+        gp, jnp.asarray(m2), jnp.asarray(v2), tuple(jnp.array(s) for s in st)
+    )
+    d_inc, d_full = np.asarray(d_inc), np.asarray(d_full)
+    rmse = float(np.sqrt(np.mean(((d_inc - d_full) / 255.0) ** 2)))
+    assert rmse <= 0.1, rmse
+    assert np.array_equal(d_inc[m2], v2[m2].astype(np.float32))
+    # the state pyramid is consistent (level 0 of the state IS the output)
+    assert np.array_equal(np.asarray(state2[0]), d_inc)
+
+
+def test_session_dirty_window_upload():
+    """A small paint stroke takes the local path: the device annotation
+    planes are updated through the window upload (not a full re-transfer)
+    and end up exactly equal to the host planes; the solve is pinned."""
+    from realtimedepthdiffusion_tpu.live.session import DepthSession
+
+    rgb, _, _ = synthetic_pair(128, 160, 5)
+    cfg = DiffusionConfig(max_iterations=40, incremental_iterations=16,
+                          incremental_window=64)
+    s = DepthSession(rgb, cfg)
+    s.set_color_key(1)
+    s.paint(40, 40)
+    s.solve()  # first solve: full path
+    assert s.solve_count == 1
+
+    s.set_color_key(3)
+    s.paint(100, 90)
+    rect = s.dirty
+    assert rect is not None and rect[2] - rect[0] + 1 <= 64
+    s.solve()  # local path: window upload + windowed re-solve
+    assert np.array_equal(
+        np.asarray(s._mask_d), s.mask_np.astype(bool)
+    )
+    assert np.array_equal(np.asarray(s._value_d), s.value_np)
+    d = np.asarray(s.depth0)
+    assert d[90, 100] == 192.0  # new scribble pinned (color key 3)
+
+
+def test_incremental_full_fallback_on_large_edit():
+    """An edit larger than the window (annotation load) falls back to the
+    full path and still lands the right device state."""
+    from realtimedepthdiffusion_tpu.live.session import DepthSession
+    from realtimedepthdiffusion_tpu.io import save_annotation
+
+    rgb, m0, v0 = synthetic_pair(128, 160, 6)
+    cfg = DiffusionConfig(max_iterations=40, incremental_iterations=16,
+                          incremental_window=64)
+    s = DepthSession(rgb, cfg)
+    s.paint(80, 64)
+    s.solve()
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "a.png")
+        save_annotation(p, m0, v0, cfg)
+        s.load_annotation_file(p)  # full-plane dirty rect
+        s.solve()
+    assert np.array_equal(np.asarray(s._mask_d), s.mask_np.astype(bool))
