@@ -82,32 +82,36 @@ def main():
     jax.block_until_ready(gpyr)
     state0 = multigrid.initial_depth_state(h, w, cfg)
 
-    def frame(state):
+    def frame(state, rgb_arg):
         """One annotation update: full solve + fused defocus (worst-case
         effect — haze/desaturation frames are strictly cheaper)."""
         depth0, state = multigrid.solve_cascade(gpyr, mask_d, value_d, state, cfg)
         out = fx.apply_effect(
-            fx.EFFECT_DEFOCUS, rgb_d, gpyr[0], jnp.clip(depth0, 0.0, 255.0), cfg
+            fx.EFFECT_DEFOCUS, rgb_arg, gpyr[0], jnp.clip(depth0, 0.0, 255.0), cfg
         )
         return state, out
 
     def chained(k):
-        def run(state):
+        # rgb is an explicit ARGUMENT (not a closure): closed-over device
+        # arrays get baked into the executable as constant literals, and XLA
+        # then constant-folds rgb.astype(f32) into a (H,W,3) literal whose
+        # lane padding (3 -> 128) costs ~1 GB of HBM.
+        def run(state, rgb_arg):
             def body(i, carry):
                 s, _ = carry
-                return frame(s)
-            return jax.lax.fori_loop(0, k, body, (state, rgb_d))
+                return frame(s, rgb_arg)
+            return jax.lax.fori_loop(0, k, body, (state, rgb_arg))
         return jax.jit(run)
 
     K = 16
     f1, fk = chained(1), chained(K)
 
     t0 = time.perf_counter()
-    s, out = f1(state0)
+    s, out = f1(state0, rgb_d)
     _ = float(out.astype(jnp.float32).sum())
     log(f"compile+first f1: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
-    s, out = fk(state0)
+    s, out = fk(state0, rgb_d)
     _ = float(out.astype(jnp.float32).sum())
     log(f"compile+first f{K}: {time.perf_counter() - t0:.1f}s")
 
@@ -115,7 +119,7 @@ def main():
         best = float("inf")
         for _ in range(n):
             t0 = time.perf_counter()
-            s, out = f(state0)
+            s, out = f(state0, rgb_d)
             _ = float(out.astype(jnp.float32).sum())
             best = min(best, time.perf_counter() - t0)
         return best * 1000.0

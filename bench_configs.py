@@ -131,8 +131,9 @@ def main():
         d0, s = solve_incremental(gp, mask_d, value_d, state, center, cfg5)
         out = fx.apply_effect(fx.EFFECT_HAZE, rgb_d, gray0,
                               jnp.clip(d0, 0.0, 255.0), cfg5)
-        # tie the effect into the carried state so it is not dead code
-        s0 = s[0] + out[0, 0, 0].astype(jnp.float32) * jnp.float32(1e-30)
+        # tie the WHOLE effect output into the carried state (a single-pixel
+        # tap would let XLA dead-code-eliminate most of the effect)
+        s0 = s[0] + out.astype(jnp.float32).mean() * jnp.float32(1e-30)
         return (s0,) + tuple(s[1:])
     ms = chained_ms(live_step, warm)
     emit("config5 live incremental update (windowed) + fused haze 1080p", ms)

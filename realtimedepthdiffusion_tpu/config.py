@@ -101,8 +101,11 @@ class DiffusionConfig:
     # window solve runs in the VMEM-resident Pallas kernel.
     incremental_window: int = 384
     # Global sweeps per windowed level that polish the injected coarse
-    # correction along image edges before the deep window solve.
-    incremental_global_smooth: int = 8
+    # correction along image edges before the deep window solve. Measured:
+    # negligible accuracy benefit on both the dataset and sparse-synthetic
+    # parity cases (tests/test_incremental.py) at ~0.25 ms/frame cost, so
+    # off by default; raise for maximum far-field fidelity.
+    incremental_global_smooth: int = 0
 
     # --- Backend selection: "auto" picks Pallas on TPU, pure-XLA elsewhere ---
     backend: str = "auto"

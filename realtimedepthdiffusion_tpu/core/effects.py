@@ -46,6 +46,32 @@ def haze(
 def defocus(
     rgb: jnp.ndarray, depth: jnp.ndarray, cfg: DiffusionConfig = DiffusionConfig()
 ) -> jnp.ndarray:
+    """Depth-proportional box blur: Pallas VMEM kernel on TPU (the XLA
+    formulation below materializes its candidate select chain in HBM — ~5 ms
+    at 1080p vs ~1 ms in-kernel), exact-identical XLA path elsewhere."""
+    backend = cfg.backend
+    use_pallas = backend == "pallas_interpret" or (
+        backend in ("pallas", "auto")
+        and (backend == "pallas" or _effects_on_tpu())
+    )
+    if use_pallas:
+        from ..ops.pallas_defocus import defocus_pallas
+
+        return defocus_pallas(
+            rgb, depth, cfg, interpret=(backend == "pallas_interpret")
+        )
+    return defocus_xla(rgb, depth, cfg)
+
+
+def _effects_on_tpu() -> bool:
+    from ..ops.dispatch import _is_tpu
+
+    return _is_tpu()
+
+
+def defocus_xla(
+    rgb: jnp.ndarray, depth: jnp.ndarray, cfg: DiffusionConfig = DiffusionConfig()
+) -> jnp.ndarray:
     """Depth-proportional box blur via exact int32 summed-area table.
 
     Per-pixel window half-width = int(k * depth/255) // 2 with
@@ -58,6 +84,11 @@ def defocus(
     *fixed* half-width value (a handful of static SAT shifts each — pure
     vector ops) and the per-pixel result is a one-hot accumulation over those
     candidates. k <= ~55 at 1080p, so there are at most ~28 half values.
+
+    Layout: all internal work is CHANNEL-MAJOR (3, H, W). TPU tiles the last
+    two dims as (8 sublanes, 128 lanes); a channels-minor (H, W, 3) buffer
+    pads its lane dim 3 -> 128 — a 42x memory blowup per materialized
+    intermediate (the SAT alone would be ~1 GB at 1080p).
     """
     h, w = depth.shape
     k = cfg.defocus_kernel_size(h, w)
@@ -69,24 +100,25 @@ def defocus(
     # the maximal window rather than silently matching no candidate.
     half = jnp.minimum(ka // 2, max_half)
 
-    sat = jnp.cumsum(jnp.cumsum(rgb.astype(jnp.int32), axis=0), axis=1)
-    sat = jnp.pad(sat, ((1, 0), (1, 0), (0, 0)))  # (h+1, w+1, 3) exact int32
+    chw = jnp.moveaxis(rgb, -1, 0).astype(jnp.int32)  # (3, h, w)
+    sat = jnp.cumsum(jnp.cumsum(chw, axis=1), axis=2)
+    sat = jnp.pad(sat, ((0, 0), (1, 0), (1, 0)))  # (3, h+1, w+1) exact int32
     # One edge-extended SAT: every candidate corner becomes a pure static
     # SLICE of this array (edge values implement the window clip since SAT
     # rows/cols saturate at the image border). The round-1 version edge-
     # padded the SAT 4x per candidate — ~100 materialized copies that XLA
     # couldn't fuse away; slices of one buffer fuse into the select chain.
     m = max_half
-    sat_e = jnp.pad(sat, ((m, m), (m, m), (0, 0)), mode="edge")
+    sat_e = jnp.pad(sat, ((0, 0), (m, m), (m, m)), mode="edge")
 
     def corner(dy: int, dx: int) -> jnp.ndarray:
-        """sat[clip(y+dy, 0, h), clip(x+dx, 0, w)] as a slice of sat_e."""
-        return sat_e[m + dy : m + dy + h, m + dx : m + dx + w]
+        """sat[:, clip(y+dy, 0, h), clip(x+dx, 0, w)] as a slice of sat_e."""
+        return sat_e[:, m + dy : m + dy + h, m + dx : m + dx + w]
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
-    out = rgb.astype(jnp.float32)  # half == 0 -> passthrough
+    out = jnp.moveaxis(rgb, -1, 0).astype(jnp.float32)  # half == 0 -> passthrough
     for hv in range(1, max_half + 1):
         # Window rows [y-hv, y+hv-1] clipped: SAT corners at row indices
         # clip(y+hv, 0, h) and clip(y-hv, 0, h).
@@ -98,9 +130,9 @@ def defocus(
         x0 = jnp.maximum(xx - hv, 0)
         x1 = jnp.minimum(xx + hv - 1, w - 1)
         cnt = ((y1 - y0 + 1) * (x1 - x0 + 1)).astype(jnp.float32)
-        mean = box / cnt[..., None]
-        out = jnp.where((half == hv)[..., None], mean, out)
-    return out.astype(jnp.uint8)
+        mean = box / cnt[None]
+        out = jnp.where((half == hv)[None], mean, out)
+    return jnp.moveaxis(out.astype(jnp.uint8), 0, -1)
 
 
 def apply_effect(

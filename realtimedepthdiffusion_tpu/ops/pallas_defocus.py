@@ -1,0 +1,189 @@
+"""Pallas TPU kernel for the defocus/refocus effect (SURVEY.md C16).
+
+The reference's defocus is its slowest kernel: a per-pixel O(k^2) gather box
+blur (src/GPUDepthEffect.cu:29-72, k up to ~55 at 1080p). The framework's
+XLA formulation (core/effects.py) is exact and O(1)/pixel via a summed-area
+table with one-hot accumulation over the ~k/2 static window-half candidates
+— but XLA materializes the select chain and the four SAT corner reads per
+candidate in HBM (~4 GB of traffic at 1080p, ~5 ms measured). This kernel
+runs the same exact algorithm entirely in VMEM:
+
+- grid (3 channels x row strips); each program DMAs one channel's strip plus
+  a (max_half+1)-row halo,
+- builds the strip's inclusive 2-D prefix sum in VMEM with log-step
+  (Hillis-Steele) scans over sublanes then lanes,
+- evaluates every candidate half-width with 6 hardware rolls + a masked
+  select (all register/VMEM traffic),
+- writes back the strip of the blurred channel.
+
+Zero-padding the image by the halo makes the slab-local prefix differences
+equal the border-clipped window sums exactly; the per-pixel count is
+computed from global coordinates, so the output matches the XLA/oracle
+formulation bit-for-bit in f32 (verified in tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DiffusionConfig
+
+
+def _scan_axis(x, n, axis):
+    """Inclusive prefix sum along ``axis`` via log-step shifted adds; roll
+    wraparound is masked off (indices < shift add nothing)."""
+    iota = lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    d = 1
+    while d < n:
+        x = x + jnp.where(iota >= d, pltpu.roll(x, d, axis), 0)
+        d *= 2
+    return x
+
+
+def _defocus_kernel(max_half, block_h, hr, hc, h, w, n_strips,
+                    rgb_hbm, half_hbm, out_hbm,
+                    x_s, half_s, ar_s, al_s, br_s, bl_s, out_s, sems):
+    c = pl.program_id(0)
+    s = pl.program_id(1)
+    row0 = s * block_h
+    slab_h = block_h + 2 * hr
+    wp = x_s.shape[1]
+
+    cp_x = pltpu.make_async_copy(
+        rgb_hbm.at[c, pl.ds(row0, slab_h), :], x_s, sems.at[0]
+    )
+    cp_h = pltpu.make_async_copy(
+        half_hbm.at[pl.ds(row0, block_h), :], half_s, sems.at[1]
+    )
+    cp_x.start()
+    cp_h.start()
+    cp_x.wait()
+    cp_h.wait()
+
+    # Inclusive 2-D prefix sum of the (zero-padded) channel slab. int32 is
+    # exact: full-image sums stay < 2^31.
+    sat = _scan_axis(x_s[:].astype(jnp.int32), slab_h, 0)
+    s2 = _scan_axis(sat, wp, 1)
+
+    # Marching corners: for window rows [y-hv, y+hv-1] the four inclusive-
+    # prefix corners are S2 at rows {y+hv-1, y-hv-1} x cols {x+hv-1, x-hv-1}.
+    # Consecutive candidates move each corner by exactly one row and one
+    # column, so four RUNNING slab buffers advance with cheap STATIC
+    # roll-by-1 per candidate — no dynamic rotates (which decompose into
+    # log-step conditional rolls and dominated the first version), no
+    # unrolled chain (which kept ~27 block temporaries live and blew the
+    # scoped-VMEM limit). Wrap-around garbage creeps one row/column per
+    # candidate from the slab edge and never reaches the interior block
+    # (hr, hc >= max_half + 1).
+    ar_s[:] = s2                       # rows y+0,  cols x+0   (hv = 1)
+    al_s[:] = pltpu.roll(s2, 2, 1)     # rows y+0,  cols x-2
+    br_s[:] = pltpu.roll(s2, 2, 0)     # rows y-2,  cols x+0
+    bl_s[:] = pltpu.roll(br_s[:], 2, 1)  # rows y-2, cols x-2
+
+    # Global image coordinates of the interior block.
+    gy = lax.broadcasted_iota(jnp.int32, (block_h, wp), 0) + row0
+    gx = lax.broadcasted_iota(jnp.int32, (block_h, wp), 1) - hc
+    half = half_s[:].astype(jnp.int32)
+    # (Mosaic has no direct u8 -> f32 cast; widen through i32.)
+    out_s[:] = x_s[pl.ds(hr, block_h), :].astype(jnp.int32).astype(jnp.float32)
+
+    blk = pl.ds(hr, block_h)
+    # Content-adaptive bound: candidates above this strip's largest window
+    # never win a select — skip them (the marching loop's trip count is
+    # dynamic). Sharp (near-depth) strips cost almost nothing.
+    hv_hi = jnp.max(half)
+
+    def body(hv, _):
+        box = (ar_s[blk, :] - al_s[blk, :] - br_s[blk, :] + bl_s[blk, :]).astype(
+            jnp.float32
+        )
+        ch = jnp.minimum(gy + (hv - 1), h - 1) - jnp.maximum(gy - hv, 0) + 1
+        cw = jnp.minimum(gx + (hv - 1), w - 1) - jnp.maximum(gx - hv, 0) + 1
+        cnt = jnp.maximum(ch, 1) * jnp.maximum(cw, 1)
+        mean = box / cnt.astype(jnp.float32)
+        out_s[:] = jnp.where(half == hv, mean, out_s[:])
+        # March the corners to candidate hv+1: rows +-1, cols +-1.
+        up, dn = slab_h - 1, 1
+        lt, rt = wp - 1, 1
+        ar_s[:] = pltpu.roll(pltpu.roll(ar_s[:], up, 0), lt, 1)
+        al_s[:] = pltpu.roll(pltpu.roll(al_s[:], up, 0), rt, 1)
+        br_s[:] = pltpu.roll(pltpu.roll(br_s[:], dn, 0), lt, 1)
+        bl_s[:] = pltpu.roll(pltpu.roll(bl_s[:], dn, 0), rt, 1)
+        return 0
+
+    lax.fori_loop(1, hv_hi + 1, body, 0, unroll=False)
+
+    cp_o = pltpu.make_async_copy(
+        out_s, out_hbm.at[c, pl.ds(row0, block_h), :], sems.at[2]
+    )
+    cp_o.start()
+    cp_o.wait()
+
+
+def defocus_pallas(
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    block_h: int = 360,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact depth-proportional box blur (core/effects.defocus semantics) as
+    a VMEM-resident Pallas kernel. Returns (H, W, 3) uint8."""
+    h, w = depth.shape
+    k = cfg.defocus_kernel_size(h, w)
+    max_half = k // 2
+    ka = (jnp.float32(k) * jnp.maximum(depth.astype(jnp.float32), 0.0) / 255.0).astype(
+        jnp.int32
+    )
+    half = jnp.minimum(ka // 2, max_half).astype(jnp.uint8)
+
+    block_h = min(block_h, -(-h // 8) * 8)  # small images: one thin strip
+    hr = -(-(max_half + 1) // 8) * 8  # row halo, sublane-aligned
+    hc = max(hr, 32)  # column offset of the image inside the padded lanes
+    wp = -(-(hc + w + max_half + 1) // 128) * 128
+    n_strips = -(-h // block_h)
+    hs = n_strips * block_h
+    hp = hs + 2 * hr
+
+    chw = jnp.moveaxis(rgb[..., :3], -1, 0).astype(jnp.uint8)
+    rgb_p = jnp.pad(chw, ((0, 0), (hr, hp - h - hr), (hc, wp - hc - w)))
+    half_p = jnp.pad(half, ((0, hs - h), (hc, wp - hc - w)))
+
+    kern = functools.partial(
+        _defocus_kernel, max_half, block_h, hr, hc, h, w, n_strips
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(3, n_strips),
+        out_shape=jax.ShapeDtypeStruct((3, hs, wp), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # rgb (3, hp, wp) u8
+            pl.BlockSpec(memory_space=pl.ANY),  # half (hs, wp) u8
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((block_h + 2 * hr, wp), jnp.uint8),  # channel slab
+            pltpu.VMEM((block_h, wp), jnp.uint8),  # half block
+            pltpu.VMEM((block_h + 2 * hr, wp), jnp.int32),  # corner AR
+            pltpu.VMEM((block_h + 2 * hr, wp), jnp.int32),  # corner AL
+            pltpu.VMEM((block_h + 2 * hr, wp), jnp.int32),  # corner BR
+            pltpu.VMEM((block_h + 2 * hr, wp), jnp.int32),  # corner BL
+            pltpu.VMEM((block_h, wp), jnp.float32),  # out block
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # 4 corner slabs + scan/loop temporaries exceed the default
+            # 16 MiB scoped-VMEM budget at this block height; v5e has 128 MiB
+            # of physical VMEM, so ask for what the kernel actually needs.
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+    )(rgb_p, half_p)
+    return jnp.moveaxis(out[:, :h, hc : hc + w].astype(jnp.uint8), 0, -1)

@@ -49,6 +49,14 @@ from ..core.weights import edge_weights
 # than the ~6 planes the kernel keeps live; leave slack for Mosaic temps.
 RESIDENT_VMEM_BUDGET = 6 * 1024 * 1024
 
+# Write global halo bands inside the boundary strips instead of a host-level
+# fix_halo (.at[].set) pass between launches. Measured A/B on TPU v5e
+# (PERF.md): the host-level pass is FASTER (L0 1.63 vs 1.66 ms, L1 0.60 vs
+# 0.78 ms) — XLA fuses the band re-zeroing into the buffer pipeline while the
+# conditional in-kernel DMAs serialize the boundary programs — so this stays
+# False; the in-kernel path is kept (and tested) as the measured alternative.
+_IN_KERNEL_HALO = False
+
 
 def _pack_weights_padded(gray, depth, level, max_level, cfg):
     """(bh, bv, inv_count) planes, each padded with a 1-px zero ring.
@@ -239,6 +247,9 @@ def _strip_kernel(k, pad_rows, block_h, n_strips,
     uo.wait()
     po.wait()
 
+    if not _IN_KERNEL_HALO:
+        return
+
     # Boundary strips also emit the global halo bands (still all-zero slab
     # rows, see docstring) so the output buffers are complete.
     @pl.when(s == 0)
@@ -366,10 +377,19 @@ def solve_level_strips(
     omegas = _abc_schedule(iters, cfg)
     n_full, rem = divmod(iters, k)
 
+    def fix_halo(a):
+        # Only for the _IN_KERNEL_HALO=False A/B variant: the kernels then
+        # write just rows [pad_rows, hp-pad_rows) and the halo bands must be
+        # re-zeroed on the host-program side between launches.
+        a = a.at[:pad_rows, :].set(0.0)
+        return a.at[hp - pad_rows :, :].set(0.0)
+
     call_k = _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret)
     for blk in range(n_full):
         om = jnp.asarray(omegas[blk * k : (blk + 1) * k])
         u, prev = call_k(om, u, prev, m, bh, bv, inv)
+        if not _IN_KERNEL_HALO:
+            u, prev = fix_halo(u), fix_halo(prev)
     if rem:
         # Remainder block needs an exact rem-length schedule (omega-0 padding
         # would corrupt the Chebyshev history).
@@ -411,6 +431,9 @@ def _rb_iter_full(u, wl, bh, wu, bv, inv, mask_u8, red):
     cells take the clipped weighted average of the current state, then black
     cells of the half-updated state — the Pallas twin of
     core.solver.red_black_iter (same op order, same clamp points)."""
+    # Mosaic rejects vector cmpi on i8 ("target does not support this
+    # comparison"); widen the mask before the equality.
+    free = mask_u8.astype(jnp.int32) == 0
 
     def half(u, sel):
         hh, ww = u.shape
@@ -419,7 +442,7 @@ def _rb_iter_full(u, wl, bh, wu, bv, inv, mask_u8, red):
         uu = pltpu.roll(u, 1, 0)
         ud = pltpu.roll(u, hh - 1, 0)
         r = jnp.clip((wl * ul + bh * ur + wu * uu + bv * ud) * inv, 0.0, 255.0)
-        return jnp.where(sel & (mask_u8 == 0), r, u)
+        return jnp.where(sel & free, r, u)
 
     u = half(u, red)
     return half(u, jnp.logical_not(red))
@@ -525,6 +548,9 @@ def _strip_rb_kernel(k, pad_rows, block_h, n_strips, parity,
     uo.start()
     uo.wait()
 
+    if not _IN_KERNEL_HALO:
+        return
+
     # Boundary strips emit the (provably still-zero) global halo bands so the
     # fresh output buffer is complete — same argument as _strip_kernel.
     @pl.when(s == 0)
@@ -575,7 +601,13 @@ def _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret):
             pltpu.SemaphoreType.DMA((7,)),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # 7 slabs + the red-mask/half-update temporaries exceed the
+            # default 16 MiB scoped budget at block_h=128 (v5e has 128 MiB
+            # physical VMEM).
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
     )
 
 
@@ -609,10 +641,16 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
     bv = repad(bv1)
     inv = repad(inv1)
 
+    def fix_halo(a):
+        a = a.at[:pad_rows, :].set(0.0)
+        return a.at[hp - pad_rows :, :].set(0.0)
+
     n_full, rem = divmod(iters, k)
     call_k = _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret)
     for _ in range(n_full):
         u = call_k(u, m, bh, bv, inv)
+        if not _IN_KERNEL_HALO:
+            u = fix_halo(u)
     if rem:
         call_r = _rb_strips_call(hp, wp2, rem, pad_rows, n_strips, block_h, interpret)
         u = call_r(u, m, bh, bv, inv)
@@ -708,7 +746,7 @@ def _halo_block_rb_kernel(k, m_ref, bh_ref, bv_ref, inv_ref, red_ref,
     del u_ref  # aliased into uo_ref
     wl_scr[:] = pltpu.roll(bh_ref[:], 1, 1)
     wu_scr[:] = pltpu.roll(bv_ref[:], 1, 0)
-    red = red_ref[:] != 0
+    red = red_ref[:].astype(jnp.int32) != 0  # no vector i8 cmp on TPU
 
     def body(i, _):
         uo_ref[:] = _rb_iter_full(

@@ -54,6 +54,44 @@ def test_strip_kernel_matches_xla(rng, iters, block_h):
     assert np.array_equal(got[mask], depth[mask])
 
 
+@pytest.mark.parametrize("in_kernel_halo", [True, False])
+def test_strip_kernel_halo_variants(rng, in_kernel_halo):
+    """Both halo strategies (host-level fix_halo — the measured-faster
+    default — and in-kernel boundary-band DMAs) produce the same result."""
+    gray, mask, depth = _case(rng, 49, 67)
+    want = np.asarray(
+        solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 19, CFG)
+    )
+    old = ps._IN_KERNEL_HALO
+    ps._IN_KERNEL_HALO = in_kernel_halo
+    try:
+        got = np.asarray(
+            ps.solve_level_strips(
+                jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 19, CFG,
+                block_h=16, interpret=True,
+            )
+        )
+        cfg_rb = DiffusionConfig(solver="red_black", pallas_iter_block=4)
+        want_rb = np.asarray(
+            solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 7, cfg_rb)
+        )
+        budget = ps.RESIDENT_VMEM_BUDGET
+        ps.RESIDENT_VMEM_BUDGET = 0
+        try:
+            got_rb = np.asarray(
+                ps.solve_level_red_black_pallas(
+                    jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 7, cfg_rb,
+                    interpret=True,
+                )
+            )
+        finally:
+            ps.RESIDENT_VMEM_BUDGET = budget
+    finally:
+        ps._IN_KERNEL_HALO = old
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    np.testing.assert_allclose(got_rb, want_rb, atol=5e-3)
+
+
 def test_strip_kernel_level_weight_rule(rng):
     """The strip path must honor the level-dependent depth-threshold weight
     rule (computed from the incoming pyrUp'd depth)."""
@@ -131,6 +169,35 @@ def test_rb_pallas_early_exit_matches_xla(rng):
         )
     )
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+@pytest.mark.parametrize("shape", [(96, 160), (257, 130)])
+def test_defocus_pallas_bitexact(rng, shape):
+    """The Pallas defocus kernel (VMEM SAT + candidate rolls) must equal the
+    XLA/oracle formulation exactly, including border-clipped counts."""
+    from realtimedepthdiffusion_tpu.core import effects as fx
+    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
+
+    h, w = shape
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    depth = (rng.random((h, w)) * 255).astype(np.float32)
+    want = np.asarray(fx.defocus_xla(jnp.asarray(rgb), jnp.asarray(depth), CFG))
+    got = np.asarray(
+        defocus_pallas(jnp.asarray(rgb), jnp.asarray(depth), CFG, interpret=True)
+    )
+    assert np.array_equal(got, want)
+
+
+def test_defocus_routes_to_pallas_interpret(rng):
+    """backend='pallas_interpret' routes fx.defocus through the kernel."""
+    from realtimedepthdiffusion_tpu.core import effects as fx
+
+    rgb = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    depth = (rng.random((64, 96)) * 255).astype(np.float32)
+    cfg_p = DiffusionConfig(backend="pallas_interpret")
+    got = np.asarray(fx.defocus(jnp.asarray(rgb), jnp.asarray(depth), cfg_p))
+    want = np.asarray(fx.defocus_xla(jnp.asarray(rgb), jnp.asarray(depth), CFG))
+    assert np.array_equal(got, want)
 
 
 def test_full_cascade_pallas_interpret_backend():
