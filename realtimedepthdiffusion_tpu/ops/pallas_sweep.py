@@ -49,12 +49,14 @@ from ..core.weights import edge_weights
 # than the ~6 planes the kernel keeps live; leave slack for Mosaic temps.
 RESIDENT_VMEM_BUDGET = 6 * 1024 * 1024
 
-# Write global halo bands inside the boundary strips instead of a host-level
-# fix_halo (.at[].set) pass between launches. Measured A/B on TPU v5e
-# (PERF.md): the host-level pass is FASTER (L0 1.63 vs 1.66 ms, L1 0.60 vs
-# 0.78 ms) — XLA fuses the band re-zeroing into the buffer pipeline while the
-# conditional in-kernel DMAs serialize the boundary programs — so this stays
-# False; the in-kernel path is kept (and tested) as the measured alternative.
+# Red-black strips only (the Jacobi path now runs as a single megakernel
+# whose ping-pong halo bands are never dirtied): write global halo bands
+# inside the boundary strips instead of a host-level fix_halo (.at[].set)
+# pass between launches. Measured A/B on TPU v5e (PERF.md): the host-level
+# pass is FASTER (L1 0.60 vs 0.78 ms) — XLA fuses the band re-zeroing into
+# the buffer pipeline while the conditional in-kernel DMAs serialize the
+# boundary programs — so this stays False; the in-kernel path is kept (and
+# tested) as the measured alternative.
 _IN_KERNEL_HALO = False
 
 
@@ -174,60 +176,68 @@ def solve_level_resident(
 # ---------------------------------------------------------------------------
 
 
-def _strip_kernel(k, pad_rows, block_h, n_strips,
-                  om_ref, u_hbm, prev_hbm, m_hbm, bh_hbm, bv_hbm, inv_hbm,
-                  uo_hbm, po_hbm, u_s, p_s, m_s, bh_s, bv_s, inv_s,
-                  wl_s, wu_s, sems):
-    """Grid step s: DMA strip rows [s*block_h, s*block_h + block_h +
-    2*pad_rows) of the pad_rows-padded global arrays into VMEM, run k sweeps,
-    write back the interior block_h rows of u and the Chebyshev history.
+def _strip_mega_kernel(k, iters, pad_rows, block_h, n_strips,
+                       om_ref, u_in, p_in, m_hbm, bh_hbm, bv_hbm, inv_hbm,
+                       u_pp, p_pp, u_s, p_s, m_s, bh_s, bv_s, inv_s,
+                       wl_s, wu_s, sems):
+    """Program (b, s): iteration block b (k sweeps) on row strip s — the
+    WHOLE level is ONE pallas_call.
 
-    Global arrays are pre-padded with pad_rows >= k+1 zero rows top/bottom
-    (rounded to the sublane tile of 8 so every DMA slice offset/shape is
-    aligned) and 1 zero column left/right: every strip slab is in-bounds, the
-    slab's own ring provides correct frozen halo values, and garbage creeping
-    from the slab edge advances one row per sweep, never reaching the
-    interior (pad_rows > k sweeps).
+    Grid (n_blocks, n_strips), blocks outer: the TPU grid is sequential, so
+    every strip of block b completes before block b+1 starts — exactly the
+    dependency an iteration block needs from its neighbors' previous block.
+    State lives in (2, hp, wp2) ping-pong buffers (aliased input->output):
+    block b reads copy b%2 and writes copy (b+1)%2, so reads and writes
+    never alias within a block. The kernels write interior rows only and
+    the caller zeroes the halo bands of both copies ONCE — the bands are
+    never dirtied, eliminating the round-1 design's per-launch host-level
+    fix_halo passes (and its separate remainder launch: the last block
+    masks off iterations past `iters`; a padded omega row would corrupt the
+    Chebyshev history, a masked sweep leaves it untouched).
 
-    The first/last strips also write the global top/bottom halo bands into
-    the (fresh, otherwise-uninitialized) output buffers: those slab rows are
-    provably still zero after the sweeps (zero state, zero weights, zero
-    reciprocal => the update is identically zero), so the outputs come back
-    fully formed and the caller chains launches with no host-level halo
-    re-zeroing pass.
+    Slab geometry as before: pad_rows >= k+1 zero rows top/bottom (sublane-
+    aligned) and a 1-px zero column ring; halo validity shrinks one ring per
+    sweep so the strip interior is exactly k-sweep Jacobi.
     """
-    s = pl.program_id(0)
+    del u_in, p_in  # aliased: u_pp/p_pp ARE the state buffers
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    src = b % 2
+    dst = 1 - src
     row0 = s * block_h  # top of the slab in padded coords
     slab_h = block_h + 2 * pad_rows
 
-    def dma_in(dst, src, slot):
-        cp = pltpu.make_async_copy(
-            src.at[pl.ds(row0, slab_h), :], dst, sems.at[slot]
-        )
+    def dma_in(dstref, srcslice, slot):
+        cp = pltpu.make_async_copy(srcslice, dstref, sems.at[slot])
         cp.start()
         return cp
 
     cps = [
-        dma_in(u_s, u_hbm, 0),
-        dma_in(p_s, prev_hbm, 1),
-        dma_in(m_s, m_hbm, 2),
-        dma_in(bh_s, bh_hbm, 3),
-        dma_in(bv_s, bv_hbm, 4),
-        dma_in(inv_s, inv_hbm, 5),
+        dma_in(u_s, u_pp.at[src, pl.ds(row0, slab_h), :], 0),
+        dma_in(p_s, p_pp.at[src, pl.ds(row0, slab_h), :], 1),
+        dma_in(m_s, m_hbm.at[pl.ds(row0, slab_h), :], 2),
+        dma_in(bh_s, bh_hbm.at[pl.ds(row0, slab_h), :], 3),
+        dma_in(bv_s, bv_hbm.at[pl.ds(row0, slab_h), :], 4),
+        dma_in(inv_s, inv_hbm.at[pl.ds(row0, slab_h), :], 5),
     ]
     for cp in cps:
         cp.wait()
 
     wl_s[:] = pltpu.roll(bh_s[:], 1, 1)
     wu_s[:] = pltpu.roll(bv_s[:], 1, 0)
+    base = b * k
 
     def body(i, _):
-        new_u, new_prev = _sweep_full(
-            u_s[:], p_s[:], wl_s[:], bh_s[:], wu_s[:], bv_s[:], inv_s[:],
-            m_s[:], om_ref[i, 0], om_ref[i, 1], om_ref[i, 2],
-        )
-        p_s[:] = new_prev
-        u_s[:] = new_u
+        @pl.when(base + i < iters)
+        def _active():
+            new_u, new_prev = _sweep_full(
+                u_s[:], p_s[:], wl_s[:], bh_s[:], wu_s[:], bv_s[:], inv_s[:],
+                m_s[:], om_ref[base + i, 0], om_ref[base + i, 1],
+                om_ref[base + i, 2],
+            )
+            p_s[:] = new_prev
+            u_s[:] = new_u
+
         return 0
 
     lax.fori_loop(0, k, body, 0, unroll=False)
@@ -235,70 +245,36 @@ def _strip_kernel(k, pad_rows, block_h, n_strips,
     # Write back the strip interior (skip the pad_rows halo rows).
     out_row = row0 + pad_rows
     uo = pltpu.make_async_copy(
-        u_s.at[pl.ds(pad_rows, block_h), :], uo_hbm.at[pl.ds(out_row, block_h), :],
-        sems.at[6],
+        u_s.at[pl.ds(pad_rows, block_h), :],
+        u_pp.at[dst, pl.ds(out_row, block_h), :], sems.at[6],
     )
     po = pltpu.make_async_copy(
-        p_s.at[pl.ds(pad_rows, block_h), :], po_hbm.at[pl.ds(out_row, block_h), :],
-        sems.at[7],
+        p_s.at[pl.ds(pad_rows, block_h), :],
+        p_pp.at[dst, pl.ds(out_row, block_h), :], sems.at[7],
     )
     uo.start()
     po.start()
     uo.wait()
     po.wait()
 
-    if not _IN_KERNEL_HALO:
-        return
 
-    # Boundary strips also emit the global halo bands (still all-zero slab
-    # rows, see docstring) so the output buffers are complete.
-    @pl.when(s == 0)
-    def _write_top():
-        tu = pltpu.make_async_copy(
-            u_s.at[pl.ds(0, pad_rows), :], uo_hbm.at[pl.ds(0, pad_rows), :],
-            sems.at[8],
-        )
-        tp = pltpu.make_async_copy(
-            p_s.at[pl.ds(0, pad_rows), :], po_hbm.at[pl.ds(0, pad_rows), :],
-            sems.at[9],
-        )
-        tu.start()
-        tp.start()
-        tu.wait()
-        tp.wait()
-
-    @pl.when(s == n_strips - 1)
-    def _write_bottom():
-        src = pad_rows + block_h
-        dst = row0 + pad_rows + block_h
-        bu = pltpu.make_async_copy(
-            u_s.at[pl.ds(src, pad_rows), :], uo_hbm.at[pl.ds(dst, pad_rows), :],
-            sems.at[8],
-        )
-        bp = pltpu.make_async_copy(
-            p_s.at[pl.ds(src, pad_rows), :], po_hbm.at[pl.ds(dst, pad_rows), :],
-            sems.at[9],
-        )
-        bu.start()
-        bp.start()
-        bu.wait()
-        bp.wait()
-
-
-def _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret):
+def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret):
     slab_h = block_h + 2 * pad_rows
-    kern = functools.partial(_strip_kernel, k, pad_rows, block_h, n_strips)
+    n_blocks = -(-iters // k)
+    kern = functools.partial(
+        _strip_mega_kernel, k, iters, pad_rows, block_h, n_strips
+    )
     return pl.pallas_call(
         kern,
-        grid=(n_strips,),
+        grid=(n_blocks, n_strips),
         out_shape=(
-            jax.ShapeDtypeStruct((hp, wp2), jnp.float32),  # u out
-            jax.ShapeDtypeStruct((hp, wp2), jnp.float32),  # prev out
+            jax.ShapeDtypeStruct((2, hp, wp2), jnp.float32),  # u ping-pong
+            jax.ShapeDtypeStruct((2, hp, wp2), jnp.float32),  # prev ping-pong
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (k, 1)
-            pl.BlockSpec(memory_space=pl.ANY),  # u
-            pl.BlockSpec(memory_space=pl.ANY),  # prev
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (n_blocks*k, 3)
+            pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # prev ping-pong (aliased)
             pl.BlockSpec(memory_space=pl.ANY),  # mask
             pl.BlockSpec(memory_space=pl.ANY),  # bh
             pl.BlockSpec(memory_space=pl.ANY),  # bv
@@ -317,12 +293,9 @@ def _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret):
             pltpu.VMEM((slab_h, wp2), jnp.float32),  # inv slab
             pltpu.VMEM((slab_h, wp2), jnp.float32),  # wl slab (rolled bh)
             pltpu.VMEM((slab_h, wp2), jnp.float32),  # wu slab (rolled bv)
-            pltpu.SemaphoreType.DMA((10,)),
+            pltpu.SemaphoreType.DMA((8,)),
         ],
-        # NOTE: deliberately NO input/output aliasing — strip s+1's input
-        # slab overlaps strip s's output rows, and Jacobi requires reads of
-        # the pre-sweep state. Separate buffers make the sequential grid
-        # race-free by construction.
+        input_output_aliases={1: 0, 2: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
@@ -339,7 +312,7 @@ def solve_level_strips(
     block_h: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Strip-blocked solve: ceil(iters/k) launches of k fused sweeps."""
+    """Strip-blocked solve: ALL iterations in one megakernel launch."""
     h, w = depth.shape
     k = max(int(cfg.pallas_iter_block), 1)
 
@@ -372,31 +345,21 @@ def solve_level_strips(
     bh = repad(bh)
     bv = repad(bv)
     inv = repad(inv)
-    prev = jnp.zeros_like(u)
 
-    omegas = _abc_schedule(iters, cfg)
-    n_full, rem = divmod(iters, k)
+    # Ping-pong state: copy 0 = seeded input / zero Chebyshev history; copy 1
+    # is fully written by block 0 before any read. Both copies' halo bands
+    # are zero here and stay zero (the kernel writes interior rows only).
+    u_pp = jnp.stack([u, jnp.zeros_like(u)])
+    p_pp = jnp.zeros((2, hp, wp2), jnp.float32)
 
-    def fix_halo(a):
-        # Only for the _IN_KERNEL_HALO=False A/B variant: the kernels then
-        # write just rows [pad_rows, hp-pad_rows) and the halo bands must be
-        # re-zeroed on the host-program side between launches.
-        a = a.at[:pad_rows, :].set(0.0)
-        return a.at[hp - pad_rows :, :].set(0.0)
+    n_blocks = -(-iters // k)
+    om = np.zeros((n_blocks * k, 3), np.float32)
+    om[:iters] = _abc_schedule(iters, cfg)
 
-    call_k = _strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret)
-    for blk in range(n_full):
-        om = jnp.asarray(omegas[blk * k : (blk + 1) * k])
-        u, prev = call_k(om, u, prev, m, bh, bv, inv)
-        if not _IN_KERNEL_HALO:
-            u, prev = fix_halo(u), fix_halo(prev)
-    if rem:
-        # Remainder block needs an exact rem-length schedule (omega-0 padding
-        # would corrupt the Chebyshev history).
-        call_r = _strips_call(hp, wp2, rem, pad_rows, n_strips, block_h, interpret)
-        om = jnp.asarray(omegas[n_full * k :])
-        u, prev = call_r(om, u, prev, m, bh, bv, inv)
-    return u[pad_rows : pad_rows + h, 1 : w + 1]
+    call = _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret)
+    u_pp, p_pp = call(jnp.asarray(om), u_pp, p_pp, m, bh, bv, inv)
+    fin = n_blocks % 2
+    return u_pp[fin, pad_rows : pad_rows + h, 1 : w + 1]
 
 
 def solve_level_pallas(
