@@ -100,6 +100,10 @@ class DiffusionConfig:
     # fits the scaled window take a full warm re-solve instead. Sized so the
     # window solve runs in the VMEM-resident Pallas kernel.
     incremental_window: int = 384
+    # Number of FINE pyramid levels that take the windowed re-solve; all
+    # coarser levels re-solve fully (they are microseconds in the resident
+    # kernel and carry the edit's whole far field).
+    incremental_window_levels: int = 2
     # Global sweeps per windowed level that polish the injected coarse
     # correction along image edges before the deep window solve. Measured:
     # negligible accuracy benefit on both the dataset and sparse-synthetic

@@ -73,11 +73,14 @@ def solve_incremental(
         win = cfg.incremental_window >> level
         old = state[level]
 
-        if win >= min(h, w):
-            # Whole level fits the window: full warm re-solve at the FULL
-            # cascade budget — coarse levels are microseconds (VMEM-resident
-            # kernel) and carry the edit's entire far field, so skimping
-            # here is the wrong trade.
+        # Window only the expensive FINE levels (both `win` and the level
+        # dims halve per level, so a size ratio would make the same choice
+        # everywhere); every coarser level takes a full warm re-solve at
+        # the FULL cascade budget — those run in the VMEM-resident kernel
+        # for microseconds and carry the edit's entire far field, so
+        # skimping there is the wrong trade.
+        windowed = level < cfg.incremental_window_levels and win < min(h, w)
+        if not windowed:
             iters = cfg.level_iterations(levels, level)
             st = seed_depth(old, masks[level], values[level])
             state[level] = solve_level(
@@ -86,7 +89,7 @@ def solve_incremental(
             delta = state[level] - old
             continue
         # Windowed (fine) levels: the incremental budget, halved per level
-        # below the window cut like the reference schedule.
+        # like the reference schedule.
         iters = max(inc >> level, 1)
 
         # Inject the coarse far-field correction everywhere, then re-pin the
