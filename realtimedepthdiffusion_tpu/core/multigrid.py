@@ -180,6 +180,36 @@ def solve_vcycle(
     correct, post-smooth. Scribbled pixels are hard Dirichlet constraints at
     every level (error forced to 0 there).
     """
+    # Cascadic warm start at cfg.vcycle_warm_fraction of the iteration
+    # budget; the V-cycles then polish (default: full cascade + cycles).
+    import dataclasses
+
+    warm_iters = max(
+        int(cfg.max_iterations * cfg.vcycle_warm_fraction), 4 * cfg.chebyshev_s
+    )
+    warm_cfg = dataclasses.replace(cfg, max_iterations=warm_iters)
+    _, state = solve_cascade(gray_pyr, mask0, value0, depth_state, warm_cfg)
+    u = vcycle_polish(gray_pyr, mask0, value0, state[0], cfg)
+    state = (u,) + tuple(state[1:])
+    return u, state
+
+
+def vcycle_polish(
+    gray_pyr: Sequence[jnp.ndarray],
+    mask0: jnp.ndarray,
+    value0: jnp.ndarray,
+    u: jnp.ndarray,
+    cfg: DiffusionConfig = DiffusionConfig(),
+) -> jnp.ndarray:
+    """``cfg.vcycles`` error-correction V-cycles on a warm fine solution.
+
+    Pure global jnp ops (stencils, reduce_window restriction, pyrUp
+    prolongation, dot-product damping): runs as-is single-device, under
+    jax.vmap for a batch, or GSPMD-partitioned over a mesh when its inputs
+    carry shardings (parallel/sharded.solve_vcycle_sharded) — a 5-point
+    stencil's halo exchange is exactly what GSPMD's windowed-op handling
+    inserts, so no shard_map is needed here.
+    """
     levels = len(gray_pyr)
     L = levels - 1
     sizes = [g.shape for g in gray_pyr]
@@ -190,17 +220,6 @@ def solve_vcycle(
         m, v = annotation_pyr_down(masks[-1], values[-1], sizes[l])
         masks.append(m)
         values.append(v)
-
-    # Cascadic warm start at cfg.vcycle_warm_fraction of the iteration
-    # budget; the V-cycles then polish (default: full cascade + cycles).
-    import dataclasses
-
-    warm_iters = max(
-        int(cfg.max_iterations * cfg.vcycle_warm_fraction), 4 * cfg.chebyshev_s
-    )
-    warm_cfg = dataclasses.replace(cfg, max_iterations=warm_iters)
-    _, state = solve_cascade(gray_pyr, mask0, value0, depth_state, warm_cfg)
-    u = state[0]
 
     # Per-level weights for the fine-state-dependent operator: computed once
     # from the warm-started fine solution restricted down the pyramid.
@@ -243,6 +262,4 @@ def solve_vcycle(
         e = cycle_err(r, 0)
         u = _damped_add(u, e, r, 0)
         u = jnp.clip(u, 0.0, 255.0)
-
-    state = (u,) + tuple(state[1:])
-    return u, state
+    return u

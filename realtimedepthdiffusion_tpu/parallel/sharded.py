@@ -383,8 +383,10 @@ def solve_cascade_sharded(
     """
     if cfg.solver not in _SHARDED_SOLVERS or cfg.multigrid != "cascadic":
         raise NotImplementedError(
-            f"multi-chip path implements solvers {_SHARDED_SOLVERS} with "
-            f"multigrid='cascadic' only, got ({cfg.solver!r}, {cfg.multigrid!r})"
+            f"solve_cascade_sharded implements solvers {_SHARDED_SOLVERS} "
+            f"with multigrid='cascadic', got ({cfg.solver!r}, "
+            f"{cfg.multigrid!r}); use solve_vcycle_sharded for the V-cycle "
+            f"scheme and the single-chip pipeline for 'jacobi'"
         )
     from ..core.solver import solve_level  # local import to avoid cycle
 
@@ -437,6 +439,44 @@ def solve_cascade_sharded(
     return state[0], tuple(state)
 
 
+def solve_vcycle_sharded(
+    gray_pyr: Sequence[jnp.ndarray],
+    mask0: jnp.ndarray,
+    value0: jnp.ndarray,
+    depth_state: Sequence[jnp.ndarray],
+    mesh: Mesh,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    halo: int = DEFAULT_HALO,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+    """Multi-chip V-cycle (BASELINE config #4): sharded cascadic warm start
+    (Pallas halo-block kernels under shard_map), then the error-correction
+    cycles as plain global XLA ops — pure stencils/reductions that GSPMD
+    partitions over the mesh on its own (it inserts the one-pixel halo
+    exchanges a 5-point stencil needs), so the polish phase requires no
+    explicit communication code at all. Accepts single images or batches.
+    """
+    import dataclasses
+
+    from ..core.multigrid import vcycle_polish
+
+    warm_iters = max(
+        int(cfg.max_iterations * cfg.vcycle_warm_fraction), 4 * cfg.chebyshev_s
+    )
+    warm_cfg = dataclasses.replace(
+        cfg, max_iterations=warm_iters, multigrid="cascadic"
+    )
+    _, state = solve_cascade_sharded(
+        gray_pyr, mask0, value0, depth_state, mesh, warm_cfg, halo
+    )
+    if mask0.ndim == 3:
+        u = jax.vmap(
+            lambda gp, m, v, ui: vcycle_polish(gp, m, v, ui, cfg)
+        )(gray_pyr, mask0, value0, state[0])
+    else:
+        u = vcycle_polish(gray_pyr, mask0, value0, state[0], cfg)
+    return u, (u,) + tuple(state[1:])
+
+
 def batched_step(
     mesh: Mesh,
     rows: int,
@@ -462,10 +502,12 @@ def batched_step(
     from ..core.color import rgb_to_gray
     from ..core.multigrid import build_gray_pyramid, initial_depth_state
 
+    driver = solve_vcycle_sharded if cfg.multigrid == "vcycle" else solve_cascade_sharded
+
     def step(rgb, mask, value, depth_state):
         gray0 = jax.vmap(rgb_to_gray)(rgb)
         gpyr = jax.vmap(lambda g: build_gray_pyramid(g, cfg))(gray0)
-        depth0, new_state = solve_cascade_sharded(
+        depth0, new_state = driver(
             gpyr, mask, value, depth_state, mesh, cfg, halo
         )
         out = jax.vmap(
