@@ -57,9 +57,11 @@ def solve_incremental(
     cfg: DiffusionConfig = DiffusionConfig(),
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """Warm, windowed re-solve of an edit at ``center_yx`` (L0 coords, (2,)
-    int32). Iteration budget: ``incremental_iterations`` at the coarsest
-    level, halved per finer level like the reference schedule. Returns
-    (depth0, new_state)."""
+    int32). Iteration budgets: the windowed fine levels get
+    ``incremental_iterations`` at level 0, halved per coarser windowed level
+    (the deep work goes where the new fine-scale detail is); the full
+    coarse levels keep the reference cascade schedule (they are nearly
+    free). Returns (depth0, new_state)."""
     levels = len(gray_pyr)
     L = levels - 1
     inc = cfg.incremental_iterations if cfg.incremental_iterations > 0 else cfg.max_iterations

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import DiffusionConfig
 
@@ -41,13 +42,16 @@ def _pad_edge_pairs(bh: jnp.ndarray, bv: jnp.ndarray, h: int, w: int) -> EdgeWei
     wu = jnp.concatenate([zr, bv], axis=0)
     wd = jnp.concatenate([bv, zr], axis=0)
     count = wl + wr + wu + wd
-    # A pixel is "isolated" (depth 0, src/GPUSolver.cu:103) exactly when the
-    # reciprocal overflows: count == 0 or subnormal-small (< ~2.9e-39, all 4
-    # neighbors at extreme contrast). Flush only the non-finite reciprocals
-    # so every sum the reference computes a weighted mean for stays on the
-    # weighted-mean path.
-    inv = jnp.float32(1.0) / count
-    inv_count = jnp.where(jnp.isfinite(inv), inv, jnp.float32(0.0)).astype(jnp.float32)
+    # A pixel is "isolated" (depth 0, src/GPUSolver.cu:103) when count == 0
+    # or SUBNORMAL (< ~1.18e-38, all 4 neighbors at extreme contrast): the
+    # reference GPU's flush-to-zero arithmetic lands such sums on its
+    # count==0 branch, and TPUs flush subnormals the same way — so the cut
+    # must sit at the normal/subnormal boundary, not at reciprocal overflow
+    # (~2.9e-39), or CPU (which keeps subnormals) and TPU would diverge in
+    # the band between. Every NORMAL sum takes the weighted-mean path with a
+    # finite reciprocal (1/tiny ~ 8.5e37 < inf), exactly like the reference.
+    tiny = jnp.float32(np.finfo(np.float32).tiny)
+    inv_count = jnp.where(count >= tiny, jnp.float32(1.0) / count, jnp.float32(0.0))
     return EdgeWeights(wl, wr, wu, wd, inv_count)
 
 
@@ -76,8 +80,15 @@ def edge_weights(
 
     gsad_h = jnp.abs(g[:, 1:] - g[:, :-1]).astype(jnp.float32)
     gsad_v = jnp.abs(g[1:, :] - g[:-1, :]).astype(jnp.float32)
+    # Flush SUBNORMAL weights (contrast > ~218 at beta=0.4) to zero
+    # explicitly: CUDA's expf and XLA's vectorized exp flush them anyway
+    # (FTZ), NumPy keeps them — pinning the boundary here makes oracle, CPU
+    # and TPU agree bit-for-bit on which pixels take the isolated rule.
+    tiny = jnp.float32(np.finfo(np.float32).tiny)
     base_h = jnp.exp(-beta * gsad_h)
     base_v = jnp.exp(-beta * gsad_v)
+    base_h = jnp.where(base_h >= tiny, base_h, jnp.float32(0.0))
+    base_v = jnp.where(base_v >= tiny, base_v, jnp.float32(0.0))
 
     if level == max_level:
         return _pad_edge_pairs(base_h, base_v, h, w)

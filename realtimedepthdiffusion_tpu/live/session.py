@@ -165,8 +165,16 @@ class DepthSession:
                 s_win = min(self.cfg.incremental_window, self.rows, self.cols)
                 cy = (rect[0] + rect[2]) // 2
                 cx = (rect[1] + rect[3]) // 2
-                oy = min(max(cy - s_win // 2, 0), self.rows - s_win)
-                ox = min(max(cx - s_win // 2, 0), self.cols - s_win)
+
+                def origin(c, lo, hi, n, s=s_win):
+                    # Window start near the rect center, clamped so the
+                    # window COVERS the whole rect ([hi+1-s, lo]) and stays
+                    # in-bounds; a centered start alone can miss the rect's
+                    # last row/column when the rect spans exactly s pixels.
+                    return min(max(c - s // 2, hi + 1 - s, 0), lo, n - s)
+
+                oy = origin(cy, rect[0], rect[2], self.rows)
+                ox = origin(cx, rect[1], rect[3], self.cols)
                 mw = jnp.asarray(
                     self.mask_np[oy : oy + s_win, ox : ox + s_win].astype(bool)
                 )

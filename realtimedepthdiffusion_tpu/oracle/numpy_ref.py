@@ -15,12 +15,13 @@ in float32 NumPy, with three documented, intentional deviations:
    the level-dependent edge rule (the reference's raw C cast of a possibly
    out-of-range float to ``unsigned char`` is undefined behavior —
    src/GPUSolver.cu:168/199 reading unclamped Chebyshev output).
-3. Weight sums whose float32 reciprocal is non-finite (count == 0 or
-   < ~2.9e-39 — all four neighbors at extreme contrast) are flushed to the
-   "isolated pixel -> 0" rule instead of dividing; GPUs flush such
-   subnormals to zero anyway, landing on the reference's count==0 branch
-   (src/GPUSolver.cu:103). Every sum with a representable reciprocal takes
-   the weighted-mean path, exactly like the reference.
+3. SUBNORMAL weight sums (count < ~1.18e-38 — all four neighbors at extreme
+   contrast) take the "isolated pixel -> 0" rule instead of dividing: the
+   reference GPU's flush-to-zero arithmetic lands exactly these sums on its
+   count==0 branch (src/GPUSolver.cu:103), and TPUs flush subnormals the
+   same way, so cutting at the normal/subnormal boundary keeps CPU oracle
+   and TPU product bit-consistent. Every NORMAL sum takes the weighted-mean
+   path with a finite reciprocal, exactly like the reference.
 
 Everything here is single-threaded NumPy and runs with no JAX at all.
 """
@@ -227,7 +228,11 @@ def edge_weights(
     beta = F32(cfg.beta)
 
     def base_w(sad):
-        return np.exp((-beta) * sad.astype(F32)).astype(F32)
+        w = np.exp((-beta) * sad.astype(F32)).astype(F32)
+        # Flush subnormal weights to zero like CUDA's expf / XLA's exp (FTZ);
+        # NumPy alone keeps them. Pins the isolated-pixel boundary at
+        # contrast ~218 (beta=0.4) identically across oracle, CPU and TPU.
+        return np.where(w >= np.finfo(np.float32).tiny, w, F32(0.0)).astype(F32)
 
     h, w = gray.shape
     wl = np.zeros((h, w), dtype=F32)
@@ -289,12 +294,16 @@ def chebyshev_omegas(iters: int, cfg: DiffusionConfig = DiffusionConfig()) -> np
 
 
 def _inv_count(count: np.ndarray) -> np.ndarray:
-    """Reciprocal weight sum; 0 exactly where 1/count is non-finite
-    (count == 0 or subnormal-small) — the reference's "isolated pixel"
-    branch (src/GPUSolver.cu:103). See deviation #3 in the module doc."""
-    with np.errstate(divide="ignore", over="ignore"):
-        inv = F32(1.0) / count.astype(F32)
-    return np.where(np.isfinite(inv), inv, F32(0.0)).astype(F32)
+    """Reciprocal weight sum; 0 where count is zero or SUBNORMAL — the
+    reference's "isolated pixel" branch (src/GPUSolver.cu:103), which its
+    GPU's flush-to-zero arithmetic reaches for any subnormal sum. Cutting at
+    the normal/subnormal boundary keeps CPU (NumPy, keeps subnormals) and
+    TPU (flushes them) on identical semantics. See deviation #3 in the
+    module doc."""
+    count = count.astype(F32)
+    with np.errstate(divide="ignore"):
+        inv = F32(1.0) / count
+    return np.where(count >= np.finfo(np.float32).tiny, inv, F32(0.0)).astype(F32)
 
 
 def jacobi_sweep(u, wl, wr, wu, wd, inv_count):

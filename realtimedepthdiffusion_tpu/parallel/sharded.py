@@ -502,7 +502,14 @@ def batched_step(
     from ..core.color import rgb_to_gray
     from ..core.multigrid import build_gray_pyramid, initial_depth_state
 
+    import dataclasses
+
     driver = solve_vcycle_sharded if cfg.multigrid == "vcycle" else solve_cascade_sharded
+    # Effects run as vmapped GLOBAL ops (GSPMD partitions them over the
+    # mesh); force their XLA formulation — vmap has no batching rule for the
+    # Pallas defocus kernel's ANY-memory-space operands, the same limitation
+    # the solver avoids by iterating the local batch inside shard_map.
+    eff_cfg = dataclasses.replace(cfg, backend="xla")
 
     def step(rgb, mask, value, depth_state):
         gray0 = jax.vmap(rgb_to_gray)(rgb)
@@ -511,7 +518,7 @@ def batched_step(
             gpyr, mask, value, depth_state, mesh, cfg, halo
         )
         out = jax.vmap(
-            lambda r, g, d: fx.apply_effect(effect, r, g, d, cfg)
+            lambda r, g, d: fx.apply_effect(effect, r, g, d, eff_cfg)
         )(rgb, gray0, jnp.clip(depth0, 0.0, 255.0))
         return depth0, new_state, out
 

@@ -115,6 +115,30 @@ def test_session_dirty_window_upload():
     assert d[90, 100] == 192.0  # new scribble pinned (color key 3)
 
 
+def test_session_window_covers_rect_spanning_exactly_window():
+    """Regression: a dirty rect spanning EXACTLY the window size used to get
+    a center-derived window missing its last row/column, silently dropping
+    painted pixels from the device upload (and clearing the dirty flag)."""
+    from realtimedepthdiffusion_tpu.live.session import DepthSession
+
+    rgb, _, _ = synthetic_pair(128, 160, 5)
+    cfg = DiffusionConfig(max_iterations=40, incremental_iterations=16,
+                          incremental_window=64)
+    s = DepthSession(rgb, cfg)
+    s.set_color_key(1)
+    s.paint(40, 40)
+    s.solve()
+    # Union dirty rect rows [32, 95]: height exactly 64 == window.
+    s.scribble_radius = 0
+    s.set_color_key(4)
+    s.paint(40, 32)
+    s.paint(40, 95)
+    assert s.dirty[2] - s.dirty[0] + 1 == 64
+    s.solve()
+    assert np.array_equal(np.asarray(s._mask_d), s.mask_np.astype(bool))
+    assert np.asarray(s.depth0)[95, 40] == 254.0
+
+
 def test_incremental_full_fallback_on_large_edit():
     """An edit larger than the window (annotation load) falls back to the
     full path and still lands the right device state."""

@@ -232,6 +232,20 @@ def test_batched_step_takes_pallas_branch():
     assert out_p.shape == (2, 64, 64, 3)
 
 
+def test_batched_step_defocus_effect():
+    """Regression: batched_step vmaps the effect, and vmap has no batching
+    rule for the Pallas defocus kernel — the batched path must force the
+    XLA defocus formulation (which GSPMD partitions) even when the solver
+    backend is pallas."""
+    from realtimedepthdiffusion_tpu.core import effects as fx
+
+    mesh = make_mesh(8)
+    cfg = DiffusionConfig(max_iterations=12, backend="pallas_interpret")
+    fn, make_args = sharded.batched_step(mesh, 64, 64, cfg, effect=fx.EFFECT_DEFOCUS)
+    depth, _, out = fn(*make_args(2))
+    assert out.shape == (2, 64, 64, 3) and out.dtype == jnp.uint8
+
+
 def test_sharded_level_pallas_interpret(rng):
     """The multi-chip halo-block path through the Pallas kernel (interpret
     mode on the CPU mesh) matches the jnp in-shard path."""

@@ -187,6 +187,29 @@ def test_red_black_early_exit(rng):
     assert got.min() >= 0.0 and got.max() <= 255.0
 
 
+def test_subnormal_flush_boundary():
+    """The isolated-pixel cut sits exactly at the float32 normal/subnormal
+    boundary OF THE INDIVIDUAL WEIGHTS (exp(-beta*sad) < ~1.18e-38, i.e.
+    contrast > ~218 at beta=0.4): CUDA's expf and XLA's exp flush subnormal
+    outputs (FTZ) while NumPy keeps them, so both implementations pin the
+    flush explicitly — a contrast-219 pixel is isolated (each weight ~9e-39
+    subnormal), a contrast-217 pixel (weights ~2e-38, normal) takes the
+    weighted-mean path with a finite reciprocal. Oracle and JAX must agree
+    on both sides."""
+    for contrast, expect_isolated in ((219, True), (217, False)):
+        gray = np.zeros((5, 5), np.uint8)
+        gray[2, 2] = contrast
+        jw = weights.edge_weights(jnp.asarray(gray), None, 1, 1, CFG)
+        inv = float(jw.inv_count[2, 2])
+        ow = oracle.edge_weights(gray, None, 1, 1, CFG)
+        oinv = oracle._inv_count(sum(ow))[2, 2]
+        if expect_isolated:
+            assert inv == 0.0 and oinv == 0.0, contrast
+        else:
+            assert 0.0 < inv < np.inf and 0.0 < oinv < np.inf, contrast
+            np.testing.assert_allclose(inv, oinv, rtol=1e-6)
+
+
 def test_subnormal_weight_sum_is_isolated():
     """An extreme-contrast isolated pixel produces a subnormal weight sum
     (~4*exp(-0.4*255) ~ 2e-44); 1/count would overflow to inf and poison the
