@@ -115,23 +115,27 @@ def defocus_xla(
         """sat[:, clip(y+dy, 0, h), clip(x+dx, 0, w)] as a slice of sat_e."""
         return sat_e[:, m + dy : m + dy + h, m + dx : m + dx + w]
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-
     out = jnp.moveaxis(rgb, -1, 0).astype(jnp.float32)  # half == 0 -> passthrough
     for hv in range(1, max_half + 1):
         # Window rows [y-hv, y+hv-1] clipped: SAT corners at row indices
-        # clip(y+hv, 0, h) and clip(y-hv, 0, h).
+        # clip(y+hv, 0, h) and clip(y-hv, 0, h). The select takes the RAW box
+        # sum; the clip count + division are hoisted below the loop (they
+        # depend only on the pixel's own half — the one winning candidate —
+        # and box sums < 2^24 are exact in f32, so the late divide is
+        # bit-identical to a per-candidate divide).
         box = (
             corner(hv, hv) - corner(-hv, hv) - corner(hv, -hv) + corner(-hv, -hv)
         ).astype(jnp.float32)
-        y0 = jnp.maximum(yy - hv, 0)
-        y1 = jnp.minimum(yy + hv - 1, h - 1)
-        x0 = jnp.maximum(xx - hv, 0)
-        x1 = jnp.minimum(xx + hv - 1, w - 1)
-        cnt = ((y1 - y0 + 1) * (x1 - x0 + 1)).astype(jnp.float32)
-        mean = box / cnt[None]
-        out = jnp.where((half == hv)[None], mean, out)
+        out = jnp.where((half == hv)[None], box, out)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    y0 = jnp.maximum(yy - half, 0)
+    y1 = jnp.minimum(yy + half - 1, h - 1)
+    x0 = jnp.maximum(xx - half, 0)
+    x1 = jnp.minimum(xx + half - 1, w - 1)
+    cnt = ((y1 - y0 + 1) * (x1 - x0 + 1)).astype(jnp.float32)
+    out = jnp.where((half > 0)[None], out / cnt[None], out)
     return jnp.moveaxis(out.astype(jnp.uint8), 0, -1)
 
 

@@ -86,9 +86,6 @@ def _defocus_kernel(max_half, block_h, hr, hc, h, w, n_strips,
     br_s[:] = pltpu.roll(s2, 2, 0)     # rows y-2,  cols x+0
     bl_s[:] = pltpu.roll(br_s[:], 2, 1)  # rows y-2, cols x-2
 
-    # Global image coordinates of the interior block.
-    gy = lax.broadcasted_iota(jnp.int32, (block_h, wp), 0) + row0
-    gx = lax.broadcasted_iota(jnp.int32, (block_h, wp), 1) - hc
     half = half_s[:].astype(jnp.int32)
     # (Mosaic has no direct u8 -> f32 cast; widen through i32.)
     out_s[:] = x_s[pl.ds(hr, block_h), :].astype(jnp.int32).astype(jnp.float32)
@@ -100,14 +97,13 @@ def _defocus_kernel(max_half, block_h, hr, hc, h, w, n_strips,
     hv_hi = jnp.max(half)
 
     def body(hv, _):
+        # Select the RAW box sum; the boundary-clamped count and the division
+        # are hoisted below the loop (they depend only on the pixel's own
+        # ``half``, the single candidate whose select ever wins).
         box = (ar_s[blk, :] - al_s[blk, :] - br_s[blk, :] + bl_s[blk, :]).astype(
             jnp.float32
         )
-        ch = jnp.minimum(gy + (hv - 1), h - 1) - jnp.maximum(gy - hv, 0) + 1
-        cw = jnp.minimum(gx + (hv - 1), w - 1) - jnp.maximum(gx - hv, 0) + 1
-        cnt = jnp.maximum(ch, 1) * jnp.maximum(cw, 1)
-        mean = box / cnt.astype(jnp.float32)
-        out_s[:] = jnp.where(half == hv, mean, out_s[:])
+        out_s[:] = jnp.where(half == hv, box, out_s[:])
         # March the corners to candidate hv+1: rows +-1, cols +-1.
         up, dn = slab_h - 1, 1
         lt, rt = wp - 1, 1
@@ -118,6 +114,17 @@ def _defocus_kernel(max_half, block_h, hr, hc, h, w, n_strips,
         return 0
 
     lax.fori_loop(1, hv_hi + 1, body, 0, unroll=False)
+
+    # Single epilogue division, bit-identical to dividing per candidate: box
+    # sums are < 2^24 (<= 55^2 * 255), so their i32 -> f32 conversion is
+    # exact and the divide sees the same operands either way. Count uses the
+    # pixel's own half (global image coordinates; clipped to the border).
+    gy = lax.broadcasted_iota(jnp.int32, (block_h, wp), 0) + row0
+    gx = lax.broadcasted_iota(jnp.int32, (block_h, wp), 1) - hc
+    ch = jnp.minimum(gy + (half - 1), h - 1) - jnp.maximum(gy - half, 0) + 1
+    cw = jnp.minimum(gx + (half - 1), w - 1) - jnp.maximum(gx - half, 0) + 1
+    cnt = (jnp.maximum(ch, 1) * jnp.maximum(cw, 1)).astype(jnp.float32)
+    out_s[:] = jnp.where(half > 0, out_s[:] / cnt, out_s[:])
 
     cp_o = pltpu.make_async_copy(
         out_s, out_hbm.at[c, pl.ds(row0, block_h), :], sems.at[2]
