@@ -258,7 +258,147 @@ def _strip_mega_kernel(k, iters, pad_rows, block_h, n_strips,
     po.wait()
 
 
-def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret):
+def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips,
+                             om_ref, u_in, p_in, m_hbm, bh_hbm, bv_hbm,
+                             inv_hbm, u_pp, p_pp, u_s, p_s, wl_s, wu_s,
+                             m_a, bh_a, bv_a, inv_a, sems):
+    """Arena variant of _strip_mega_kernel: the four iteration-invariant
+    planes (mask, bh, bv, inv) are DMA'd from HBM exactly ONCE per strip —
+    into a persistent VMEM arena indexed by strip id during block 0 — instead
+    of once per (block, strip) grid step. Only the ping-pong state still
+    moves per step, cutting the steady-state HBM traffic roughly in half
+    (the megakernel is bandwidth-bound, not VPU-bound: per-step DMA was
+    ~6 slabs in + 2 out). Pallas scratch persists across grid steps, and the
+    sequential TPU grid guarantees block 0's strip-s load completes before
+    any later block touches strip s. v5e has 128 MiB of physical VMEM; the
+    caller only selects this kernel when arena + working set fit."""
+    del u_in, p_in  # aliased: u_pp/p_pp ARE the state buffers
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    src = b % 2
+    dst = 1 - src
+    row0 = s * block_h
+    slab_h = block_h + 2 * pad_rows
+
+    def dma(dstref, srcslice, slot):
+        cp = pltpu.make_async_copy(srcslice, dstref, sems.at[slot])
+        cp.start()
+        return cp
+
+    cps = [
+        dma(u_s, u_pp.at[src, pl.ds(row0, slab_h), :], 0),
+        dma(p_s, p_pp.at[src, pl.ds(row0, slab_h), :], 1),
+    ]
+
+    @pl.when(b == 0)
+    def _fill_arena():
+        wps = [
+            dma(m_a.at[s], m_hbm.at[pl.ds(row0, slab_h), :], 2),
+            dma(bh_a.at[s], bh_hbm.at[pl.ds(row0, slab_h), :], 3),
+            dma(bv_a.at[s], bv_hbm.at[pl.ds(row0, slab_h), :], 4),
+            dma(inv_a.at[s], inv_hbm.at[pl.ds(row0, slab_h), :], 5),
+        ]
+        for cp in wps:
+            cp.wait()
+
+    for cp in cps:
+        cp.wait()
+
+    # Weights stream straight from the arena inside each sweep (the slab
+    # offsets are tile-aligned: slab_h % 8 == 0, wp2 % 128 == 0), avoiding
+    # materialized per-step slab copies; only the rolled planes need scratch.
+    wl_s[:] = pltpu.roll(bh_a[s], 1, 1)
+    wu_s[:] = pltpu.roll(bv_a[s], 1, 0)
+    base = b * k
+
+    def body(i, _):
+        @pl.when(base + i < iters)
+        def _active():
+            new_u, new_prev = _sweep_full(
+                u_s[:], p_s[:], wl_s[:], bh_a[s], wu_s[:], bv_a[s],
+                inv_a[s], m_a[s],
+                om_ref[base + i, 0], om_ref[base + i, 1], om_ref[base + i, 2],
+            )
+            p_s[:] = new_prev
+            u_s[:] = new_u
+
+        return 0
+
+    lax.fori_loop(0, k, body, 0, unroll=False)
+
+    out_row = row0 + pad_rows
+    uo = pltpu.make_async_copy(
+        u_s.at[pl.ds(pad_rows, block_h), :],
+        u_pp.at[dst, pl.ds(out_row, block_h), :], sems.at[6],
+    )
+    po = pltpu.make_async_copy(
+        p_s.at[pl.ds(pad_rows, block_h), :],
+        p_pp.at[dst, pl.ds(out_row, block_h), :], sems.at[7],
+    )
+    uo.start()
+    po.start()
+    uo.wait()
+    po.wait()
+
+
+def _arena_bytes(hp, wp2, slab_h, n_strips):
+    """VMEM bytes for the weight arena + the working set of the arena strip
+    kernel (2 state slabs + ~8 slab-sized Mosaic temporaries for the rolled
+    weights, stencil rolls and sweep intermediates)."""
+    arena = n_strips * slab_h * wp2 * (3 * 4 + 1)
+    working = 10 * slab_h * wp2 * 4
+    return arena + working
+
+
+def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
+                      arena=False):
+    if arena:
+        slab_h = block_h + 2 * pad_rows
+        n_blocks = -(-iters // k)
+        kern = functools.partial(
+            _strip_mega_kernel_arena, k, iters, pad_rows, block_h, n_strips
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(n_blocks, n_strips),
+            out_shape=(
+                jax.ShapeDtypeStruct((2, hp, wp2), jnp.float32),
+                jax.ShapeDtypeStruct((2, hp, wp2), jnp.float32),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas
+                pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),  # prev ping-pong (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),  # mask
+                pl.BlockSpec(memory_space=pl.ANY),  # bh
+                pl.BlockSpec(memory_space=pl.ANY),  # bv
+                pl.BlockSpec(memory_space=pl.ANY),  # inv
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((slab_h, wp2), jnp.float32),  # u slab
+                pltpu.VMEM((slab_h, wp2), jnp.float32),  # prev slab
+                pltpu.VMEM((slab_h, wp2), jnp.float32),  # wl slab (rolled bh)
+                pltpu.VMEM((slab_h, wp2), jnp.float32),  # wu slab (rolled bv)
+                pltpu.VMEM((n_strips, slab_h, wp2), jnp.uint8),  # mask arena
+                pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # bh arena
+                pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # bv arena
+                pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # inv arena
+                pltpu.SemaphoreType.DMA((8,)),
+            ],
+            input_output_aliases={1: 0, 2: 1},
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=min(
+                    _arena_bytes(hp, wp2, slab_h, n_strips) + 8 * 1024 * 1024,
+                    112 * 1024 * 1024,
+                ),
+            ),
+        )
     slab_h = block_h + 2 * pad_rows
     n_blocks = -(-iters // k)
     kern = functools.partial(
@@ -356,7 +496,13 @@ def solve_level_strips(
     om = np.zeros((n_blocks * k, 3), np.float32)
     om[:iters] = _abc_schedule(iters, cfg)
 
-    call = _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret)
+    # Weight-arena variant when the invariant planes fit VMEM (~13 bytes/px
+    # of level; true through 1080p, not at 4K+): mask/bh/bv/inv are DMA'd
+    # once per strip instead of once per grid step.
+    arena = _arena_bytes(hp, wp2, block_h + 2 * pad_rows, n_strips) <= 112 * 1024 * 1024
+    call = _strips_mega_call(
+        hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret, arena=arena
+    )
     u_pp, p_pp = call(jnp.asarray(om), u_pp, p_pp, m, bh, bv, inv)
     fin = n_blocks % 2
     return u_pp[fin, pad_rows : pad_rows + h, 1 : w + 1]
