@@ -343,21 +343,167 @@ def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips,
 
 def _arena_bytes(hp, wp2, slab_h, n_strips):
     """VMEM bytes for the weight arena + the working set of the arena strip
-    kernel (2 state slabs + ~8 slab-sized Mosaic temporaries for the rolled
-    weights, stencil rolls and sweep intermediates)."""
+    kernel (3x2 rotation state slabs + ~8 slab-sized Mosaic temporaries for
+    the rolled weights, stencil rolls and sweep intermediates)."""
     arena = n_strips * slab_h * wp2 * (3 * 4 + 1)
-    working = 10 * slab_h * wp2 * 4
+    working = 14 * slab_h * wp2 * 4
     return arena + working
 
 
+def _strip_mega_kernel_prefetch(k, iters, pad_rows, block_h, n_strips, n_blocks,
+                                om_ref, u_in, p_in, m_hbm, bh_hbm, bv_hbm,
+                                inv_hbm, u_pp, p_pp, u_db, p_db, wl_s, wu_s,
+                                m_a, bh_a, bv_a, inv_a, sems):
+    """Arena megakernel + cross-step state prefetch: u/prev slabs rotate
+    through a 3-deep VMEM buffer ring so each step's input DMA is issued one
+    step EARLY (during the previous step's sweeps) and its writeback drains
+    during the NEXT step's sweeps — in steady state no DMA wait sits on the
+    critical path and the kernel is compute-bound.
+
+    Semaphore slots: in-u 0..2 / in-p 3..5 (by buffer index), out-u 6..8 /
+    out-p 9..11 (by issuing step mod 3), arena 12..15. Every signal is
+    consumed exactly once (counting semaphores alias across steps otherwise):
+    the writeback of step j is waited at step j+2 — immediately before its
+    buffer slot is re-targeted by that step's prefetch — and the final step
+    drains j = total-2 and its own.
+
+    Safety argument for the prefetch (caller enforces n_strips >= 4 and
+    block_h >= pad_rows):
+    - Same-block prefetch (strip s+1) reads the SRC ping-pong copy, which
+      block b never writes; the two in-flight writebacks target DST.
+    - A prefetch issued at a block's first step reads SRC rows up to
+      2*block_h + 2*pad_rows; of the previous block's tail writebacks (which
+      targeted today's SRC), step t-2 overlaps that range only when
+      (n_strips-4)*block_h < pad_rows — and t-2 is waited here before the
+      issue — while t-1 requires (n_strips-3)*block_h < pad_rows, excluded
+      by n_strips >= 4.
+    - Block-START steps (s == 0) get no prefetch: their input overlaps the
+      previous block's mid-strip writebacks for any n_strips, so they
+      self-issue after the t-2 wait and pay one unhidden slab DMA per block.
+    """
+    del u_in, p_in  # aliased: u_pp/p_pp ARE the state buffers
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    t = b * n_strips + s
+    total = n_blocks * n_strips
+    cur = t % 3
+    nxt = (t + 1) % 3
+    src = b % 2
+    dst = 1 - src
+    row0 = s * block_h
+    slab_h = block_h + 2 * pad_rows
+
+    def in_u(buf, row):
+        return pltpu.make_async_copy(
+            u_pp.at[src, pl.ds(row, slab_h), :], u_db.at[buf], sems.at[buf]
+        )
+
+    def in_p(buf, row):
+        return pltpu.make_async_copy(
+            p_pp.at[src, pl.ds(row, slab_h), :], p_db.at[buf], sems.at[3 + buf]
+        )
+
+    def out_u(buf, row, slot):
+        return pltpu.make_async_copy(
+            u_db.at[buf, pl.ds(pad_rows, block_h), :],
+            u_pp.at[dst, pl.ds(row + pad_rows, block_h), :], sems.at[6 + slot]
+        )
+
+    def out_p(buf, row, slot):
+        return pltpu.make_async_copy(
+            p_db.at[buf, pl.ds(pad_rows, block_h), :],
+            p_pp.at[dst, pl.ds(row + pad_rows, block_h), :], sems.at[9 + slot]
+        )
+
+    @pl.when(s == 0)
+    def _self_input():  # block starts are never prefetched
+        in_u(cur, row0).start()
+        in_p(cur, row0).start()
+
+    @pl.when(b == 0)
+    def _fill_arena():
+        wps = [
+            pltpu.make_async_copy(m_hbm.at[pl.ds(row0, slab_h), :], m_a.at[s], sems.at[12]),
+            pltpu.make_async_copy(bh_hbm.at[pl.ds(row0, slab_h), :], bh_a.at[s], sems.at[13]),
+            pltpu.make_async_copy(bv_hbm.at[pl.ds(row0, slab_h), :], bv_a.at[s], sems.at[14]),
+            pltpu.make_async_copy(inv_hbm.at[pl.ds(row0, slab_h), :], inv_a.at[s], sems.at[15]),
+        ]
+        for cp in wps:
+            cp.start()
+        for cp in wps:
+            cp.wait()
+
+    # Buffer-reuse guard: consume the writeback issued 2 steps ago from the
+    # slot the prefetch below re-targets. (The descriptor only carries the
+    # transfer size for the semaphore wait; all writebacks are equal-sized.)
+    @pl.when(t >= 2)
+    def _reuse_wait():
+        out_u(nxt, row0, nxt).wait()
+        out_p(nxt, row0, nxt).wait()
+
+    @pl.when(s < n_strips - 1)
+    def _prefetch():
+        in_u(nxt, row0 + block_h).start()
+        in_p(nxt, row0 + block_h).start()
+
+    in_u(cur, row0).wait()
+    in_p(cur, row0).wait()
+
+    wl_s[:] = pltpu.roll(bh_a[s], 1, 1)
+    wu_s[:] = pltpu.roll(bv_a[s], 1, 0)
+    u_r = u_db.at[cur]
+    p_r = p_db.at[cur]
+    base = b * k
+
+    def body(i, _):
+        @pl.when(base + i < iters)
+        def _active():
+            new_u, new_prev = _sweep_full(
+                u_r[:], p_r[:], wl_s[:], bh_a[s], wu_s[:], bv_a[s],
+                inv_a[s], m_a[s],
+                om_ref[base + i, 0], om_ref[base + i, 1], om_ref[base + i, 2],
+            )
+            p_r[:] = new_prev
+            u_r[:] = new_u
+
+        return 0
+
+    lax.fori_loop(0, k, body, 0, unroll=False)
+
+    out_u(cur, row0, cur).start()
+    out_p(cur, row0, cur).start()
+
+    @pl.when(t == total - 1)
+    def _drain():
+        if total >= 2:  # static: prefetch mode implies total >= n_strips >= 4
+            out_u(nxt, row0, (t + 2) % 3).wait()  # j = total-2
+            out_p(nxt, row0, (t + 2) % 3).wait()
+        out_u(cur, row0, cur).wait()  # own
+        out_p(cur, row0, cur).wait()
+
+
 def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
-                      arena=False):
+                      arena=False, prefetch=False):
     if arena:
         slab_h = block_h + 2 * pad_rows
         n_blocks = -(-iters // k)
-        kern = functools.partial(
-            _strip_mega_kernel_arena, k, iters, pad_rows, block_h, n_strips
-        )
+        if prefetch:
+            kern = functools.partial(
+                _strip_mega_kernel_prefetch, k, iters, pad_rows, block_h,
+                n_strips, n_blocks,
+            )
+            state_scratch = [
+                pltpu.VMEM((3, slab_h, wp2), jnp.float32),  # u rotation ring
+                pltpu.VMEM((3, slab_h, wp2), jnp.float32),  # prev rotation ring
+            ]
+        else:
+            kern = functools.partial(
+                _strip_mega_kernel_arena, k, iters, pad_rows, block_h, n_strips
+            )
+            state_scratch = [
+                pltpu.VMEM((slab_h, wp2), jnp.float32),  # u slab
+                pltpu.VMEM((slab_h, wp2), jnp.float32),  # prev slab
+            ]
         return pl.pallas_call(
             kern,
             grid=(n_blocks, n_strips),
@@ -378,16 +524,14 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((slab_h, wp2), jnp.float32),  # u slab
-                pltpu.VMEM((slab_h, wp2), jnp.float32),  # prev slab
+            scratch_shapes=state_scratch + [
                 pltpu.VMEM((slab_h, wp2), jnp.float32),  # wl slab (rolled bh)
                 pltpu.VMEM((slab_h, wp2), jnp.float32),  # wu slab (rolled bv)
                 pltpu.VMEM((n_strips, slab_h, wp2), jnp.uint8),  # mask arena
                 pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # bh arena
                 pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # bv arena
                 pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # inv arena
-                pltpu.SemaphoreType.DMA((8,)),
+                pltpu.SemaphoreType.DMA((16,)),
             ],
             input_output_aliases={1: 0, 2: 1},
             interpret=interpret,
@@ -500,8 +644,12 @@ def solve_level_strips(
     # of level; true through 1080p, not at 4K+): mask/bh/bv/inv are DMA'd
     # once per strip instead of once per grid step.
     arena = _arena_bytes(hp, wp2, block_h + 2 * pad_rows, n_strips) <= 112 * 1024 * 1024
+    # State prefetch needs >= 4 strips and block_h >= pad_rows (the in-flight
+    # writeback / cross-block overlap analysis in the kernel docstring).
+    prefetch = arena and n_strips >= 4 and block_h >= pad_rows
     call = _strips_mega_call(
-        hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret, arena=arena
+        hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
+        arena=arena, prefetch=prefetch,
     )
     u_pp, p_pp = call(jnp.asarray(om), u_pp, p_pp, m, bh, bv, inv)
     fin = n_blocks % 2
