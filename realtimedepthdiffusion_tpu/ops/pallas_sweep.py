@@ -585,6 +585,16 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
     )
 
 
+def _auto_block_h(h: int) -> int:
+    """Strip height near the measured 128-row sweet spot, but with the strip
+    count ROUNDED so the ragged last strip is absorbed instead of padded:
+    1080 rows -> 8x136 (0.7% pad rows, vs 6.7% for 9x128), 540 -> 4x136
+    (24% fewer halo+pad rows than 5x128). Keeps >= 4 strips (the
+    state-prefetch viability bound)."""
+    n = max(4, (h + 64) // 128)
+    return -(-(-(-h // n)) // 8) * 8
+
+
 def solve_level_strips(
     depth: jnp.ndarray,
     mask: jnp.ndarray,
@@ -593,11 +603,13 @@ def solve_level_strips(
     max_level: int,
     iters: int,
     cfg: DiffusionConfig = DiffusionConfig(),
-    block_h: int = 128,
+    block_h: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Strip-blocked solve: ALL iterations in one megakernel launch."""
     h, w = depth.shape
+    if block_h is None:
+        block_h = _auto_block_h(h)
     k = max(int(cfg.pallas_iter_block), 1)
 
     # pad_rows = ceil((k+1)/8)*8 keeps every DMA slice offset/shape aligned
@@ -830,6 +842,117 @@ def _strip_rb_kernel(k, pad_rows, block_h, n_strips, parity,
         bu.wait()
 
 
+_RB_MEGA = True  # test hook: force the chunked fallback path when False
+
+
+def _rb_strip_mega_kernel(k, iters, pad_rows, block_h, n_strips, parity,
+                          u_in, m_hbm, bh_hbm, bv_hbm, inv_hbm,
+                          u_pp, u_s, wl_s, wu_s, m_a, bh_a, bv_a, inv_a, sems):
+    """Red-black megakernel: ALL iterations in one pallas_call, the red-black
+    twin of _strip_mega_kernel_arena. Grid (iteration blocks, strips) with
+    blocks outer; state ping-pongs between the halves of a (2, hp, wp2)
+    buffer by block parity; halo bands are zeroed once by the caller and
+    never written (the kernel writes interior rows only), so there is no
+    fix_halo pass and no per-chunk launch. The four invariant planes load
+    into a persistent VMEM arena during block 0. pad_rows >= 2k+1: one
+    red-black iteration advances the dependency cone TWO rings (black reads
+    red-updated neighbors). Remainder iterations of the last block are
+    masked in-kernel (a masked iteration leaves the state untouched)."""
+    del u_in  # aliased: u_pp IS the state buffer
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    src = b % 2
+    dst = 1 - src
+    row0 = s * block_h
+    slab_h = block_h + 2 * pad_rows
+
+    cp = pltpu.make_async_copy(
+        u_pp.at[src, pl.ds(row0, slab_h), :], u_s, sems.at[0]
+    )
+    cp.start()
+
+    @pl.when(b == 0)
+    def _fill_arena():
+        wps = [
+            pltpu.make_async_copy(m_hbm.at[pl.ds(row0, slab_h), :], m_a.at[s], sems.at[2]),
+            pltpu.make_async_copy(bh_hbm.at[pl.ds(row0, slab_h), :], bh_a.at[s], sems.at[3]),
+            pltpu.make_async_copy(bv_hbm.at[pl.ds(row0, slab_h), :], bv_a.at[s], sems.at[4]),
+            pltpu.make_async_copy(inv_hbm.at[pl.ds(row0, slab_h), :], inv_a.at[s], sems.at[5]),
+        ]
+        for w in wps:
+            w.start()
+        for w in wps:
+            w.wait()
+
+    cp.wait()
+
+    wl_s[:] = pltpu.roll(bh_a[s], 1, 1)
+    wu_s[:] = pltpu.roll(bv_a[s], 1, 0)
+    red = _red_mask(u_s.shape, row0, parity)
+    base = b * k
+
+    def body(i, _):
+        @pl.when(base + i < iters)
+        def _active():
+            u_s[:] = _rb_iter_full(
+                u_s[:], wl_s[:], bh_a[s], wu_s[:], bv_a[s], inv_a[s],
+                m_a[s], red,
+            )
+
+        return 0
+
+    lax.fori_loop(0, k, body, 0, unroll=False)
+
+    uo = pltpu.make_async_copy(
+        u_s.at[pl.ds(pad_rows, block_h), :],
+        u_pp.at[dst, pl.ds(row0 + pad_rows, block_h), :], sems.at[1],
+    )
+    uo.start()
+    uo.wait()
+
+
+def _rb_strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret):
+    slab_h = block_h + 2 * pad_rows
+    n_blocks = -(-iters // k)
+    # parity: rows shifted by pad_rows (multiple of 8, even), cols by the
+    # 1-px ring -> net +1 in (y+x).
+    kern = functools.partial(
+        _rb_strip_mega_kernel, k, iters, pad_rows, block_h, n_strips, 1
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks, n_strips),
+        out_shape=jax.ShapeDtypeStruct((2, hp, wp2), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # mask
+            pl.BlockSpec(memory_space=pl.ANY),  # bh
+            pl.BlockSpec(memory_space=pl.ANY),  # bv
+            pl.BlockSpec(memory_space=pl.ANY),  # inv
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # u slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # wl slab (rolled bh)
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # wu slab (rolled bv)
+            pltpu.VMEM((n_strips, slab_h, wp2), jnp.uint8),  # mask arena
+            pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # bh arena
+            pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # bv arena
+            pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # inv arena
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=min(
+                _arena_bytes(hp, wp2, slab_h, n_strips) + 8 * 1024 * 1024,
+                112 * 1024 * 1024,
+            ),
+        ),
+    )
+
+
 def _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret):
     slab_h = block_h + 2 * pad_rows
     # parity: rows shifted by pad_rows (multiple of 8, even), cols by the
@@ -884,7 +1007,7 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
     pad_rows = -(-(2 * k + 1) // 8) * 8
     wp2 = -(-(w + 2) // 128) * 128
     max_block = (14 * 1024 * 1024) // (10 * 4 * wp2) - 2 * pad_rows
-    block_h = max(min(128, (max_block // 8) * 8), 8)
+    block_h = max(min(_auto_block_h(h), (max_block // 8) * 8), 8)
     n_strips = -(-h // block_h)
     hp = n_strips * block_h + 2 * pad_rows
 
@@ -897,6 +1020,18 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
     bh = repad(bh1)
     bv = repad(bv1)
     inv = repad(inv1)
+
+    slab_h = block_h + 2 * pad_rows
+    if _RB_MEGA and _arena_bytes(hp, wp2, slab_h, n_strips) <= 112 * 1024 * 1024:
+        # Megakernel: all iterations in one launch, weights in a VMEM arena,
+        # ping-pong halo bands never dirtied (no fix_halo, no chunking).
+        n_blocks = -(-iters // k)
+        u_pp = jnp.stack([u, jnp.zeros_like(u)])
+        call = _rb_strips_mega_call(
+            hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret
+        )
+        u_pp = call(u_pp, m, bh, bv, inv)
+        return u_pp[n_blocks % 2, pad_rows : pad_rows + h, 1 : w + 1]
 
     def fix_halo(a):
         a = a.at[:pad_rows, :].set(0.0)

@@ -56,10 +56,10 @@ def test_strip_kernel_matches_xla(rng, iters, block_h):
 
 @pytest.mark.parametrize("in_kernel_halo", [True, False])
 def test_rb_strip_halo_variants(rng, in_kernel_halo):
-    """Both red-black strip halo strategies (host-level fix_halo — the
-    measured-faster default — and in-kernel boundary-band DMAs) produce the
-    same result. (The Jacobi strips path is a single megakernel whose
-    ping-pong halo bands are never dirtied, so it has no such variant.)"""
+    """The chunked red-black fallback (used when the weight arena exceeds
+    VMEM) produces the megakernel's result under both of its halo strategies
+    (host-level fix_halo — the measured-faster default — and in-kernel
+    boundary-band DMAs)."""
     gray, mask, depth = _case(rng, 49, 67)
     cfg_rb = DiffusionConfig(solver="red_black", pallas_iter_block=4)
     want_rb = np.asarray(
@@ -69,6 +69,8 @@ def test_rb_strip_halo_variants(rng, in_kernel_halo):
     ps._IN_KERNEL_HALO = in_kernel_halo
     budget = ps.RESIDENT_VMEM_BUDGET
     ps.RESIDENT_VMEM_BUDGET = 0
+    mega = ps._RB_MEGA
+    ps._RB_MEGA = False
     try:
         got_rb = np.asarray(
             ps.solve_level_red_black_pallas(
@@ -79,6 +81,7 @@ def test_rb_strip_halo_variants(rng, in_kernel_halo):
     finally:
         ps.RESIDENT_VMEM_BUDGET = budget
         ps._IN_KERNEL_HALO = old
+        ps._RB_MEGA = mega
     np.testing.assert_allclose(got_rb, want_rb, atol=5e-3)
 
 
