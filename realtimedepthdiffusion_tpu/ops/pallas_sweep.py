@@ -59,6 +59,10 @@ RESIDENT_VMEM_BUDGET = 6 * 1024 * 1024
 # tested) as the measured alternative.
 _IN_KERNEL_HALO = False
 
+# VMEM ceiling for the strip kernels' persistent weight arena (v5e has
+# 128 MiB physical VMEM); above it (4K+ levels) the per-step-DMA kernels run.
+_ARENA_VMEM_CAP = 112 * 1024 * 1024
+
 
 def _pack_weights_padded(gray, depth, level, max_level, cfg):
     """(bh, bv, inv_count) planes, each padded with a 1-px zero ring.
@@ -539,7 +543,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
                 has_side_effects=True,
                 vmem_limit_bytes=min(
                     _arena_bytes(hp, wp2, slab_h, n_strips) + 8 * 1024 * 1024,
-                    112 * 1024 * 1024,
+                    _ARENA_VMEM_CAP,
                 ),
             ),
         )
@@ -655,7 +659,7 @@ def solve_level_strips(
     # Weight-arena variant when the invariant planes fit VMEM (~13 bytes/px
     # of level; true through 1080p, not at 4K+): mask/bh/bv/inv are DMA'd
     # once per strip instead of once per grid step.
-    arena = _arena_bytes(hp, wp2, block_h + 2 * pad_rows, n_strips) <= 112 * 1024 * 1024
+    arena = _arena_bytes(hp, wp2, block_h + 2 * pad_rows, n_strips) <= _ARENA_VMEM_CAP
     # State prefetch needs >= 4 strips and block_h >= pad_rows (the in-flight
     # writeback / cross-block overlap analysis in the kernel docstring).
     prefetch = arena and n_strips >= 4 and block_h >= pad_rows
@@ -947,7 +951,7 @@ def _rb_strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpr
             has_side_effects=True,
             vmem_limit_bytes=min(
                 _arena_bytes(hp, wp2, slab_h, n_strips) + 8 * 1024 * 1024,
-                112 * 1024 * 1024,
+                _ARENA_VMEM_CAP,
             ),
         ),
     )
@@ -1022,7 +1026,7 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
     inv = repad(inv1)
 
     slab_h = block_h + 2 * pad_rows
-    if _RB_MEGA and _arena_bytes(hp, wp2, slab_h, n_strips) <= 112 * 1024 * 1024:
+    if _RB_MEGA and _arena_bytes(hp, wp2, slab_h, n_strips) <= _ARENA_VMEM_CAP:
         # Megakernel: all iterations in one launch, weights in a VMEM arena,
         # ping-pong halo bands never dirtied (no fix_halo, no chunking).
         n_blocks = -(-iters // k)

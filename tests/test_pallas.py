@@ -85,6 +85,30 @@ def test_rb_strip_halo_variants(rng, in_kernel_halo):
     np.testing.assert_allclose(got_rb, want_rb, atol=5e-3)
 
 
+def test_strip_kernel_no_arena_fallback(rng):
+    """The per-step-DMA megakernel (the 4K+ fallback when the weight arena
+    exceeds VMEM) matches the arena/prefetch kernels."""
+    gray, mask, depth = _case(rng, 49, 67)
+    want = np.asarray(
+        ps.solve_level_strips(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 25, CFG,
+            block_h=16, interpret=True,
+        )
+    )
+    cap = ps._ARENA_VMEM_CAP
+    ps._ARENA_VMEM_CAP = 0
+    try:
+        got = np.asarray(
+            ps.solve_level_strips(
+                jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 25, CFG,
+                block_h=16, interpret=True,
+            )
+        )
+    finally:
+        ps._ARENA_VMEM_CAP = cap
+    np.testing.assert_array_equal(got, want)
+
+
 def test_strip_kernel_level_weight_rule(rng):
     """The strip path must honor the level-dependent depth-threshold weight
     rule (computed from the incoming pyrUp'd depth)."""
