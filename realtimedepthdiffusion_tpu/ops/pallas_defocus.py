@@ -46,9 +46,13 @@ def _scan_axis(x, n, axis):
     return x
 
 
-def _defocus_kernel(max_half, block_h, hr, hc, h, w, n_strips,
-                    rgb_hbm, half_hbm, out_hbm,
+def _defocus_kernel(max_half, block_h, hr, hc, n_strips,
+                    geom_ref, rgb_hbm, half_hbm, out_hbm,
                     x_s, half_s, ar_s, al_s, br_s, bl_s, out_s, sems):
+    # geom = [oy, ox, h, w]: the interior block's global origin and the full
+    # image size (for border clipping). The single-image path passes
+    # [0, 0, h, w]; the sharded block path passes its block's origin.
+    oy, ox, h, w = geom_ref[0], geom_ref[1], geom_ref[2], geom_ref[3]
     c = pl.program_id(0)
     s = pl.program_id(1)
     row0 = s * block_h
@@ -119,8 +123,8 @@ def _defocus_kernel(max_half, block_h, hr, hc, h, w, n_strips,
     # sums are < 2^24 (<= 55^2 * 255), so their i32 -> f32 conversion is
     # exact and the divide sees the same operands either way. Count uses the
     # pixel's own half (global image coordinates; clipped to the border).
-    gy = lax.broadcasted_iota(jnp.int32, (block_h, wp), 0) + row0
-    gx = lax.broadcasted_iota(jnp.int32, (block_h, wp), 1) - hc
+    gy = lax.broadcasted_iota(jnp.int32, (block_h, wp), 0) + row0 + oy
+    gx = lax.broadcasted_iota(jnp.int32, (block_h, wp), 1) - hc + ox
     ch = jnp.minimum(gy + (half - 1), h - 1) - jnp.maximum(gy - half, 0) + 1
     cw = jnp.minimum(gx + (half - 1), w - 1) - jnp.maximum(gx - half, 0) + 1
     cnt = (jnp.maximum(ch, 1) * jnp.maximum(cw, 1)).astype(jnp.float32)
@@ -162,14 +166,26 @@ def defocus_pallas(
     rgb_p = jnp.pad(chw, ((0, 0), (hr, hp - h - hr), (hc, wp - hc - w)))
     half_p = jnp.pad(half, ((0, hs - h), (hc, wp - hc - w)))
 
-    kern = functools.partial(
-        _defocus_kernel, max_half, block_h, hr, hc, h, w, n_strips
+    geom = jnp.array([0, 0, h, w], jnp.int32)
+    out = _defocus_call(
+        rgb_p, half_p, geom, max_half, block_h, hr, n_strips, interpret
     )
-    out = pl.pallas_call(
+    return jnp.moveaxis(out[:, :h, hc : hc + w].astype(jnp.uint8), 0, -1)
+
+
+def _defocus_call(rgb_p, half_p, geom, max_half, block_h, hr, n_strips,
+                  interpret):
+    hs, wp = half_p.shape
+    hc = max(hr, 32)
+    kern = functools.partial(
+        _defocus_kernel, max_half, block_h, hr, hc, n_strips
+    )
+    return pl.pallas_call(
         kern,
         grid=(3, n_strips),
         out_shape=jax.ShapeDtypeStruct((3, hs, wp), jnp.float32),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # geom (4,) i32
             pl.BlockSpec(memory_space=pl.ANY),  # rgb (3, hp, wp) u8
             pl.BlockSpec(memory_space=pl.ANY),  # half (hs, wp) u8
         ],
@@ -192,5 +208,68 @@ def defocus_pallas(
             # of physical VMEM, so ask for what the kernel actually needs.
             vmem_limit_bytes=48 * 1024 * 1024,
         ),
-    )(rgb_p, half_p)
-    return jnp.moveaxis(out[:, :h, hc : hc + w].astype(jnp.uint8), 0, -1)
+    )(geom, rgb_p, half_p)
+
+
+def defocus_half_widths(depth: jnp.ndarray, full_h: int, full_w: int,
+                        cfg: DiffusionConfig = DiffusionConfig()) -> jnp.ndarray:
+    """Per-pixel window half-width (uint8) from depth — the pointwise prelude
+    of the defocus kernel, exposed so the sharded path can compute it as a
+    plain GSPMD-partitioned op before the halo exchange."""
+    k = cfg.defocus_kernel_size(full_h, full_w)
+    ka = (jnp.float32(k) * jnp.maximum(depth.astype(jnp.float32), 0.0) / 255.0).astype(
+        jnp.int32
+    )
+    return jnp.minimum(ka // 2, k // 2).astype(jnp.uint8)
+
+
+def defocus_block_pallas(
+    chw_e: jnp.ndarray,
+    half: jnp.ndarray,
+    oy,
+    ox,
+    full_h: int,
+    full_w: int,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    block_h: int = 360,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact defocus of one spatially-sharded block (the multi-chip serving
+    path, parallel/sharded.py): ``chw_e`` is the (3, hb+2*ew, wb+2*ew)
+    channel-major uint8 block extended with an ew = max_half+1 wide ring of
+    REAL neighbor pixels (zeros at true image borders — identical to the
+    single-image kernel's zero padding, so border clipping is exact);
+    ``half`` the interior's (hb, wb) half-widths (defocus_half_widths);
+    (oy, ox) the interior's global origin (traced scalars) and
+    (full_h, full_w) the global image size. Returns the interior's
+    (hb, wb, 3) uint8 blur — bit-identical to the corresponding crop of
+    defocus_xla on the full image."""
+    hb, wb = half.shape
+    k = cfg.defocus_kernel_size(full_h, full_w)
+    max_half = k // 2
+    ew = max_half + 1
+    assert chw_e.shape[-2:] == (hb + 2 * ew, wb + 2 * ew)
+
+    block_h = min(block_h, -(-hb // 8) * 8)
+    hr = -(-ew // 8) * 8
+    hc = max(hr, 32)
+    wp = -(-(hc + wb + ew) // 128) * 128
+    n_strips = -(-hb // block_h)
+    hs = n_strips * block_h
+    hp = hs + 2 * hr
+
+    # Place the extended block so its interior sits at (hr, hc) — the real
+    # halo ring lands inside the kernel's alignment padding.
+    rgb_p = jnp.pad(
+        chw_e.astype(jnp.uint8),
+        ((0, 0), (hr - ew, hp - hb - hr - ew), (hc - ew, wp - wb - hc - ew)),
+    )
+    half_p = jnp.pad(half.astype(jnp.uint8), ((0, hs - hb), (hc, wp - hc - wb)))
+    geom = jnp.stack([
+        jnp.asarray(oy, jnp.int32), jnp.asarray(ox, jnp.int32),
+        jnp.int32(full_h), jnp.int32(full_w),
+    ])
+    out = _defocus_call(
+        rgb_p, half_p, geom, max_half, block_h, hr, n_strips, interpret
+    )
+    return jnp.moveaxis(out[:, :hb, hc : hc + wb].astype(jnp.uint8), 0, -1)

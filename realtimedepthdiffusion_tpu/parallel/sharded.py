@@ -287,6 +287,80 @@ def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
     )
 
 
+def _use_pallas_fx(cfg: DiffusionConfig) -> str:
+    """Effect-path twin of _use_pallas (no solver gate: effects don't care
+    which solver runs)."""
+    if cfg.backend == "pallas_interpret":
+        return "pallas_interpret"
+    if cfg.backend in ("pallas", "auto"):
+        from ..ops.dispatch import _is_tpu
+
+        if cfg.backend == "pallas" or _is_tpu():
+            return "pallas"
+    return "jnp"
+
+
+def sharded_defocus(mesh: Mesh, full_h: int, full_w: int,
+                    cfg: DiffusionConfig = DiffusionConfig(),
+                    mode: str = "pallas"):
+    """Build the multi-chip defocus: rgb blocks exchange a max_half+1-wide
+    halo over ICI (the only data a window can reach; `half`/counts are
+    per-center-pixel, so depth needs NO exchange), then every chip runs the
+    marching-corners VMEM kernel on its local block with counts clamped
+    against the FULL image geometry — output bit-identical to the
+    single-image kernel/XLA formulation. This removes the round-1/2
+    limitation of forcing the XLA defocus in batched serving (vmap has no
+    batching rule for ANY-memory-space Pallas operands; shard_map with an
+    in-shard batch loop is the same structure the solver uses).
+
+    Returns apply(rgb_batch u8 (B,H,W,3), depth_batch f32 clipped) ->
+    (B,H,W,3) u8."""
+    from ..ops.pallas_defocus import defocus_block_pallas, defocus_half_widths
+
+    k = cfg.defocus_kernel_size(full_h, full_w)
+    ew = k // 2 + 1
+    interpret = mode == "pallas_interpret"
+
+    def local(chw, half):
+        # chw: (B, 3, hb, wb) u8 block; half: (B, hb, wb) u8.
+        hb, wb = half.shape[-2:]
+        oy = lax.axis_index("dy") * hb
+        ox = lax.axis_index("dx") * wb
+        chw_e = extend_with_halo(chw, ew)
+        outs = [
+            defocus_block_pallas(
+                chw_e[i], half[i], oy, ox, full_h, full_w, cfg,
+                interpret=interpret,
+            )
+            for i in range(half.shape[0])
+        ]
+        return jnp.stack(outs)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("batch", None, "dy", "dx"), P("batch", "dy", "dx")),
+        out_specs=P("batch", "dy", "dx", None),
+        check_vma=False,
+    )
+    dy, dx = mesh.shape["dy"], mesh.shape["dx"]
+
+    def apply(rgb, depth):
+        b, h, w = depth.shape
+        hp, wp = _pad_up(h, dy), _pad_up(w, dx)
+        # Pointwise prelude as a plain GSPMD-partitioned op; pad pixels get
+        # half 0 (passthrough) and contribute zeros to real pixels' windows —
+        # identical to the single-image kernel's zero padding, while counts
+        # clamp to the true (full_h, full_w).
+        half = defocus_half_widths(depth, full_h, full_w, cfg)
+        chw = jnp.moveaxis(rgb[..., :3], -1, 1).astype(jnp.uint8)
+        chw = jnp.pad(chw, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+        half = jnp.pad(half, ((0, 0), (0, hp - h), (0, wp - w)))
+        return fn(chw, half)[:, :h, :w]
+
+    return apply
+
+
 def _batched_edge_weights(gray, depth, level, max_level, cfg):
     if gray.ndim == 2:
         return edge_weights(gray, depth, level, max_level, cfg)
@@ -505,11 +579,20 @@ def batched_step(
     import dataclasses
 
     driver = solve_vcycle_sharded if cfg.multigrid == "vcycle" else solve_cascade_sharded
-    # Effects run as vmapped GLOBAL ops (GSPMD partitions them over the
-    # mesh); force their XLA formulation — vmap has no batching rule for the
-    # Pallas defocus kernel's ANY-memory-space operands, the same limitation
-    # the solver avoids by iterating the local batch inside shard_map.
-    eff_cfg = dataclasses.replace(cfg, backend="xla")
+    fx_mode = _use_pallas_fx(cfg)
+    if effect == fx.EFFECT_DEFOCUS and fx_mode != "jnp":
+        # Defocus (the one Pallas effect) runs shard_map'd with an ICI halo
+        # exchange — the marching-corners VMEM kernel serves the batched path.
+        defocus_apply = sharded_defocus(mesh, rows, cols, cfg, fx_mode)
+        render = lambda rgb, gray0, depth0: defocus_apply(rgb, depth0)
+    else:
+        # Pointwise effects (haze/desaturation) run as vmapped GLOBAL ops
+        # that GSPMD partitions over the mesh; force the XLA formulation so
+        # vmap never meets ANY-memory-space Pallas operands.
+        eff_cfg = dataclasses.replace(cfg, backend="xla")
+        render = lambda rgb, gray0, depth0: jax.vmap(
+            lambda r, g, d: fx.apply_effect(effect, r, g, d, eff_cfg)
+        )(rgb, gray0, depth0)
 
     def step(rgb, mask, value, depth_state):
         gray0 = jax.vmap(rgb_to_gray)(rgb)
@@ -517,9 +600,7 @@ def batched_step(
         depth0, new_state = driver(
             gpyr, mask, value, depth_state, mesh, cfg, halo
         )
-        out = jax.vmap(
-            lambda r, g, d: fx.apply_effect(effect, r, g, d, eff_cfg)
-        )(rgb, gray0, jnp.clip(depth0, 0.0, 255.0))
+        out = render(rgb, gray0, jnp.clip(depth0, 0.0, 255.0))
         return depth0, new_state, out
 
     img_spec = P("batch", "dy", "dx")
