@@ -154,7 +154,8 @@ def defocus_pallas(
     )
     half = jnp.minimum(ka // 2, max_half).astype(jnp.uint8)
 
-    block_h = min(block_h, -(-h // 8) * 8)  # small images: one thin strip
+    # Strip height: sublane-aligned, no taller than the (aligned) image.
+    block_h = min(-(-block_h // 8) * 8, -(-h // 8) * 8)
     hr = -(-(max_half + 1) // 8) * 8  # row halo, sublane-aligned
     hc = max(hr, 32)  # column offset of the image inside the padded lanes
     wp = -(-(hc + w + max_half + 1) // 128) * 128
@@ -204,9 +205,13 @@ def _defocus_call(rgb_p, half_p, geom, max_half, block_h, hr, n_strips,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # 4 corner slabs + scan/loop temporaries exceed the default
-            # 16 MiB scoped-VMEM budget at this block height; v5e has 128 MiB
-            # of physical VMEM, so ask for what the kernel actually needs.
-            vmem_limit_bytes=48 * 1024 * 1024,
+            # 16 MiB scoped-VMEM budget; v5e has 128 MiB of physical VMEM, so
+            # ask for what the kernel actually needs at this block height
+            # (~6 i32 slab-sized live values beyond the declared scratch).
+            vmem_limit_bytes=min(
+                (10 * (block_h + 2 * hr) + 4 * block_h) * wp * 4,
+                112 * 1024 * 1024,
+            ),
         ),
     )(geom, rgb_p, half_p)
 
