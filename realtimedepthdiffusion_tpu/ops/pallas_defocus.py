@@ -149,10 +149,7 @@ def defocus_pallas(
     h, w = depth.shape
     k = cfg.defocus_kernel_size(h, w)
     max_half = k // 2
-    ka = (jnp.float32(k) * jnp.maximum(depth.astype(jnp.float32), 0.0) / 255.0).astype(
-        jnp.int32
-    )
-    half = jnp.minimum(ka // 2, max_half).astype(jnp.uint8)
+    half = defocus_half_widths(depth, h, w, cfg)
 
     # Strip height: sublane-aligned, no taller than the (aligned) image.
     block_h = min(-(-block_h // 8) * 8, -(-h // 8) * 8)
@@ -253,9 +250,17 @@ def defocus_block_pallas(
     k = cfg.defocus_kernel_size(full_h, full_w)
     max_half = k // 2
     ew = max_half + 1
-    assert chw_e.shape[-2:] == (hb + 2 * ew, wb + 2 * ew)
+    if chw_e.shape[-2:] != (hb + 2 * ew, wb + 2 * ew):
+        raise ValueError(
+            f"extended block is {chw_e.shape[-2:]}, expected "
+            f"{(hb + 2 * ew, wb + 2 * ew)} (interior {(hb, wb)} + {ew}-wide "
+            f"halo); blocks thinner than the halo cannot be served here — "
+            f"the caller must fall back to the XLA formulation"
+        )
 
-    block_h = min(block_h, -(-hb // 8) * 8)
+    # Strip height: sublane-aligned (DMA row offsets are multiples of it),
+    # no taller than the (aligned) block.
+    block_h = min(-(-block_h // 8) * 8, -(-hb // 8) * 8)
     hr = -(-ew // 8) * 8
     hc = max(hr, 32)
     wp = -(-(hc + wb + ew) // 128) * 128

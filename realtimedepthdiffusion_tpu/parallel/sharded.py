@@ -48,11 +48,15 @@ def _pad_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-def _use_pallas(cfg: DiffusionConfig) -> str:
-    """'pallas' | 'pallas_interpret' | 'jnp' for the in-shard sweep blocks."""
+def _use_pallas(cfg: DiffusionConfig, require_solver: bool = True) -> str:
+    """'pallas' | 'pallas_interpret' | 'jnp' for the in-shard kernel blocks.
+    ``require_solver`` gates on the solver having a Pallas implementation
+    (the solve path); effects don't care which solver runs."""
     if cfg.backend == "pallas_interpret":
         return "pallas_interpret"
-    if cfg.backend in ("pallas", "auto") and cfg.solver in _SHARDED_SOLVERS:
+    if cfg.backend in ("pallas", "auto") and (
+        not require_solver or cfg.solver in _SHARDED_SOLVERS
+    ):
         from ..ops.dispatch import _is_tpu
 
         if cfg.backend == "pallas" or _is_tpu():
@@ -287,19 +291,6 @@ def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
     )
 
 
-def _use_pallas_fx(cfg: DiffusionConfig) -> str:
-    """Effect-path twin of _use_pallas (no solver gate: effects don't care
-    which solver runs)."""
-    if cfg.backend == "pallas_interpret":
-        return "pallas_interpret"
-    if cfg.backend in ("pallas", "auto"):
-        from ..ops.dispatch import _is_tpu
-
-        if cfg.backend == "pallas" or _is_tpu():
-            return "pallas"
-    return "jnp"
-
-
 def sharded_defocus(mesh: Mesh, full_h: int, full_w: int,
                     cfg: DiffusionConfig = DiffusionConfig(),
                     mode: str = "pallas"):
@@ -321,25 +312,23 @@ def sharded_defocus(mesh: Mesh, full_h: int, full_w: int,
     ew = k // 2 + 1
     interpret = mode == "pallas_interpret"
 
-    def local(chw, half):
-        # chw: (B, 3, hb, wb) u8 block; half: (B, hb, wb) u8.
+    def local(half, chw):
+        # half: (B, hb, wb) u8; chw: (B, 3, hb, wb) u8 block.
         hb, wb = half.shape[-2:]
         oy = lax.axis_index("dy") * hb
         ox = lax.axis_index("dx") * wb
         chw_e = extend_with_halo(chw, ew)
-        outs = [
-            defocus_block_pallas(
-                chw_e[i], half[i], oy, ox, full_h, full_w, cfg,
-                interpret=interpret,
-            )
-            for i in range(half.shape[0])
-        ]
-        return jnp.stack(outs)
+        return _foreach_image(
+            lambda hf, ce: defocus_block_pallas(
+                ce, hf, oy, ox, full_h, full_w, cfg, interpret=interpret
+            ),
+            half, chw_e,
+        )
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("batch", None, "dy", "dx"), P("batch", "dy", "dx")),
+        in_specs=(P("batch", "dy", "dx"), P("batch", None, "dy", "dx")),
         out_specs=P("batch", "dy", "dx", None),
         check_vma=False,
     )
@@ -348,6 +337,13 @@ def sharded_defocus(mesh: Mesh, full_h: int, full_w: int,
     def apply(rgb, depth):
         b, h, w = depth.shape
         hp, wp = _pad_up(h, dy), _pad_up(w, dx)
+        if hp // dy < ew or wp // dx < ew:
+            # Per-chip blocks thinner than the halo: the exchange can't
+            # deliver a full window (extend_with_halo would silently truncate
+            # its neighbor slices), so fall back to the vmapped global XLA
+            # formulation, which GSPMD partitions fine — the same replicate
+            # fallback the solver uses for too-small levels.
+            return jax.vmap(lambda r, d: fx.defocus_xla(r, d, cfg))(rgb, depth)
         # Pointwise prelude as a plain GSPMD-partitioned op; pad pixels get
         # half 0 (passthrough) and contribute zeros to real pixels' windows —
         # identical to the single-image kernel's zero padding, while counts
@@ -356,7 +352,7 @@ def sharded_defocus(mesh: Mesh, full_h: int, full_w: int,
         chw = jnp.moveaxis(rgb[..., :3], -1, 1).astype(jnp.uint8)
         chw = jnp.pad(chw, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
         half = jnp.pad(half, ((0, 0), (0, hp - h), (0, wp - w)))
-        return fn(chw, half)[:, :h, :w]
+        return fn(half, chw)[:, :h, :w]
 
     return apply
 
@@ -579,7 +575,7 @@ def batched_step(
     import dataclasses
 
     driver = solve_vcycle_sharded if cfg.multigrid == "vcycle" else solve_cascade_sharded
-    fx_mode = _use_pallas_fx(cfg)
+    fx_mode = _use_pallas(cfg, require_solver=False)
     if effect == fx.EFFECT_DEFOCUS and fx_mode != "jnp":
         # Defocus (the one Pallas effect) runs shard_map'd with an ICI halo
         # exchange — the marching-corners VMEM kernel serves the batched path.

@@ -310,3 +310,28 @@ def test_batched_step_defocus_pallas_interpret(rng):
         )(rgb, depth)
     )
     np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_sharded_defocus_thin_block_fallback(rng):
+    """Per-chip blocks thinner than the defocus halo (ew = max_half+1) can't
+    be served by the halo exchange (the neighbor slices would silently
+    truncate); sharded_defocus must fall back to the XLA formulation instead
+    of crashing — 32x2048 on a 2x2 spatial mesh gives 16-row blocks vs a
+    26-wide halo."""
+    from realtimedepthdiffusion_tpu.core import effects as fx
+
+    mesh = make_mesh(8)
+    b, h, w = 2, 32, 2048
+    rgb = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    depth = (rng.random((b, h, w), dtype=np.float32) * 255).astype(np.float32)
+    cfg = DiffusionConfig(backend="pallas_interpret")
+    k = cfg.defocus_kernel_size(h, w)
+    assert k // 2 + 1 > h // 2, "case must actually be thin"
+
+    apply_fx = sharded.sharded_defocus(mesh, h, w, cfg, mode="pallas_interpret")
+    got = np.asarray(apply_fx(jnp.asarray(rgb), jnp.asarray(depth)))
+    want = np.stack([
+        np.asarray(fx.defocus_xla(jnp.asarray(rgb[i]), jnp.asarray(depth[i]), cfg))
+        for i in range(b)
+    ])
+    np.testing.assert_array_equal(got, want)

@@ -40,6 +40,8 @@ def ab(
     interleaved rounds."""
     import jax
 
+    if K < 2:
+        raise ValueError("K must be >= 2: per-iteration time is (t(K)-t(1))/(K-1)")
     fns = {}
     for name, fn in variants.items():
         f1, fK = _chain(fn, 1), _chain(fn, K)
