@@ -106,7 +106,7 @@ def main():
     def wstep(d):
         wts = edge_weights(gray0, d, 0, 4, cfg1)
         return d + wts.inv_count * jnp.float32(1e-9)
-    ms = chained_ms(wstep, st[0], K=16)
+    ms = chained_ms(wstep, st[0], K=64)
     emit("config3 edge-aware Laplacian weights 1080p", ms)
 
     # 4. Full V-cycle at 1080p.
@@ -135,7 +135,7 @@ def main():
         # tap would let XLA dead-code-eliminate most of the effect)
         s0 = s[0] + out.astype(jnp.float32).mean() * jnp.float32(1e-30)
         return (s0,) + tuple(s[1:])
-    ms = chained_ms(live_step, warm)
+    ms = chained_ms(live_step, warm, K=32)
     emit("config5 live incremental update (windowed) + fused haze 1080p", ms)
 
 
