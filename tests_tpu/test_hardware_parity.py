@@ -1,0 +1,122 @@
+"""Bit-parity of the compiled TPU kernels against their XLA twins and each
+other — the on-hardware complement of tests/test_pallas.py's interpret-mode
+coverage. Every solver comparison among Pallas variants must be EXACT
+(identical sweep order and arithmetic); Pallas-vs-XLA solver comparisons are
+allclose (op-order differs at ulp level); defocus Pallas-vs-XLA is exact
+(integer SAT + identical f32 divides, compared within one jit context so
+FMA contraction of the half-width prelude matches — PERF.md knife-edge
+note)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from realtimedepthdiffusion_tpu.config import DiffusionConfig
+from realtimedepthdiffusion_tpu.core import effects as fx
+from realtimedepthdiffusion_tpu.core import solver as xla_solver
+from realtimedepthdiffusion_tpu.ops import pallas_sweep as ps
+
+CFG = DiffusionConfig()
+ITERS = 30  # 3 full k=8 blocks + a masked remainder
+
+
+def _args(case):
+    gray, mask, depth = case
+    return jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray)
+
+
+def test_strip_variants_bitexact(case_512):
+    """plain (per-step DMA) == arena == arena+prefetch megakernels."""
+    d, m, g = _args(case_512)
+
+    def run():
+        return np.asarray(
+            jax.jit(
+                lambda dd: ps.solve_level_strips(dd, m, g, 0, 4, ITERS, CFG)
+            )(d)
+        )
+
+    want = run()
+    cap = ps._ARENA_VMEM_CAP
+    try:
+        ps._ARENA_VMEM_CAP = 0  # force the plain kernel
+        plain = run()
+    finally:
+        ps._ARENA_VMEM_CAP = cap
+    np.testing.assert_array_equal(plain, want)
+
+
+def test_strips_match_xla(case_512):
+    d, m, g = _args(case_512)
+    got = np.asarray(
+        jax.jit(lambda dd: ps.solve_level_strips(dd, m, g, 0, 4, ITERS, CFG))(d)
+    )
+    want = np.asarray(
+        jax.jit(lambda dd: xla_solver.solve_level(dd, m, g, 0, 4, ITERS, CFG))(d)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    mask = np.asarray(m)
+    assert np.array_equal(got[mask], np.asarray(d)[mask])  # Dirichlet pinned
+
+
+def test_resident_matches_xla(case_512):
+    """The VMEM-resident kernel at a smaller level (fits the budget)."""
+    gray, mask, depth = case_512
+    d = jnp.asarray(depth[:256, :320])
+    m = jnp.asarray(mask[:256, :320])
+    g = jnp.asarray(gray[:256, :320])
+    got = np.asarray(
+        jax.jit(lambda dd: ps.solve_level_resident(dd, m, g, 1, 4, ITERS, CFG))(d)
+    )
+    want = np.asarray(
+        jax.jit(lambda dd: xla_solver.solve_level(dd, m, g, 1, 4, ITERS, CFG))(d)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_rb_mega_matches_chunked(case_512):
+    d, m, g = _args(case_512)
+    cfg = DiffusionConfig(solver="red_black")
+
+    def run():
+        return np.asarray(
+            jax.jit(
+                lambda dd: ps.solve_level_red_black_pallas(dd, m, g, 0, 4, ITERS, cfg)
+            )(d)
+        )
+
+    want = run()
+    mega = ps._RB_MEGA
+    try:
+        ps._RB_MEGA = False
+        chunked = run()
+    finally:
+        ps._RB_MEGA = mega
+    np.testing.assert_array_equal(chunked, want)
+
+
+def test_rb_matches_xla(case_512):
+    d, m, g = _args(case_512)
+    cfg = DiffusionConfig(solver="red_black")
+    got = np.asarray(
+        jax.jit(lambda dd: ps.solve_level_red_black_pallas(dd, m, g, 0, 4, ITERS, cfg))(d)
+    )
+    want = np.asarray(
+        jax.jit(lambda dd: xla_solver.solve_level(dd, m, g, 0, 4, ITERS, cfg))(d)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_defocus_pallas_bitexact_on_hardware(case_512):
+    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
+
+    gray, mask, depth = case_512
+    rng = np.random.default_rng(7)
+    h, w = depth.shape
+    rgb = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    dep = jnp.asarray((rng.random((h, w)) * 255).astype(np.float32))
+    got = np.asarray(jax.jit(lambda r, d: defocus_pallas(r, d, CFG))(rgb, dep))
+    want = np.asarray(jax.jit(lambda r, d: fx.defocus_xla(r, d, CFG))(rgb, dep))
+    np.testing.assert_array_equal(got, want)
