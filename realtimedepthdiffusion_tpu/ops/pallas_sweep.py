@@ -9,14 +9,19 @@ Two kernels replace the reference's one-CUDA-launch-per-sweep design
    Used for every level whose working set fits VMEM (everything above
    ~1 MPix), which carries ~90% of the cascade's iteration count.
 
-2. **Strip kernel** (`solve_level_strips`): for full-resolution levels. The
-   image is cut into row strips; each grid step DMAs a strip plus a k-row
-   halo from HBM into VMEM, runs k sweeps locally (halo validity shrinks one
-   ring per sweep, so the strip interior is exactly k-sweep Jacobi — the
-   same argument as the reference's 18x18 shared-memory tiles,
-   src/GPUSolver.cu:239-245, scaled up ~100x), and DMAs the interior back.
-   One launch does k sweeps for the whole image: HBM traffic drops k-fold
-   versus pure-XLA sweeps.
+2. **Strip MEGAKERNEL** (`solve_level_strips`): for full-resolution levels.
+   ALL of a level's sweeps run in ONE pallas_call over a grid of
+   (iteration blocks × row strips), blocks outer — the sequential TPU grid
+   provides exactly the cross-strip dependency an iteration block needs.
+   Each step runs k sweeps on a strip slab whose k-row halo's validity
+   shrinks one ring per sweep, so the interior is exactly k-sweep Jacobi
+   (the reference's 18x18 shared-memory-tile argument,
+   src/GPUSolver.cu:239-245, scaled up ~100x); state ping-pongs between the
+   halves of a (2, hp, wp) buffer by block parity. The four
+   iteration-invariant planes load ONCE per strip into a persistent VMEM
+   weight arena (v5e has 128 MiB physical VMEM), and u/prev slabs rotate
+   through a 3-deep prefetch ring so no state DMA sits on the critical
+   path; per-step-DMA fallbacks cover levels whose arena exceeds VMEM.
 
 Weight layout: instead of the reference's int2-packed LUT indices gathered
 per sweep (src/GPUSolver.cu:222,250-254), weights are materialized once per
