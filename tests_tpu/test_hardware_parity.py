@@ -141,3 +141,38 @@ def test_batched_sharded_step_on_hardware():
     assert np.isfinite(d).all()
     o = np.asarray(out)
     assert o.shape == (2, 256, 320, 3) and o.dtype == np.uint8
+
+
+def test_tpu_solve_matches_cpu_golden_fingerprint():
+    """Cross-platform drift check: the default-config Dog solve ON THE CHIP
+    must match the CPU-built 32x32 mean-pooled fingerprint committed in
+    tests/golden/ — catches platform-divergence bugs of the FTZ/subnormal
+    class (TPU flushes subnormals, CPU keeps them; the weight machinery pins
+    that boundary explicitly so both land on the same side)."""
+    import os
+
+    from realtimedepthdiffusion_tpu.io import imread_rgb, load_annotation
+    from realtimedepthdiffusion_tpu.pipeline import DepthPipeline
+
+    img = "/root/reference/dataset/images/Dog.jpg"
+    ann = "/root/reference/dataset/annotations/Dog.png"
+    gold = os.path.join(
+        os.path.dirname(__file__), "..", "tests", "golden", "dog_fingerprint.npz"
+    )
+    if not (os.path.exists(img) and os.path.exists(ann)):
+        pytest.skip("reference dataset not mounted")
+    rgb = imread_rgb(img)
+    mask, value = load_annotation(ann)
+    h, w = rgb.shape[:2]
+    data = np.load(gold)
+    if not np.array_equal(data["shape"], [h, w]):
+        pytest.skip("fingerprint was built for a different dataset variant")
+
+    pipe = DepthPipeline(h, w, CFG)
+    _, gpyr = pipe.prepare_image(rgb)
+    depth, _ = pipe.solve(gpyr, jnp.asarray(mask), jnp.asarray(value), pipe.initial_state())
+    depth = np.asarray(depth)
+    fh, fw = h // 32, w // 32
+    fp = depth[: fh * 32, : fw * 32].reshape(32, fh, 32, fw).mean(axis=(1, 3))
+    np.testing.assert_allclose(fp, data["fingerprint"], atol=1.0)
+    assert np.array_equal(depth[mask], value[mask].astype(np.float32))
