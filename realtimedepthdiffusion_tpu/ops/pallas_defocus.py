@@ -46,7 +46,7 @@ def _scan_axis(x, n, axis):
     return x
 
 
-def _defocus_kernel(max_half, block_h, hr, hc, n_strips,
+def _defocus_kernel(block_h, hr, hc,
                     geom_ref, rgb_hbm, half_hbm, out_hbm,
                     x_s, half_s, ar_s, al_s, br_s, bl_s, out_s, sems):
     # geom = [oy, ox, h, w]: the interior block's global origin and the full
@@ -165,19 +165,13 @@ def defocus_pallas(
     half_p = jnp.pad(half, ((0, hs - h), (hc, wp - hc - w)))
 
     geom = jnp.array([0, 0, h, w], jnp.int32)
-    out = _defocus_call(
-        rgb_p, half_p, geom, max_half, block_h, hr, n_strips, interpret
-    )
+    out = _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret)
     return jnp.moveaxis(out[:, :h, hc : hc + w].astype(jnp.uint8), 0, -1)
 
 
-def _defocus_call(rgb_p, half_p, geom, max_half, block_h, hr, n_strips,
-                  interpret):
+def _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret):
     hs, wp = half_p.shape
-    hc = max(hr, 32)
-    kern = functools.partial(
-        _defocus_kernel, max_half, block_h, hr, hc, n_strips
-    )
+    kern = functools.partial(_defocus_kernel, block_h, hr, hc)
     return pl.pallas_call(
         kern,
         grid=(3, n_strips),
@@ -279,7 +273,5 @@ def defocus_block_pallas(
         jnp.asarray(oy, jnp.int32), jnp.asarray(ox, jnp.int32),
         jnp.int32(full_h), jnp.int32(full_w),
     ])
-    out = _defocus_call(
-        rgb_p, half_p, geom, max_half, block_h, hr, n_strips, interpret
-    )
+    out = _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret)
     return jnp.moveaxis(out[:, :hb, hc : hc + wb].astype(jnp.uint8), 0, -1)

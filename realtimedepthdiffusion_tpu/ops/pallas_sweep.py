@@ -37,8 +37,6 @@ reference's index-256 "no neighbor" sentinel.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -76,7 +74,12 @@ def _pack_weights_padded(gray, depth, level, max_level, cfg):
     bv[y, x] = weight between (y,x) and (y+1,x). The directional planes of
     core.weights are recovered as shifted views: wl = bh shifted right, etc.
     """
-    wts = edge_weights(gray, depth, level, max_level, cfg)
+    return _pack_wts_padded(edge_weights(gray, depth, level, max_level, cfg))
+
+
+def _pack_wts_padded(wts):
+    """Pack precomputed EdgeWeights into the kernels' ring-padded planes
+    (callers that also need the raw ``wts``, e.g. for residual norms)."""
     bh = wts.wr  # wr[y,x] is exactly the (x,x+1) pair weight, 0 at x=W-1
     bv = wts.wd
     pad = lambda a: jnp.pad(a.astype(jnp.float32), ((1, 1), (1, 1)))
@@ -350,7 +353,7 @@ def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips,
     po.wait()
 
 
-def _arena_bytes(hp, wp2, slab_h, n_strips):
+def _arena_bytes(wp2, slab_h, n_strips):
     """VMEM bytes for the weight arena + the working set of the arena strip
     kernel (3x2 rotation state slabs + ~8 slab-sized Mosaic temporaries for
     the rolled weights, stencil rolls and sweep intermediates)."""
@@ -547,7 +550,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=min(
-                    _arena_bytes(hp, wp2, slab_h, n_strips) + 8 * 1024 * 1024,
+                    _arena_bytes(wp2, slab_h, n_strips) + 8 * 1024 * 1024,
                     _ARENA_VMEM_CAP,
                 ),
             ),
@@ -626,17 +629,25 @@ def solve_level_strips(
     pad_rows = -(-(k + 1) // 8) * 8
     wp2 = -(-(w + 2) // 128) * 128
 
-    # Clamp block_h so the 8 slabs + Mosaic temporaries (~11 slab-sized
-    # buffers) stay under the 16 MiB VMEM budget.
-    max_block = (14 * 1024 * 1024) // (11 * 4 * wp2) - 2 * pad_rows
-    block_h = max(min(block_h, (max_block // 8) * 8), 8)
+    def geometry(bh_rows):
+        n = -(-h // bh_rows)
+        return bh_rows, n, n * bh_rows + 2 * pad_rows
+
+    # Weight-arena variant when the invariant planes fit VMEM (~13 bytes/px
+    # of level; true through 1080p, not at 4K+): mask/bh/bv/inv are DMA'd
+    # once per strip instead of once per grid step.
+    block_h, n_strips, hp = geometry(block_h)
+    arena = _arena_bytes(wp2, block_h + 2 * pad_rows, n_strips) <= _ARENA_VMEM_CAP
+    if not arena:
+        # The per-step-DMA fallback runs under the default 16 MiB scoped-VMEM
+        # budget (the arena kernels request their own limit); clamp block_h
+        # so its 8 slabs + ~3 slab-sized Mosaic temporaries fit.
+        max_block = (14 * 1024 * 1024) // (11 * 4 * wp2) - 2 * pad_rows
+        block_h, n_strips, hp = geometry(
+            max(min(block_h, (max_block // 8) * 8), 8)
+        )
 
     bh, bv, inv = _pack_weights_padded(gray, depth, level, max_level, cfg)
-
-    # Re-pad from the 1-px ring to a pad_rows ring (cols stay 1-px) and pad
-    # rows up to a multiple of block_h.
-    n_strips = -(-h // block_h)
-    hp = n_strips * block_h + 2 * pad_rows
 
     def repad(a, dtype=jnp.float32):
         core = a[1 : h + 1, :]  # (h, w+2) keep the column ring
@@ -661,10 +672,6 @@ def solve_level_strips(
     om = np.zeros((n_blocks * k, 3), np.float32)
     om[:iters] = _abc_schedule(iters, cfg)
 
-    # Weight-arena variant when the invariant planes fit VMEM (~13 bytes/px
-    # of level; true through 1080p, not at 4K+): mask/bh/bv/inv are DMA'd
-    # once per strip instead of once per grid step.
-    arena = _arena_bytes(hp, wp2, block_h + 2 * pad_rows, n_strips) <= _ARENA_VMEM_CAP
     # State prefetch needs >= 4 strips and block_h >= pad_rows (the in-flight
     # writeback / cross-block overlap analysis in the kernel docstring).
     prefetch = arena and n_strips >= 4 and block_h >= pad_rows
@@ -955,7 +962,7 @@ def _rb_strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpr
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=min(
-                _arena_bytes(hp, wp2, slab_h, n_strips) + 8 * 1024 * 1024,
+                _arena_bytes(wp2, slab_h, n_strips) + 8 * 1024 * 1024,
                 _ARENA_VMEM_CAP,
             ),
         ),
@@ -1015,10 +1022,21 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
     # Dependencies advance 2 rings per red-black iteration.
     pad_rows = -(-(2 * k + 1) // 8) * 8
     wp2 = -(-(w + 2) // 128) * 128
-    max_block = (14 * 1024 * 1024) // (10 * 4 * wp2) - 2 * pad_rows
-    block_h = max(min(_auto_block_h(h), (max_block // 8) * 8), 8)
-    n_strips = -(-h // block_h)
-    hp = n_strips * block_h + 2 * pad_rows
+
+    def geometry(bh_rows):
+        n = -(-h // bh_rows)
+        return bh_rows, n, n * bh_rows + 2 * pad_rows
+
+    block_h, n_strips, hp = geometry(_auto_block_h(h))
+    mega = _RB_MEGA and _arena_bytes(wp2, block_h + 2 * pad_rows, n_strips) <= _ARENA_VMEM_CAP
+    if not mega:
+        # The chunked fallback runs under the default 16 MiB scoped-VMEM
+        # budget (the megakernel requests its own limit); clamp block_h so
+        # its 7 slabs + Mosaic temporaries fit.
+        max_block = (14 * 1024 * 1024) // (10 * 4 * wp2) - 2 * pad_rows
+        block_h, n_strips, hp = geometry(
+            max(min(block_h, (max_block // 8) * 8), 8)
+        )
 
     def repad(a, dtype=jnp.float32):
         core = a[1 : h + 1, :]
@@ -1030,8 +1048,7 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
     bv = repad(bv1)
     inv = repad(inv1)
 
-    slab_h = block_h + 2 * pad_rows
-    if _RB_MEGA and _arena_bytes(hp, wp2, slab_h, n_strips) <= _ARENA_VMEM_CAP:
+    if mega:
         # Megakernel: all iterations in one launch, weights in a VMEM arena,
         # ping-pong halo bands never dirtied (no fix_halo, no chunking).
         n_blocks = -(-iters // k)
@@ -1077,8 +1094,7 @@ def solve_level_red_black_pallas(
     from ..core import solver as _xla
 
     wts = edge_weights(gray, depth, level, max_level, cfg)
-    pad = lambda a: jnp.pad(a.astype(jnp.float32), ((1, 1), (1, 1)))
-    bh1, bv1, inv1 = pad(wts.wr), pad(wts.wd), pad(wts.inv_count)
+    bh1, bv1, inv1 = _pack_wts_padded(wts)  # wts also feeds residual_norm
     u0 = depth.astype(jnp.float32)
 
     if not cfg.early_exit:
