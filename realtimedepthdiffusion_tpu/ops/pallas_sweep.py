@@ -66,6 +66,15 @@ _IN_KERNEL_HALO = False
 # 128 MiB physical VMEM); above it (4K+ levels) the per-step-DMA kernels run.
 _ARENA_VMEM_CAP = 112 * 1024 * 1024
 
+# Cross-step state prefetch (the 3-deep buffer ring): OFF by default. Two
+# independent same-process interleaved A/Bs (K=32, PERF.md methodology)
+# measured the ring 6-24% SLOWER than the plain arena kernel on v5e — the
+# traced ring index makes every sweep's state loads/stores dynamic-offset,
+# which costs more than the state-DMA wait it hides. The kernel stays
+# (race-analyzed, interpret- and hardware-parity-tested) for hardware where
+# the tradeoff flips.
+_STATE_PREFETCH = False
+
 
 def _pack_weights_padded(gray, depth, level, max_level, cfg):
     """(bh, bv, inv_count) planes, each padded with a 1-px zero ring.
@@ -674,7 +683,9 @@ def solve_level_strips(
 
     # State prefetch needs >= 4 strips and block_h >= pad_rows (the in-flight
     # writeback / cross-block overlap analysis in the kernel docstring).
-    prefetch = arena and n_strips >= 4 and block_h >= pad_rows
+    prefetch = (
+        _STATE_PREFETCH and arena and n_strips >= 4 and block_h >= pad_rows
+    )
     call = _strips_mega_call(
         hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
         arena=arena, prefetch=prefetch,

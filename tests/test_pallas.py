@@ -85,6 +85,23 @@ def test_rb_strip_halo_variants(rng, in_kernel_halo):
     np.testing.assert_allclose(got_rb, want_rb, atol=5e-3)
 
 
+def test_strip_kernel_prefetch_variant(rng):
+    """The 3-deep state-prefetch ring (off by default — measured slower on
+    v5e, kept for hardware where the tradeoff flips) matches the arena
+    kernel exactly; 49 rows at block_h=16 give the >= 4 strips and multiple
+    iteration blocks its schedule needs."""
+    gray, mask, depth = _case(rng, 49, 67)
+    args = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 25, CFG)
+    want = np.asarray(ps.solve_level_strips(*args, block_h=16, interpret=True))
+    flag = ps._STATE_PREFETCH
+    ps._STATE_PREFETCH = True
+    try:
+        got = np.asarray(ps.solve_level_strips(*args, block_h=16, interpret=True))
+    finally:
+        ps._STATE_PREFETCH = flag
+    np.testing.assert_array_equal(got, want)
+
+
 def test_strip_kernel_no_arena_fallback(rng):
     """The per-step-DMA megakernel (the 4K+ fallback when the weight arena
     exceeds VMEM) matches the arena/prefetch kernels."""

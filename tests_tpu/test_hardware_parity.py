@@ -46,6 +46,13 @@ def test_strip_variants_bitexact(case_512):
     finally:
         ps._ARENA_VMEM_CAP = cap
     np.testing.assert_array_equal(plain, want)
+    flag = ps._STATE_PREFETCH
+    try:
+        ps._STATE_PREFETCH = True  # the (non-default) prefetch ring
+        pf = run()
+    finally:
+        ps._STATE_PREFETCH = flag
+    np.testing.assert_array_equal(pf, want)
 
 
 def test_strips_match_xla(case_512):
