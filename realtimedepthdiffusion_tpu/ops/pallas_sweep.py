@@ -75,6 +75,12 @@ _ARENA_VMEM_CAP = 112 * 1024 * 1024
 # the tradeoff flips.
 _STATE_PREFETCH = False
 
+# Arena weight access mode: False = sweeps read the arena slabs through a
+# dynamic (strip-indexed) offset each use; True = copy the four invariant
+# slabs into statically-addressed scratch once per grid step and sweep on
+# those. A/B'd on v5e (see PERF.md); the measured winner is the default.
+_ARENA_STATIC_COPY = False
+
 
 def _pack_weights_padded(gray, depth, level, max_level, cfg):
     """(bh, bv, inv_count) planes, each padded with a 1-px zero ring.
@@ -279,10 +285,10 @@ def _strip_mega_kernel(k, iters, pad_rows, block_h, n_strips,
     po.wait()
 
 
-def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips,
+def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips, static_copy,
                              om_ref, u_in, p_in, m_hbm, bh_hbm, bv_hbm,
                              inv_hbm, u_pp, p_pp, u_s, p_s, wl_s, wu_s,
-                             m_a, bh_a, bv_a, inv_a, sems):
+                             *scratch_rest):
     """Arena variant of _strip_mega_kernel: the four iteration-invariant
     planes (mask, bh, bv, inv) are DMA'd from HBM exactly ONCE per strip —
     into a persistent VMEM arena indexed by strip id during block 0 — instead
@@ -294,6 +300,10 @@ def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips,
     any later block touches strip s. v5e has 128 MiB of physical VMEM; the
     caller only selects this kernel when arena + working set fit."""
     del u_in, p_in  # aliased: u_pp/p_pp ARE the state buffers
+    if static_copy:
+        bhc_s, bvc_s, invc_s, mc_s, m_a, bh_a, bv_a, inv_a, sems = scratch_rest
+    else:
+        m_a, bh_a, bv_a, inv_a, sems = scratch_rest
     b = pl.program_id(0)
     s = pl.program_id(1)
     src = b % 2
@@ -325,19 +335,28 @@ def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips,
     for cp in cps:
         cp.wait()
 
-    # Weights stream straight from the arena inside each sweep (the slab
-    # offsets are tile-aligned: slab_h % 8 == 0, wp2 % 128 == 0), avoiding
-    # materialized per-step slab copies; only the rolled planes need scratch.
+    # Weight access per _ARENA_STATIC_COPY: either sweeps read the arena
+    # slabs through a tile-aligned dynamic (strip-indexed) offset each use,
+    # or the four invariant slabs are copied once per grid step into
+    # statically-addressed scratch. The rolled planes always need scratch.
     wl_s[:] = pltpu.roll(bh_a[s], 1, 1)
     wu_s[:] = pltpu.roll(bv_a[s], 1, 0)
+    if static_copy:
+        bhc_s[:] = bh_a[s]
+        bvc_s[:] = bv_a[s]
+        invc_s[:] = inv_a[s]
+        mc_s[:] = m_a[s]
+        bh_r, bv_r, inv_r, m_r = bhc_s, bvc_s, invc_s, mc_s
+    else:
+        bh_r, bv_r, inv_r, m_r = bh_a.at[s], bv_a.at[s], inv_a.at[s], m_a.at[s]
     base = b * k
 
     def body(i, _):
         @pl.when(base + i < iters)
         def _active():
             new_u, new_prev = _sweep_full(
-                u_s[:], p_s[:], wl_s[:], bh_a[s], wu_s[:], bv_a[s],
-                inv_a[s], m_a[s],
+                u_s[:], p_s[:], wl_s[:], bh_r[:], wu_s[:], bv_r[:],
+                inv_r[:], m_r[:],
                 om_ref[base + i, 0], om_ref[base + i, 1], om_ref[base + i, 2],
             )
             p_s[:] = new_prev
@@ -519,7 +538,8 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
             ]
         else:
             kern = functools.partial(
-                _strip_mega_kernel_arena, k, iters, pad_rows, block_h, n_strips
+                _strip_mega_kernel_arena, k, iters, pad_rows, block_h,
+                n_strips, _ARENA_STATIC_COPY,
             )
             state_scratch = [
                 pltpu.VMEM((slab_h, wp2), jnp.float32),  # u slab
@@ -548,6 +568,12 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
             scratch_shapes=state_scratch + [
                 pltpu.VMEM((slab_h, wp2), jnp.float32),  # wl slab (rolled bh)
                 pltpu.VMEM((slab_h, wp2), jnp.float32),  # wu slab (rolled bv)
+            ] + ([
+                pltpu.VMEM((slab_h, wp2), jnp.float32),  # bh static copy
+                pltpu.VMEM((slab_h, wp2), jnp.float32),  # bv static copy
+                pltpu.VMEM((slab_h, wp2), jnp.float32),  # inv static copy
+                pltpu.VMEM((slab_h, wp2), jnp.uint8),  # mask static copy
+            ] if (_ARENA_STATIC_COPY and not prefetch) else []) + [
                 pltpu.VMEM((n_strips, slab_h, wp2), jnp.uint8),  # mask arena
                 pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # bh arena
                 pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # bv arena

@@ -100,6 +100,15 @@ def test_strip_kernel_prefetch_variant(rng):
     finally:
         ps._STATE_PREFETCH = flag
     np.testing.assert_array_equal(got, want)
+    # The static-copy arena variant (per-step copies instead of per-sweep
+    # dynamic-offset arena reads; measured within noise on v5e).
+    sc = ps._ARENA_STATIC_COPY
+    ps._ARENA_STATIC_COPY = True
+    try:
+        got_sc = np.asarray(ps.solve_level_strips(*args, block_h=16, interpret=True))
+    finally:
+        ps._ARENA_STATIC_COPY = sc
+    np.testing.assert_array_equal(got_sc, want)
 
 
 def test_strip_kernel_no_arena_fallback(rng):

@@ -49,7 +49,7 @@ def ab(
         jax.block_until_ready(fK(x0))
         fns[name] = (f1, fK)
 
-    best = {name: float("inf") for name in fns}
+    samples = {name: [] for name in fns}
     for _ in range(reps):
         for name, (f1, fK) in fns.items():
             t0 = time.perf_counter()
@@ -58,8 +58,16 @@ def ab(
             t0 = time.perf_counter()
             jax.block_until_ready(f1(x0))
             t1 = time.perf_counter() - t0
-            best[name] = min(best[name], (tk - t1) / (K - 1) * 1000.0)
-    if verbose:
-        for name, ms in best.items():
-            print(f"{name}: {ms:.3f} ms")
-    return best
+            samples[name].append((tk - t1) / (K - 1) * 1000.0)
+    # Median, not min: envelope outliers reach +-several ms in this
+    # environment, so (tk - t1) differences can go NEGATIVE and a min over
+    # reps latches onto a single lucky pairing (observed: two min-based
+    # A/Bs of the same pair flipping 11% each way while medians agreed).
+    med = {}
+    for name, v in samples.items():
+        v = sorted(v)
+        med[name] = v[len(v) // 2]
+        if verbose:
+            print(f"{name}: median {med[name]:.3f} ms  (min {v[0]:.3f}, "
+                  f"max {v[-1]:.3f}, n={len(v)})")
+    return med
