@@ -53,6 +53,13 @@ def test_strip_variants_bitexact(case_512):
     finally:
         ps._STATE_PREFETCH = flag
     np.testing.assert_array_equal(pf, want)
+    sc = ps._ARENA_STATIC_COPY
+    try:
+        ps._ARENA_STATIC_COPY = True  # the (non-default) static-copy arena
+        stc = run()
+    finally:
+        ps._ARENA_STATIC_COPY = sc
+    np.testing.assert_array_equal(stc, want)
 
 
 def test_strips_match_xla(case_512):
