@@ -115,6 +115,13 @@ class DiffusionConfig:
     backend: str = "auto"
     # Sweeps fused per Pallas launch for the strip-tiled level-0 kernel.
     pallas_iter_block: int = 8
+    # Shorter strip levels (h <= pallas_small_level_rows) raise the iteration
+    # block to pallas_iter_block_small: with fewer rows per strip the
+    # per-grid-step overhead dominates, so fewer, deeper blocks win (median
+    # K=32 A/B on v5e: 540-row level 0.82 -> 0.62 ms at k=16, while the
+    # 1080-row level prefers k=8 — PERF.md).
+    pallas_iter_block_small: int = 16
+    pallas_small_level_rows: int = 768
 
     def num_levels(self, rows: int, cols: int) -> int:
         """Pyramid depth: log2(max(min(W,H)/base,1))+1 (src/main.cpp:95).

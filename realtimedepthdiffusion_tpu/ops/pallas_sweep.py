@@ -658,6 +658,10 @@ def solve_level_strips(
     if block_h is None:
         block_h = _auto_block_h(h)
     k = max(int(cfg.pallas_iter_block), 1)
+    if h <= cfg.pallas_small_level_rows:
+        # Short levels amortize per-step overhead better with deeper blocks
+        # (config docstring has the measurements).
+        k = max(k, int(cfg.pallas_iter_block_small))
 
     # pad_rows = ceil((k+1)/8)*8 keeps every DMA slice offset/shape aligned
     # to the f32 sublane tile; wp2 rounds the padded width to the lane tile.
