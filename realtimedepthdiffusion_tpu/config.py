@@ -123,6 +123,38 @@ class DiffusionConfig:
     pallas_iter_block_small: int = 16
     pallas_small_level_rows: int = 768
 
+    # --- Measured Pallas kernel variants (PERF.md carries the A/Bs). Each
+    #     default is the measured winner on TPU v5e; the losers stay
+    #     implemented + tested for hardware where the tradeoff flips, and are
+    #     now reachable here instead of by editing module constants. ---
+    # 3-deep cross-step state-prefetch ring in the strip megakernel (measured
+    # ~6-24% SLOWER on v5e: the traced ring index makes state access
+    # dynamic-offset, costing more than the DMA wait it hides).
+    pallas_state_prefetch: bool = False
+    # Copy the arena's four invariant slabs into statically-addressed scratch
+    # once per grid step instead of per-sweep dynamic (strip-indexed) reads
+    # (measured within noise on v5e).
+    pallas_arena_static_copy: bool = False
+    # Red-black strips: write the global halo bands inside boundary strip
+    # programs instead of a host-level re-zeroing pass between chunked
+    # launches (measured SLOWER on v5e: conditional in-kernel DMAs serialize
+    # the boundary programs while XLA fuses the host-level pass). Only the
+    # chunked fallback consults this; the megakernel never dirties its bands.
+    pallas_in_kernel_halo: bool = False
+    # Red-black megakernel (all iterations in one launch + VMEM weight
+    # arena); False forces the chunked per-block launches (the structure the
+    # arena-overflow fallback uses), kept selectable for parity testing.
+    pallas_rb_megakernel: bool = True
+    # VMEM budget for choosing the fully-resident kernel (bytes). v5e
+    # measurement: scaling the resident kernel UP loses to the strip
+    # megakernel well before physical VMEM runs out (PERF.md lesson #4).
+    pallas_resident_vmem_budget: int = 6 * 1024 * 1024
+    # VMEM ceiling for the strip kernels' persistent weight arena (v5e has
+    # 128 MiB physical VMEM). Levels whose f32 weight arena exceeds it fall
+    # back to the u8 derived-weights arena (weights materialized in-kernel
+    # from gray/d8 slabs), then to per-step DMA.
+    pallas_arena_vmem_cap: int = 112 * 1024 * 1024
+
     def num_levels(self, rows: int, cols: int) -> int:
         """Pyramid depth: log2(max(min(W,H)/base,1))+1 (src/main.cpp:95).
 

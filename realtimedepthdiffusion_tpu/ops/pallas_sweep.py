@@ -48,38 +48,11 @@ from ..config import DiffusionConfig
 from ..core.solver import chebyshev_omegas
 from ..core.weights import edge_weights
 
-# VMEM budget for choosing the resident kernel (bytes). v5e has ~16 MiB more
-# than the ~6 planes the kernel keeps live; leave slack for Mosaic temps.
-RESIDENT_VMEM_BUDGET = 6 * 1024 * 1024
-
-# Red-black strips only (the Jacobi path now runs as a single megakernel
-# whose ping-pong halo bands are never dirtied): write global halo bands
-# inside the boundary strips instead of a host-level fix_halo (.at[].set)
-# pass between launches. Measured A/B on TPU v5e (PERF.md): the host-level
-# pass is FASTER (L1 0.60 vs 0.78 ms) — XLA fuses the band re-zeroing into
-# the buffer pipeline while the conditional in-kernel DMAs serialize the
-# boundary programs — so this stays False; the in-kernel path is kept (and
-# tested) as the measured alternative.
-_IN_KERNEL_HALO = False
-
-# VMEM ceiling for the strip kernels' persistent weight arena (v5e has
-# 128 MiB physical VMEM); above it (4K+ levels) the per-step-DMA kernels run.
-_ARENA_VMEM_CAP = 112 * 1024 * 1024
-
-# Cross-step state prefetch (the 3-deep buffer ring): OFF by default. Two
-# independent same-process interleaved A/Bs (K=32, PERF.md methodology)
-# measured the ring 6-24% SLOWER than the plain arena kernel on v5e — the
-# traced ring index makes every sweep's state loads/stores dynamic-offset,
-# which costs more than the state-DMA wait it hides. The kernel stays
-# (race-analyzed, interpret- and hardware-parity-tested) for hardware where
-# the tradeoff flips.
-_STATE_PREFETCH = False
-
-# Arena weight access mode: False = sweeps read the arena slabs through a
-# dynamic (strip-indexed) offset each use; True = copy the four invariant
-# slabs into statically-addressed scratch once per grid step and sweep on
-# those. A/B'd on v5e (see PERF.md); the measured winner is the default.
-_ARENA_STATIC_COPY = False
+# Kernel-variant selection (state-prefetch ring, static-copy arena,
+# in-kernel halo bands, megakernel vs chunked red-black, VMEM budgets) lives
+# in DiffusionConfig (pallas_* fields) so alternative hardware can flip the
+# measured v5e defaults without editing this module; PERF.md carries the
+# A/Bs behind each default.
 
 
 def _pack_weights_padded(gray, depth, level, max_level, cfg):
@@ -335,7 +308,7 @@ def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips, static_copy,
     for cp in cps:
         cp.wait()
 
-    # Weight access per _ARENA_STATIC_COPY: either sweeps read the arena
+    # Weight access per cfg.pallas_arena_static_copy: either sweeps read the arena
     # slabs through a tile-aligned dynamic (strip-indexed) offset each use,
     # or the four invariant slabs are copied once per grid step into
     # statically-addressed scratch. The rolled planes always need scratch.
@@ -381,12 +354,16 @@ def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips, static_copy,
     po.wait()
 
 
-def _arena_bytes(wp2, slab_h, n_strips):
+def _arena_bytes(wp2, slab_h, n_strips, static_copy=False):
     """VMEM bytes for the weight arena + the working set of the arena strip
     kernel (3x2 rotation state slabs + ~8 slab-sized Mosaic temporaries for
-    the rolled weights, stencil rolls and sweep intermediates)."""
+    the rolled weights, stencil rolls and sweep intermediates). The
+    static-copy variant allocates 4 extra scratch slabs (3 f32 + 1 u8) that
+    must count toward the requested vmem_limit."""
     arena = n_strips * slab_h * wp2 * (3 * 4 + 1)
     working = 14 * slab_h * wp2 * 4
+    if static_copy:
+        working += slab_h * wp2 * (3 * 4 + 1)
     return arena + working
 
 
@@ -523,7 +500,8 @@ def _strip_mega_kernel_prefetch(k, iters, pad_rows, block_h, n_strips, n_blocks,
 
 
 def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
-                      arena=False, prefetch=False):
+                      arena=False, prefetch=False, static_copy=False,
+                      vmem_cap=112 * 1024 * 1024):
     if arena:
         slab_h = block_h + 2 * pad_rows
         n_blocks = -(-iters // k)
@@ -539,7 +517,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
         else:
             kern = functools.partial(
                 _strip_mega_kernel_arena, k, iters, pad_rows, block_h,
-                n_strips, _ARENA_STATIC_COPY,
+                n_strips, static_copy,
             )
             state_scratch = [
                 pltpu.VMEM((slab_h, wp2), jnp.float32),  # u slab
@@ -573,7 +551,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
                 pltpu.VMEM((slab_h, wp2), jnp.float32),  # bv static copy
                 pltpu.VMEM((slab_h, wp2), jnp.float32),  # inv static copy
                 pltpu.VMEM((slab_h, wp2), jnp.uint8),  # mask static copy
-            ] if (_ARENA_STATIC_COPY and not prefetch) else []) + [
+            ] if (static_copy and not prefetch) else []) + [
                 pltpu.VMEM((n_strips, slab_h, wp2), jnp.uint8),  # mask arena
                 pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # bh arena
                 pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # bv arena
@@ -585,8 +563,9 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=min(
-                    _arena_bytes(wp2, slab_h, n_strips) + 8 * 1024 * 1024,
-                    _ARENA_VMEM_CAP,
+                    _arena_bytes(wp2, slab_h, n_strips, static_copy)
+                    + 8 * 1024 * 1024,
+                    vmem_cap,
                 ),
             ),
         )
@@ -676,7 +655,11 @@ def solve_level_strips(
     # of level; true through 1080p, not at 4K+): mask/bh/bv/inv are DMA'd
     # once per strip instead of once per grid step.
     block_h, n_strips, hp = geometry(block_h)
-    arena = _arena_bytes(wp2, block_h + 2 * pad_rows, n_strips) <= _ARENA_VMEM_CAP
+    static_copy = bool(cfg.pallas_arena_static_copy)
+    cap = int(cfg.pallas_arena_vmem_cap)
+    arena = (
+        _arena_bytes(wp2, block_h + 2 * pad_rows, n_strips, static_copy) <= cap
+    )
     if not arena:
         # The per-step-DMA fallback runs under the default 16 MiB scoped-VMEM
         # budget (the arena kernels request their own limit); clamp block_h
@@ -714,11 +697,14 @@ def solve_level_strips(
     # State prefetch needs >= 4 strips and block_h >= pad_rows (the in-flight
     # writeback / cross-block overlap analysis in the kernel docstring).
     prefetch = (
-        _STATE_PREFETCH and arena and n_strips >= 4 and block_h >= pad_rows
+        cfg.pallas_state_prefetch
+        and arena
+        and n_strips >= 4
+        and block_h >= pad_rows
     )
     call = _strips_mega_call(
         hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
-        arena=arena, prefetch=prefetch,
+        arena=arena, prefetch=prefetch, static_copy=static_copy, vmem_cap=cap,
     )
     u_pp, p_pp = call(jnp.asarray(om), u_pp, p_pp, m, bh, bv, inv)
     fin = n_blocks % 2
@@ -738,7 +724,7 @@ def solve_level_pallas(
     """Choose resident vs strip kernel by VMEM footprint."""
     h, w = depth.shape
     # ~6 f32 planes live in the resident kernel.
-    if (h + 2) * (w + 2) * 4 * 6 <= RESIDENT_VMEM_BUDGET:
+    if (h + 2) * (w + 2) * 4 * 6 <= cfg.pallas_resident_vmem_budget:
         return solve_level_resident(
             depth, mask, gray, level, max_level, iters, cfg, interpret
         )
@@ -829,7 +815,7 @@ def _rb_resident_call(depth, mask, bh, bv, inv, iters, interpret):
     return out[1 : h + 1, 1 : w + 1]
 
 
-def _strip_rb_kernel(k, pad_rows, block_h, n_strips, parity,
+def _strip_rb_kernel(k, pad_rows, block_h, n_strips, parity, in_kernel_halo,
                      u_hbm, m_hbm, bh_hbm, bv_hbm, inv_hbm, uo_hbm,
                      u_s, m_s, bh_s, bv_s, inv_s, wl_s, wu_s, sems):
     """Strip-blocked red-black: same slab DMA structure as _strip_kernel but
@@ -874,7 +860,7 @@ def _strip_rb_kernel(k, pad_rows, block_h, n_strips, parity,
     uo.start()
     uo.wait()
 
-    if not _IN_KERNEL_HALO:
+    if not in_kernel_halo:
         return
 
     # Boundary strips emit the (provably still-zero) global halo bands so the
@@ -897,9 +883,6 @@ def _strip_rb_kernel(k, pad_rows, block_h, n_strips, parity,
         )
         bu.start()
         bu.wait()
-
-
-_RB_MEGA = True  # test hook: force the chunked fallback path when False
 
 
 def _rb_strip_mega_kernel(k, iters, pad_rows, block_h, n_strips, parity,
@@ -968,7 +951,8 @@ def _rb_strip_mega_kernel(k, iters, pad_rows, block_h, n_strips, parity,
     uo.wait()
 
 
-def _rb_strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret):
+def _rb_strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h,
+                         interpret, vmem_cap=112 * 1024 * 1024):
     slab_h = block_h + 2 * pad_rows
     n_blocks = -(-iters // k)
     # parity: rows shifted by pad_rows (multiple of 8, even), cols by the
@@ -1004,17 +988,20 @@ def _rb_strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpr
             has_side_effects=True,
             vmem_limit_bytes=min(
                 _arena_bytes(wp2, slab_h, n_strips) + 8 * 1024 * 1024,
-                _ARENA_VMEM_CAP,
+                vmem_cap,
             ),
         ),
     )
 
 
-def _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret):
+def _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret,
+                    in_kernel_halo=False):
     slab_h = block_h + 2 * pad_rows
     # parity: rows shifted by pad_rows (multiple of 8, even), cols by the
     # 1-px ring -> net +1 in (y+x).
-    kern = functools.partial(_strip_rb_kernel, k, pad_rows, block_h, n_strips, 1)
+    kern = functools.partial(
+        _strip_rb_kernel, k, pad_rows, block_h, n_strips, 1, in_kernel_halo
+    )
     return pl.pallas_call(
         kern,
         grid=(n_strips,),
@@ -1056,7 +1043,7 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
     if iters <= 0:
         return depth.astype(jnp.float32)
     # 5 f32 planes live in the resident kernel (no Chebyshev history).
-    if (h + 2) * (w + 2) * 4 * 5 <= RESIDENT_VMEM_BUDGET:
+    if (h + 2) * (w + 2) * 4 * 5 <= cfg.pallas_resident_vmem_budget:
         return _rb_resident_call(depth, mask, bh1, bv1, inv1, iters, interpret)
 
     k = max(int(cfg.pallas_iter_block), 1)
@@ -1069,7 +1056,11 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
         return bh_rows, n, n * bh_rows + 2 * pad_rows
 
     block_h, n_strips, hp = geometry(_auto_block_h(h))
-    mega = _RB_MEGA and _arena_bytes(wp2, block_h + 2 * pad_rows, n_strips) <= _ARENA_VMEM_CAP
+    cap = int(cfg.pallas_arena_vmem_cap)
+    mega = (
+        cfg.pallas_rb_megakernel
+        and _arena_bytes(wp2, block_h + 2 * pad_rows, n_strips) <= cap
+    )
     if not mega:
         # The chunked fallback runs under the default 16 MiB scoped-VMEM
         # budget (the megakernel requests its own limit); clamp block_h so
@@ -1095,7 +1086,7 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
         n_blocks = -(-iters // k)
         u_pp = jnp.stack([u, jnp.zeros_like(u)])
         call = _rb_strips_mega_call(
-            hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret
+            hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret, cap
         )
         u_pp = call(u_pp, m, bh, bv, inv)
         return u_pp[n_blocks % 2, pad_rows : pad_rows + h, 1 : w + 1]
@@ -1104,14 +1095,19 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
         a = a.at[:pad_rows, :].set(0.0)
         return a.at[hp - pad_rows :, :].set(0.0)
 
+    ikh = bool(cfg.pallas_in_kernel_halo)
     n_full, rem = divmod(iters, k)
-    call_k = _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret)
+    call_k = _rb_strips_call(
+        hp, wp2, k, pad_rows, n_strips, block_h, interpret, ikh
+    )
     for _ in range(n_full):
         u = call_k(u, m, bh, bv, inv)
-        if not _IN_KERNEL_HALO:
+        if not ikh:
             u = fix_halo(u)
     if rem:
-        call_r = _rb_strips_call(hp, wp2, rem, pad_rows, n_strips, block_h, interpret)
+        call_r = _rb_strips_call(
+            hp, wp2, rem, pad_rows, n_strips, block_h, interpret, ikh
+        )
         u = call_r(u, m, bh, bv, inv)
     return u[pad_rows : pad_rows + h, 1 : w + 1]
 

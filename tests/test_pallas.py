@@ -65,55 +65,57 @@ def test_rb_strip_halo_variants(rng, in_kernel_halo):
     want_rb = np.asarray(
         solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 7, cfg_rb)
     )
-    old = ps._IN_KERNEL_HALO
-    ps._IN_KERNEL_HALO = in_kernel_halo
-    budget = ps.RESIDENT_VMEM_BUDGET
-    ps.RESIDENT_VMEM_BUDGET = 0
-    mega = ps._RB_MEGA
-    ps._RB_MEGA = False
-    try:
-        got_rb = np.asarray(
-            ps.solve_level_red_black_pallas(
-                jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 7, cfg_rb,
-                interpret=True,
-            )
+    cfg_var = DiffusionConfig(
+        solver="red_black", pallas_iter_block=4,
+        pallas_in_kernel_halo=in_kernel_halo,
+        pallas_resident_vmem_budget=0, pallas_rb_megakernel=False,
+    )
+    got_rb = np.asarray(
+        ps.solve_level_red_black_pallas(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 7, cfg_var,
+            interpret=True,
         )
-    finally:
-        ps.RESIDENT_VMEM_BUDGET = budget
-        ps._IN_KERNEL_HALO = old
-        ps._RB_MEGA = mega
+    )
     np.testing.assert_allclose(got_rb, want_rb, atol=5e-3)
 
 
-def test_strip_kernel_prefetch_variant(rng):
+def test_strip_kernel_prefetch_variant(rng, monkeypatch):
     """The 3-deep state-prefetch ring (off by default — measured slower on
     v5e, kept for hardware where the tradeoff flips) matches the arena
-    kernel exactly; 49 rows at block_h=16 give the >= 4 strips and multiple
-    iteration blocks its schedule needs."""
+    kernel exactly. Geometry chosen to satisfy the prefetch gate: k=8 (so
+    pad_rows=16 <= block_h=16) and 49 rows / block_h=16 -> 4 strips; the
+    test asserts the prefetch kernel actually ran (the round-2 version
+    silently resolved prefetch=False and compared the arena kernel to
+    itself)."""
     gray, mask, depth = _case(rng, 49, 67)
-    args = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 25, CFG)
+    cfg = DiffusionConfig(pallas_iter_block_small=8)
+    args = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 25, cfg)
     want = np.asarray(ps.solve_level_strips(*args, block_h=16, interpret=True))
-    flag = ps._STATE_PREFETCH
-    ps._STATE_PREFETCH = True
-    try:
-        got = np.asarray(ps.solve_level_strips(*args, block_h=16, interpret=True))
-    finally:
-        ps._STATE_PREFETCH = flag
+
+    calls = []
+    real = ps._strip_mega_kernel_prefetch
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ps, "_strip_mega_kernel_prefetch", spy)
+    cfg_pf = DiffusionConfig(pallas_iter_block_small=8, pallas_state_prefetch=True)
+    args_pf = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 25, cfg_pf)
+    got = np.asarray(ps.solve_level_strips(*args_pf, block_h=16, interpret=True))
+    assert calls, "prefetch kernel was not taken (gate resolved False)"
     np.testing.assert_array_equal(got, want)
     # The static-copy arena variant (per-step copies instead of per-sweep
     # dynamic-offset arena reads; measured within noise on v5e).
-    sc = ps._ARENA_STATIC_COPY
-    ps._ARENA_STATIC_COPY = True
-    try:
-        got_sc = np.asarray(ps.solve_level_strips(*args, block_h=16, interpret=True))
-    finally:
-        ps._ARENA_STATIC_COPY = sc
+    cfg_sc = DiffusionConfig(pallas_iter_block_small=8, pallas_arena_static_copy=True)
+    args_sc = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 25, cfg_sc)
+    got_sc = np.asarray(ps.solve_level_strips(*args_sc, block_h=16, interpret=True))
     np.testing.assert_array_equal(got_sc, want)
 
 
 def test_strip_kernel_no_arena_fallback(rng):
-    """The per-step-DMA megakernel (the 4K+ fallback when the weight arena
-    exceeds VMEM) matches the arena/prefetch kernels."""
+    """The per-step-DMA megakernel (the last-resort fallback when even the
+    derived-weights arena exceeds VMEM) matches the arena/prefetch kernels."""
     gray, mask, depth = _case(rng, 49, 67)
     want = np.asarray(
         ps.solve_level_strips(
@@ -121,17 +123,13 @@ def test_strip_kernel_no_arena_fallback(rng):
             block_h=16, interpret=True,
         )
     )
-    cap = ps._ARENA_VMEM_CAP
-    ps._ARENA_VMEM_CAP = 0
-    try:
-        got = np.asarray(
-            ps.solve_level_strips(
-                jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 25, CFG,
-                block_h=16, interpret=True,
-            )
+    cfg_cap = DiffusionConfig(pallas_arena_vmem_cap=0)
+    got = np.asarray(
+        ps.solve_level_strips(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 25, cfg_cap,
+            block_h=16, interpret=True,
         )
-    finally:
-        ps._ARENA_VMEM_CAP = cap
+    )
     np.testing.assert_array_equal(got, want)
 
 
@@ -180,17 +178,15 @@ def test_rb_strip_kernel_matches_xla(rng, iters):
         solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, iters, cfg)
     )
     # Route through the public entry but force strips by shrinking the budget.
-    budget = ps.RESIDENT_VMEM_BUDGET
-    ps.RESIDENT_VMEM_BUDGET = 0
-    try:
-        got = np.asarray(
-            ps.solve_level_red_black_pallas(
-                jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, iters, cfg,
-                interpret=True,
-            )
+    cfg_strip = DiffusionConfig(
+        solver="red_black", pallas_iter_block=4, pallas_resident_vmem_budget=0
+    )
+    got = np.asarray(
+        ps.solve_level_red_black_pallas(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, iters, cfg_strip,
+            interpret=True,
         )
-    finally:
-        ps.RESIDENT_VMEM_BUDGET = budget
+    )
     np.testing.assert_allclose(got, want, atol=5e-3)
     assert np.array_equal(got[mask], depth[mask])
 

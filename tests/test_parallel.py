@@ -232,18 +232,31 @@ def test_batched_step_takes_pallas_branch():
     assert out_p.shape == (2, 64, 64, 3)
 
 
-def test_batched_step_defocus_effect():
-    """Regression: batched_step vmaps the effect, and vmap has no batching
-    rule for the Pallas defocus kernel — the batched path must force the
-    XLA defocus formulation (which GSPMD partitions) even when the solver
-    backend is pallas."""
+def test_batched_step_defocus_effect(monkeypatch):
+    """batched_step routes defocus through the shard_map'd Pallas
+    marching-corners kernel (sharded_defocus) — the round-1 force-XLA
+    limitation removed in round 2 — and the batched Pallas output equals the
+    batched XLA formulation exactly."""
     from realtimedepthdiffusion_tpu.core import effects as fx
 
     mesh = make_mesh(8)
     cfg = DiffusionConfig(max_iterations=12, backend="pallas_interpret")
+
+    calls = []
+    real = sharded.sharded_defocus
+
+    def spy(*a, **kw):
+        calls.append(a)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sharded, "sharded_defocus", spy)
     fn, make_args = sharded.batched_step(mesh, 64, 64, cfg, effect=fx.EFFECT_DEFOCUS)
+    assert calls, "batched_step did not take the sharded Pallas defocus route"
     depth, _, out = fn(*make_args(2))
     assert out.shape == (2, 64, 64, 3) and out.dtype == jnp.uint8
+    # Numerical equality with the XLA formulation is asserted by
+    # test_batched_step_defocus_pallas_interpret below (same-jit-context
+    # expectation — the FMA knife-edge note in PERF.md).
 
 
 def test_sharded_level_pallas_interpret(rng):

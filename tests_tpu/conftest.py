@@ -27,11 +27,6 @@ def _tpu_available() -> bool:
         return False
 
 
-collect_ignore_glob: list = []
-
-pytestmark = pytest.mark.skipif(not _tpu_available(), reason="needs a TPU backend")
-
-
 def pytest_collection_modifyitems(config, items):
     if not _tpu_available():
         skip = pytest.mark.skip(reason="needs a TPU backend")

@@ -31,34 +31,19 @@ def test_strip_variants_bitexact(case_512):
     """plain (per-step DMA) == arena == arena+prefetch megakernels."""
     d, m, g = _args(case_512)
 
-    def run():
+    def run(cfg):
         return np.asarray(
             jax.jit(
-                lambda dd: ps.solve_level_strips(dd, m, g, 0, 4, ITERS, CFG)
+                lambda dd: ps.solve_level_strips(dd, m, g, 0, 4, ITERS, cfg)
             )(d)
         )
 
-    want = run()
-    cap = ps._ARENA_VMEM_CAP
-    try:
-        ps._ARENA_VMEM_CAP = 0  # force the plain kernel
-        plain = run()
-    finally:
-        ps._ARENA_VMEM_CAP = cap
+    want = run(CFG)
+    plain = run(DiffusionConfig(pallas_arena_vmem_cap=0))  # per-step DMA
     np.testing.assert_array_equal(plain, want)
-    flag = ps._STATE_PREFETCH
-    try:
-        ps._STATE_PREFETCH = True  # the (non-default) prefetch ring
-        pf = run()
-    finally:
-        ps._STATE_PREFETCH = flag
+    pf = run(DiffusionConfig(pallas_state_prefetch=True))  # prefetch ring
     np.testing.assert_array_equal(pf, want)
-    sc = ps._ARENA_STATIC_COPY
-    try:
-        ps._ARENA_STATIC_COPY = True  # the (non-default) static-copy arena
-        stc = run()
-    finally:
-        ps._ARENA_STATIC_COPY = sc
+    stc = run(DiffusionConfig(pallas_arena_static_copy=True))
     np.testing.assert_array_equal(stc, want)
 
 
@@ -92,22 +77,16 @@ def test_resident_matches_xla(case_512):
 
 def test_rb_mega_matches_chunked(case_512):
     d, m, g = _args(case_512)
-    cfg = DiffusionConfig(solver="red_black")
 
-    def run():
+    def run(cfg):
         return np.asarray(
             jax.jit(
                 lambda dd: ps.solve_level_red_black_pallas(dd, m, g, 0, 4, ITERS, cfg)
             )(d)
         )
 
-    want = run()
-    mega = ps._RB_MEGA
-    try:
-        ps._RB_MEGA = False
-        chunked = run()
-    finally:
-        ps._RB_MEGA = mega
+    want = run(DiffusionConfig(solver="red_black"))
+    chunked = run(DiffusionConfig(solver="red_black", pallas_rb_megakernel=False))
     np.testing.assert_array_equal(chunked, want)
 
 

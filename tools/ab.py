@@ -13,7 +13,9 @@ produce decisions that replicate. This module packages that pattern:
 Each variant is compiled as chain(1) and chain(K) (a lax.fori_loop carrying
 the state so nothing hoists); per-iteration time is (t(K)-t(1))/(K-1), which
 cancels the relay RTT. Variants are timed in interleaved rounds (A B C A B C
-...) so slow drift hits all arms equally; the min over reps is reported.
+...) so slow drift hits all arms equally; the MEDIAN over reps is reported
+(the min is hypersensitive to one lucky quiet window producing a negative
+delta that doesn't replicate).
 """
 
 from __future__ import annotations
