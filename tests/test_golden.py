@@ -87,7 +87,7 @@ def test_golden_fingerprint_stability(solved):
     see tests/golden/."""
     import os
 
-    path = os.path.join(os.path.dirname(__file__), "golden", "dog_fingerprint.npz")
+    path = os.path.join(os.path.dirname(__file__), "golden", "fingerprints", "Dog.npz")
     rgb, mask, value, cfg, pipe, _, _, depth = solved
     data = np.load(path)
     h, w = rgb.shape[:2]

@@ -136,21 +136,31 @@ def test_batched_sharded_step_on_hardware():
     assert o.shape == (2, 256, 320, 3) and o.dtype == np.uint8
 
 
-def test_tpu_solve_matches_cpu_golden_fingerprint():
-    """Cross-platform drift check: the default-config Dog solve ON THE CHIP
-    must match the CPU-built 32x32 mean-pooled fingerprint committed in
-    tests/golden/ — catches platform-divergence bugs of the FTZ/subnormal
+_DATASET_NAMES = [
+    "Arara", "ArchesPark", "Dog", "Flower", "Heidelberg", "Hills",
+    "Pigs", "Rock", "Straw", "StreetArt", "VintageGirl", "WomanParasol",
+]
+
+
+@pytest.mark.parametrize("name", _DATASET_NAMES)
+def test_tpu_solve_matches_cpu_golden_fingerprint(name):
+    """Cross-platform drift check over ALL 12 dataset pairs: each
+    default-config solve ON THE CHIP must match the CPU-built 32x32
+    mean-pooled fingerprint committed in tests/golden/fingerprints/ —
+    catches content-dependent platform-divergence bugs of the FTZ/subnormal
     class (TPU flushes subnormals, CPU keeps them; the weight machinery pins
-    that boundary explicitly so both land on the same side)."""
+    that boundary explicitly so both land on the same side). Built by
+    tools/build_fingerprints.py."""
     import os
 
     from realtimedepthdiffusion_tpu.io import imread_rgb, load_annotation
     from realtimedepthdiffusion_tpu.pipeline import DepthPipeline
 
-    img = "/root/reference/dataset/images/Dog.jpg"
-    ann = "/root/reference/dataset/annotations/Dog.png"
+    img = f"/root/reference/dataset/images/{name}.jpg"
+    ann = f"/root/reference/dataset/annotations/{name}.png"
     gold = os.path.join(
-        os.path.dirname(__file__), "..", "tests", "golden", "dog_fingerprint.npz"
+        os.path.dirname(__file__), "..", "tests", "golden", "fingerprints",
+        f"{name}.npz",
     )
     if not (os.path.exists(img) and os.path.exists(ann)):
         pytest.skip("reference dataset not mounted")

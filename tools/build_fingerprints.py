@@ -1,0 +1,71 @@
+"""Build the golden depth-map fingerprints for every dataset pair.
+
+For each (image, annotation) pair in the reference dataset this runs the
+default-config solve on the CPU backend and stores a 32x32 mean-pooled
+fingerprint of the depth map in tests/golden/fingerprints/<name>.npz
+(~4 KB each). The hardware parity suite
+(tests_tpu/test_hardware_parity.py::test_tpu_solve_matches_cpu_golden_fingerprint)
+re-solves every pair ON the TPU and compares against these — catching
+content-dependent cross-platform drift of the FTZ/subnormal class that a
+single-image gate misses (round-2 verdict weakness #7).
+
+Regenerate deliberately when solve semantics change:
+
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+        python tools/build_fingerprints.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+DATASET = "/root/reference/dataset"
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                       "fingerprints")
+
+
+def fingerprint(depth: np.ndarray) -> np.ndarray:
+    h, w = depth.shape
+    fh, fw = h // 32, w // 32
+    return depth[: fh * 32, : fw * 32].reshape(32, fh, 32, fw).mean(axis=(1, 3))
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from realtimedepthdiffusion_tpu.io import imread_rgb, load_annotation
+    from realtimedepthdiffusion_tpu.pipeline import DepthPipeline
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    img_dir = os.path.join(DATASET, "images")
+    names = sorted(
+        os.path.splitext(f)[0] for f in os.listdir(img_dir) if f.endswith(".jpg")
+    )
+    for name in names:
+        rgb = imread_rgb(os.path.join(img_dir, f"{name}.jpg"))
+        mask, value = load_annotation(
+            os.path.join(DATASET, "annotations", f"{name}.png")
+        )
+        h, w = rgb.shape[:2]
+        pipe = DepthPipeline(h, w)
+        _, gpyr = pipe.prepare_image(rgb)
+        depth, _ = pipe.solve(
+            gpyr, jnp.asarray(mask), jnp.asarray(value), pipe.initial_state()
+        )
+        fp = fingerprint(np.asarray(depth))
+        out = os.path.join(OUT_DIR, f"{name}.npz")
+        np.savez_compressed(out, shape=np.array([h, w]), fingerprint=fp)
+        print(f"{name}: {h}x{w} -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
