@@ -145,10 +145,27 @@ class DiffusionConfig:
     # arena); False forces the chunked per-block launches (the structure the
     # arena-overflow fallback uses), kept selectable for parity testing.
     pallas_rb_megakernel: bool = True
+    # Quadrant-compacted red-black megakernel: checkerboard cells packed
+    # into 4 quarter-resolution planes so each color's half-sweep computes
+    # only its own cells — one full-plane relaxation per iteration instead
+    # of the masked formulation's two, and half the halo (1 compact ring
+    # per iteration vs 2 full rings). Iterates agree with the masked path
+    # to float-associativity noise (the 5e-3 red-black parity band), not
+    # bitwise. Falls back to the masked megakernel when its arena exceeds
+    # pallas_arena_vmem_cap.
+    pallas_rb_compact: bool = True
     # VMEM budget for choosing the fully-resident kernel (bytes). v5e
     # measurement: scaling the resident kernel UP loses to the strip
     # megakernel well before physical VMEM runs out (PERF.md lesson #4).
     pallas_resident_vmem_budget: int = 6 * 1024 * 1024
+    # Defocus marching scheme: "corners" = 4 running corner slabs, one
+    # (channel x strip) grid step each (the round-2 kernel); "stacked" = the
+    # 3 channels ride one vertically-stacked slab per strip (shared
+    # half/count math, 3x fewer grid steps). "coldiff" (2 slabs + dynamic
+    # sublane reads) is interpret-only: Mosaic rejects its dynamic
+    # sublane-offset loads (ops/pallas_defocus.py docstring). All variants
+    # are bit-identical; the default is the measured winner on v5e (PERF.md).
+    pallas_defocus_variant: str = "corners"
     # VMEM ceiling for the strip kernels' persistent weight arena (v5e has
     # 128 MiB physical VMEM). Levels whose f32 weight arena exceeds it fall
     # back to the u8 derived-weights arena (weights materialized in-kernel

@@ -46,6 +46,191 @@ def _scan_axis(x, n, axis):
     return x
 
 
+def _defocus_kernel_coldiff(block_h, hr, hc,
+                            geom_ref, rgb_hbm, half_hbm, out_hbm,
+                            x_s, half_s, ar_s, al_s, u_s, out_s, sems):
+    """Column-difference-first marching variant: instead of 4 running corner
+    slabs advanced by 8 rolls per candidate, keep only the two COLUMN-rolled
+    SAT slabs (right corner / left corner columns), form their difference
+    U(y, x) = S2(y, x+hv-1) - S2(y, x-hv-1) once per candidate, and read the
+    two row offsets of the box difference
+    box = U(y+hv-1, x) - U(y-hv-1, x)
+    as dynamic-offset sublane slices of a U scratch slab — ~2 slab rolls +
+    1 slab subtract + 2 block reads per candidate vs 8 slab rolls, cutting
+    the marching loop's element traffic ~1.7x. Numerics are identical (same
+    integer SAT, same corner samples, same select/count/divide epilogue).
+
+    STATUS: interpret-mode exact, but Mosaic (v5e, 2026-08) rejects the
+    dynamic SUBLANE-offset vector loads the row reads need ("vector.load"
+    at a traced index), so this variant does not compile on hardware; kept
+    as the measured-structural-optimum design should Mosaic grow unaligned
+    dynamic sublane slices. Not selectable from DiffusionConfig."""
+    oy, ox, h, w = geom_ref[0], geom_ref[1], geom_ref[2], geom_ref[3]
+    c = pl.program_id(0)
+    s = pl.program_id(1)
+    row0 = s * block_h
+    slab_h = block_h + 2 * hr
+    wp = x_s.shape[1]
+
+    cp_x = pltpu.make_async_copy(
+        rgb_hbm.at[c, pl.ds(row0, slab_h), :], x_s, sems.at[0]
+    )
+    cp_h = pltpu.make_async_copy(
+        half_hbm.at[pl.ds(row0, block_h), :], half_s, sems.at[1]
+    )
+    cp_x.start()
+    cp_h.start()
+    cp_x.wait()
+    cp_h.wait()
+
+    sat = _scan_axis(x_s[:].astype(jnp.int32), slab_h, 0)
+    s2 = _scan_axis(sat, wp, 1)
+
+    # Running column-rolled SAT slabs: right-corner columns x+hv-1 and
+    # left-corner columns x-hv-1 (hv = 1 start: offsets 0 and -2). Wraparound
+    # garbage creeps one column per candidate from the lane edges and never
+    # reaches the interior (hc >= max_half + 1).
+    ar_s[:] = s2
+    al_s[:] = pltpu.roll(s2, 2, 1)
+
+    half = half_s[:].astype(jnp.int32)
+    out_s[:] = x_s[pl.ds(hr, block_h), :].astype(jnp.int32).astype(jnp.float32)
+
+    hv_hi = jnp.max(half)
+
+    def body(hv, _):
+        u_s[:] = ar_s[:] - al_s[:]
+        top = u_s[pl.ds(hr + hv - 1, block_h), :]
+        bot = u_s[pl.ds(hr - hv - 1, block_h), :]
+        out_s[:] = jnp.where(half == hv, (top - bot).astype(jnp.float32), out_s[:])
+        ar_s[:] = pltpu.roll(ar_s[:], wp - 1, 1)  # right corner marches +1 col
+        al_s[:] = pltpu.roll(al_s[:], 1, 1)       # left corner marches -1 col
+        return 0
+
+    lax.fori_loop(1, hv_hi + 1, body, 0, unroll=False)
+
+    gy = lax.broadcasted_iota(jnp.int32, (block_h, wp), 0) + row0 + oy
+    gx = lax.broadcasted_iota(jnp.int32, (block_h, wp), 1) - hc + ox
+    ch = jnp.minimum(gy + (half - 1), h - 1) - jnp.maximum(gy - half, 0) + 1
+    cw = jnp.minimum(gx + (half - 1), w - 1) - jnp.maximum(gx - half, 0) + 1
+    cnt = (jnp.maximum(ch, 1) * jnp.maximum(cw, 1)).astype(jnp.float32)
+    out_s[:] = jnp.where(half > 0, out_s[:] / cnt, out_s[:])
+
+    cp_o = pltpu.make_async_copy(
+        out_s, out_hbm.at[c, pl.ds(row0, block_h), :], sems.at[2]
+    )
+    cp_o.start()
+    cp_o.wait()
+
+
+def _defocus_kernel_stacked(block_h, hr, hc,
+                            geom_ref, rgb_hbm, half_hbm, out_hbm,
+                            x_s, half_s, ar_s, al_s, br_s, bl_s, out_s, sems):
+    """Channel-stacked variant: one grid step per ROW STRIP carries all 3
+    channels as vertically stacked slab sections (section c at rows
+    [c*slab_h, (c+1)*slab_h)). The marching rolls advance all three
+    channels' corners in one pass, and the per-strip half/count/hv_hi math
+    is computed once instead of per channel — 3x fewer grid steps than the
+    per-channel kernel.
+
+    Exactness: each section's 2-D prefix sum is built independently (the
+    row scan runs per section, so no cross-section carry exists at all);
+    marching rolls leak at most hv+1 <= hr rows across section boundaries,
+    landing only in the never-read halo rows — the same creep bound as the
+    slab edges."""
+    oy, ox, h, w = geom_ref[0], geom_ref[1], geom_ref[2], geom_ref[3]
+    s = pl.program_id(0)
+    row0 = s * block_h
+    slab_h = block_h + 2 * hr
+    wp = x_s.shape[1]
+
+    cps = [
+        pltpu.make_async_copy(
+            rgb_hbm.at[c, pl.ds(row0, slab_h), :],
+            x_s.at[pl.ds(c * slab_h, slab_h), :], sems.at[c],
+        )
+        for c in range(3)
+    ]
+    cp_h = pltpu.make_async_copy(
+        half_hbm.at[pl.ds(row0, block_h), :], half_s, sems.at[3]
+    )
+    for cp in cps:
+        cp.start()
+    cp_h.start()
+    for cp in cps:
+        cp.wait()
+    cp_h.wait()
+
+    # Per-section row prefix (no cross-section carry), then one lane scan
+    # over the whole stack (rows are independent in the lane scan). Built
+    # directly into the AR corner slab.
+    xi = x_s[:].astype(jnp.int32)
+    sat = jnp.concatenate(
+        [
+            _scan_axis(xi[c * slab_h : (c + 1) * slab_h], slab_h, 0)
+            for c in range(3)
+        ],
+        axis=0,
+    )
+    s2 = _scan_axis(sat, wp, 1)
+
+    ar_s[:] = s2
+    al_s[:] = pltpu.roll(s2, 2, 1)
+    br_s[:] = pltpu.roll(s2, 2, 0)
+    bl_s[:] = pltpu.roll(br_s[:], 2, 1)
+
+    half = half_s[:].astype(jnp.int32)
+    for c in range(3):
+        out_s[pl.ds(c * block_h, block_h), :] = (
+            x_s[pl.ds(c * slab_h + hr, block_h), :]
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+        )
+
+    hv_hi = jnp.max(half)
+    stack_h = 3 * slab_h
+
+    def body(hv, _):
+        for c in range(3):
+            o = c * slab_h + hr
+            box = (
+                ar_s[pl.ds(o, block_h), :] - al_s[pl.ds(o, block_h), :]
+                - br_s[pl.ds(o, block_h), :] + bl_s[pl.ds(o, block_h), :]
+            ).astype(jnp.float32)
+            ob = pl.ds(c * block_h, block_h)
+            out_s[ob, :] = jnp.where(half == hv, box, out_s[ob, :])
+        up, dn = stack_h - 1, 1
+        lt, rt = wp - 1, 1
+        ar_s[:] = pltpu.roll(pltpu.roll(ar_s[:], up, 0), lt, 1)
+        al_s[:] = pltpu.roll(pltpu.roll(al_s[:], up, 0), rt, 1)
+        br_s[:] = pltpu.roll(pltpu.roll(br_s[:], dn, 0), lt, 1)
+        bl_s[:] = pltpu.roll(pltpu.roll(bl_s[:], dn, 0), rt, 1)
+        return 0
+
+    lax.fori_loop(1, hv_hi + 1, body, 0, unroll=False)
+
+    gy = lax.broadcasted_iota(jnp.int32, (block_h, wp), 0) + row0 + oy
+    gx = lax.broadcasted_iota(jnp.int32, (block_h, wp), 1) - hc + ox
+    ch = jnp.minimum(gy + (half - 1), h - 1) - jnp.maximum(gy - half, 0) + 1
+    cw = jnp.minimum(gx + (half - 1), w - 1) - jnp.maximum(gx - half, 0) + 1
+    cnt = (jnp.maximum(ch, 1) * jnp.maximum(cw, 1)).astype(jnp.float32)
+    for c in range(3):
+        ob = pl.ds(c * block_h, block_h)
+        out_s[ob, :] = jnp.where(half > 0, out_s[ob, :] / cnt, out_s[ob, :])
+
+    ops = [
+        pltpu.make_async_copy(
+            out_s.at[pl.ds(c * block_h, block_h), :],
+            out_hbm.at[c, pl.ds(row0, block_h), :], sems.at[c],
+        )
+        for c in range(3)
+    ]
+    for cp in ops:
+        cp.start()
+    for cp in ops:
+        cp.wait()
+
+
 def _defocus_kernel(block_h, hr, hc,
                     geom_ref, rgb_hbm, half_hbm, out_hbm,
                     x_s, half_s, ar_s, al_s, br_s, bl_s, out_s, sems):
@@ -165,16 +350,59 @@ def defocus_pallas(
     half_p = jnp.pad(half, ((0, hs - h), (hc, wp - hc - w)))
 
     geom = jnp.array([0, 0, h, w], jnp.int32)
-    out = _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret)
+    out = _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips,
+                        interpret, variant=cfg.pallas_defocus_variant)
     return jnp.moveaxis(out[:, :h, hc : hc + w].astype(jnp.uint8), 0, -1)
 
 
-def _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret):
+def _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret,
+                  variant="coldiff"):
     hs, wp = half_p.shape
-    kern = functools.partial(_defocus_kernel, block_h, hr, hc)
+    slab_h = block_h + 2 * hr
+    if variant == "stacked":
+        kern = functools.partial(_defocus_kernel_stacked, block_h, hr, hc)
+        grid = (n_strips,)
+        scratch = [
+            pltpu.VMEM((3 * slab_h, wp), jnp.uint8),  # stacked channel slab
+            pltpu.VMEM((block_h, wp), jnp.uint8),  # half block (shared)
+            pltpu.VMEM((3 * slab_h, wp), jnp.int32),  # corner AR
+            pltpu.VMEM((3 * slab_h, wp), jnp.int32),  # corner AL
+            pltpu.VMEM((3 * slab_h, wp), jnp.int32),  # corner BR
+            pltpu.VMEM((3 * slab_h, wp), jnp.int32),  # corner BL
+            pltpu.VMEM((3 * block_h, wp), jnp.float32),  # stacked out
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
+        vmem = (3 * 10 * slab_h + 3 * 4 * block_h) * wp * 4
+    elif variant == "coldiff":
+        kern = functools.partial(_defocus_kernel_coldiff, block_h, hr, hc)
+        grid = (3, n_strips)
+        scratch = [
+            pltpu.VMEM((slab_h, wp), jnp.uint8),  # channel slab
+            pltpu.VMEM((block_h, wp), jnp.uint8),  # half block
+            pltpu.VMEM((slab_h, wp), jnp.int32),  # col-rolled SAT (right)
+            pltpu.VMEM((slab_h, wp), jnp.int32),  # col-rolled SAT (left)
+            pltpu.VMEM((slab_h, wp), jnp.int32),  # U = right - left
+            pltpu.VMEM((block_h, wp), jnp.float32),  # out block
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+        vmem = (10 * slab_h + 4 * block_h) * wp * 4
+    else:
+        kern = functools.partial(_defocus_kernel, block_h, hr, hc)
+        grid = (3, n_strips)
+        scratch = [
+            pltpu.VMEM((slab_h, wp), jnp.uint8),  # channel slab
+            pltpu.VMEM((block_h, wp), jnp.uint8),  # half block
+            pltpu.VMEM((slab_h, wp), jnp.int32),  # corner AR
+            pltpu.VMEM((slab_h, wp), jnp.int32),  # corner AL
+            pltpu.VMEM((slab_h, wp), jnp.int32),  # corner BR
+            pltpu.VMEM((slab_h, wp), jnp.int32),  # corner BL
+            pltpu.VMEM((block_h, wp), jnp.float32),  # out block
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+        vmem = (10 * slab_h + 4 * block_h) * wp * 4
     return pl.pallas_call(
         kern,
-        grid=(3, n_strips),
+        grid=grid,
         out_shape=jax.ShapeDtypeStruct((3, hs, wp), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # geom (4,) i32
@@ -182,27 +410,15 @@ def _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret):
             pl.BlockSpec(memory_space=pl.ANY),  # half (hs, wp) u8
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((block_h + 2 * hr, wp), jnp.uint8),  # channel slab
-            pltpu.VMEM((block_h, wp), jnp.uint8),  # half block
-            pltpu.VMEM((block_h + 2 * hr, wp), jnp.int32),  # corner AR
-            pltpu.VMEM((block_h + 2 * hr, wp), jnp.int32),  # corner AL
-            pltpu.VMEM((block_h + 2 * hr, wp), jnp.int32),  # corner BR
-            pltpu.VMEM((block_h + 2 * hr, wp), jnp.int32),  # corner BL
-            pltpu.VMEM((block_h, wp), jnp.float32),  # out block
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            # 4 corner slabs + scan/loop temporaries exceed the default
+            # Corner slabs + scan/loop temporaries exceed the default
             # 16 MiB scoped-VMEM budget; v5e has 128 MiB of physical VMEM, so
             # ask for what the kernel actually needs at this block height
             # (~6 i32 slab-sized live values beyond the declared scratch).
-            vmem_limit_bytes=min(
-                (10 * (block_h + 2 * hr) + 4 * block_h) * wp * 4,
-                112 * 1024 * 1024,
-            ),
+            vmem_limit_bytes=min(vmem, 112 * 1024 * 1024),
         ),
     )(geom, rgb_p, half_p)
 
@@ -273,5 +489,6 @@ def defocus_block_pallas(
         jnp.asarray(oy, jnp.int32), jnp.asarray(ox, jnp.int32),
         jnp.int32(full_h), jnp.int32(full_w),
     ])
-    out = _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret)
+    out = _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips,
+                        interpret, variant=cfg.pallas_defocus_variant)
     return jnp.moveaxis(out[:, :hb, hc : hc + wb].astype(jnp.uint8), 0, -1)

@@ -354,6 +354,138 @@ def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips, static_copy,
     po.wait()
 
 
+def _strip_mega_kernel_uarena(k, iters, pad_rows, block_h, n_strips,
+                              h_img, w_img, beta, thr, use_depth_rule,
+                              om_ref, u_in, p_in, m_hbm, g_hbm, d8_hbm,
+                              u_pp, p_pp, u_s, p_s, bh_s, bv_s, inv_s,
+                              wl_s, wu_s, m_a, g_a, d8_a, sems):
+    """Derived-weights arena megakernel: the persistent VMEM arena holds the
+    u8 SOURCE slabs (mask, gray, incoming-depth-u8 — 3 bytes/px of level)
+    instead of the f32 weight planes (13 bytes/px), and the five weight
+    planes are materialized into statically-addressed f32 scratch once per
+    grid step — pure VPU exp/compares amortized over the block's k sweeps.
+    This keeps 4K+ levels on the megakernel fast path (the f32 arena
+    overflows VMEM there and round 2 fell back to per-step DMA: 26-46 ms for
+    the 4K L0 alone, PERF.md).
+
+    Weight rule == core/weights.edge_weights (src/GPUSolver.cu:136-224):
+    base = exp(-beta*|gray SAD|) pinned to 0 below the f32 normal boundary;
+    where the (u8-truncated) incoming depth differs by <= thr the pair
+    weight is 1.0 (free diffusion); border/padding pairs are 0 via the
+    static validity masks (the index-256 sentinel). Boundary-strip roll
+    wraparound only corrupts the outermost slab rows' planes, absorbed by
+    pad_rows >= k+1 exactly like the state halo.
+    """
+    del u_in, p_in  # aliased: u_pp/p_pp ARE the state buffers
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    src = b % 2
+    dst = 1 - src
+    row0 = s * block_h
+    slab_h = block_h + 2 * pad_rows
+    wp2 = u_s.shape[1]
+
+    def dma(dstref, srcslice, slot):
+        cp = pltpu.make_async_copy(srcslice, dstref, sems.at[slot])
+        cp.start()
+        return cp
+
+    cps = [
+        dma(u_s, u_pp.at[src, pl.ds(row0, slab_h), :], 0),
+        dma(p_s, p_pp.at[src, pl.ds(row0, slab_h), :], 1),
+    ]
+
+    @pl.when(b == 0)
+    def _fill_arena():
+        wps = [
+            dma(m_a.at[s], m_hbm.at[pl.ds(row0, slab_h), :], 2),
+            dma(g_a.at[s], g_hbm.at[pl.ds(row0, slab_h), :], 3),
+        ] + ([dma(d8_a.at[s], d8_hbm.at[pl.ds(row0, slab_h), :], 4)]
+             if use_depth_rule else [])
+        for cp in wps:
+            cp.wait()
+
+    # Materialize the weight planes for this strip (every grid step: scratch
+    # is not strip-indexed; ~40 VPU ops/px amortized over k sweeps).
+    g = g_a[s].astype(jnp.int32)
+    gr = pltpu.roll(g, wp2 - 1, 1)   # gray at (r, c+1)
+    gd = pltpu.roll(g, slab_h - 1, 0)  # gray at (r+1, c)
+    tiny = jnp.float32(np.finfo(np.float32).tiny)
+    nbeta = jnp.float32(-beta)
+    base_h = jnp.exp(nbeta * jnp.abs(gr - g).astype(jnp.float32))
+    base_v = jnp.exp(nbeta * jnp.abs(gd - g).astype(jnp.float32))
+    base_h = jnp.where(base_h >= tiny, base_h, jnp.float32(0.0))
+    base_v = jnp.where(base_v >= tiny, base_v, jnp.float32(0.0))
+    if use_depth_rule:
+        d = d8_a[s].astype(jnp.int32)
+        dr = pltpu.roll(d, wp2 - 1, 1)
+        dd = pltpu.roll(d, slab_h - 1, 0)
+        one = jnp.float32(1.0)
+        base_h = jnp.where(jnp.abs(dr - d) > thr, base_h, one)
+        base_v = jnp.where(jnp.abs(dd - d) > thr, base_v, one)
+    # Validity masks: image cols are padded cols [1, w_img]; image rows are
+    # padded rows [pad_rows, pad_rows + h_img). A pair weight exists only
+    # between two real pixels; everything else is the zero sentinel.
+    col = lax.broadcasted_iota(jnp.int32, (slab_h, wp2), 1)
+    row = lax.broadcasted_iota(jnp.int32, (slab_h, wp2), 0) + row0
+    in_rows = (row >= pad_rows) & (row < pad_rows + h_img)
+    zero = jnp.float32(0.0)
+    bh_s[:] = jnp.where(
+        in_rows & (col >= 1) & (col <= w_img - 1), base_h, zero
+    )
+    bv_s[:] = jnp.where(
+        (row >= pad_rows) & (row < pad_rows + h_img - 1)
+        & (col >= 1) & (col <= w_img),
+        base_v, zero,
+    )
+    wl_s[:] = pltpu.roll(bh_s[:], 1, 1)
+    wu_s[:] = pltpu.roll(bv_s[:], 1, 0)
+    count = wl_s[:] + bh_s[:] + wu_s[:] + bv_s[:]
+    inv_s[:] = jnp.where(count >= tiny, jnp.float32(1.0) / count, zero)
+
+    for cp in cps:
+        cp.wait()
+    base = b * k
+
+    def body(i, _):
+        @pl.when(base + i < iters)
+        def _active():
+            new_u, new_prev = _sweep_full(
+                u_s[:], p_s[:], wl_s[:], bh_s[:], wu_s[:], bv_s[:],
+                inv_s[:], m_a[s],
+                om_ref[base + i, 0], om_ref[base + i, 1], om_ref[base + i, 2],
+            )
+            p_s[:] = new_prev
+            u_s[:] = new_u
+
+        return 0
+
+    lax.fori_loop(0, k, body, 0, unroll=False)
+
+    out_row = row0 + pad_rows
+    uo = pltpu.make_async_copy(
+        u_s.at[pl.ds(pad_rows, block_h), :],
+        u_pp.at[dst, pl.ds(out_row, block_h), :], sems.at[5],
+    )
+    po = pltpu.make_async_copy(
+        p_s.at[pl.ds(pad_rows, block_h), :],
+        p_pp.at[dst, pl.ds(out_row, block_h), :], sems.at[6],
+    )
+    uo.start()
+    po.start()
+    uo.wait()
+    po.wait()
+
+
+def _uarena_bytes(wp2, slab_h, n_strips):
+    """VMEM bytes for the derived-weights (u8) arena variant: 3 u8 source
+    slabs per strip + a working set of 2 state + 5 weight scratch slabs and
+    ~10 slab-sized Mosaic temporaries for the derivation and sweeps."""
+    arena = n_strips * slab_h * wp2 * 3
+    working = 17 * slab_h * wp2 * 4
+    return arena + working
+
+
 def _arena_bytes(wp2, slab_h, n_strips, static_copy=False):
     """VMEM bytes for the weight arena + the working set of the arena strip
     kernel (3x2 rotation state slabs + ~8 slab-sized Mosaic temporaries for
@@ -497,6 +629,59 @@ def _strip_mega_kernel_prefetch(k, iters, pad_rows, block_h, n_strips, n_blocks,
             out_p(nxt, row0, (t + 2) % 3).wait()
         out_u(cur, row0, cur).wait()  # own
         out_p(cur, row0, cur).wait()
+
+
+def _strips_mega_call_uarena(hp, wp2, k, iters, pad_rows, n_strips, block_h,
+                             h_img, w_img, beta, thr, use_depth_rule,
+                             interpret, vmem_cap):
+    slab_h = block_h + 2 * pad_rows
+    n_blocks = -(-iters // k)
+    kern = functools.partial(
+        _strip_mega_kernel_uarena, k, iters, pad_rows, block_h, n_strips,
+        h_img, w_img, beta, thr, use_depth_rule,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks, n_strips),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, hp, wp2), jnp.float32),
+            jax.ShapeDtypeStruct((2, hp, wp2), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas
+            pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # prev ping-pong (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # mask u8
+            pl.BlockSpec(memory_space=pl.ANY),  # gray u8
+            pl.BlockSpec(memory_space=pl.ANY),  # depth-u8
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # u slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # prev slab
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # bh (derived)
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # bv (derived)
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # inv (derived)
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # wl (rolled bh)
+            pltpu.VMEM((slab_h, wp2), jnp.float32),  # wu (rolled bv)
+            pltpu.VMEM((n_strips, slab_h, wp2), jnp.uint8),  # mask arena
+            pltpu.VMEM((n_strips, slab_h, wp2), jnp.uint8),  # gray arena
+            pltpu.VMEM((n_strips, slab_h, wp2), jnp.uint8),  # d8 arena
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=min(
+                _uarena_bytes(wp2, slab_h, n_strips) + 8 * 1024 * 1024,
+                vmem_cap,
+            ),
+        ),
+    )
 
 
 def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
@@ -652,15 +837,22 @@ def solve_level_strips(
         return bh_rows, n, n * bh_rows + 2 * pad_rows
 
     # Weight-arena variant when the invariant planes fit VMEM (~13 bytes/px
-    # of level; true through 1080p, not at 4K+): mask/bh/bv/inv are DMA'd
-    # once per strip instead of once per grid step.
+    # of level; true through 1080p): mask/bh/bv/inv are DMA'd once per strip
+    # instead of once per grid step. When the f32 arena overflows (4K+), the
+    # derived-weights u8 arena (~3 bytes/px; weights materialized in-kernel)
+    # keeps the level on the megakernel fast path; only if even that
+    # overflows does the per-step-DMA fallback run.
     block_h, n_strips, hp = geometry(block_h)
     static_copy = bool(cfg.pallas_arena_static_copy)
     cap = int(cfg.pallas_arena_vmem_cap)
     arena = (
         _arena_bytes(wp2, block_h + 2 * pad_rows, n_strips, static_copy) <= cap
     )
-    if not arena:
+    uarena = (
+        not arena
+        and _uarena_bytes(wp2, block_h + 2 * pad_rows, n_strips) <= cap
+    )
+    if not (arena or uarena):
         # The per-step-DMA fallback runs under the default 16 MiB scoped-VMEM
         # budget (the arena kernels request their own limit); clamp block_h
         # so its 8 slabs + ~3 slab-sized Mosaic temporaries fit.
@@ -668,8 +860,6 @@ def solve_level_strips(
         block_h, n_strips, hp = geometry(
             max(min(block_h, (max_block // 8) * 8), 8)
         )
-
-    bh, bv, inv = _pack_weights_padded(gray, depth, level, max_level, cfg)
 
     def repad(a, dtype=jnp.float32):
         core = a[1 : h + 1, :]  # (h, w+2) keep the column ring
@@ -680,9 +870,6 @@ def solve_level_strips(
 
     u = repad(jnp.pad(depth.astype(jnp.float32), ((1, 1), (1, 1))))
     m = repad(jnp.pad(mask.astype(jnp.uint8), ((1, 1), (1, 1))), jnp.uint8)
-    bh = repad(bh)
-    bv = repad(bv)
-    inv = repad(inv)
 
     # Ping-pong state: copy 0 = seeded input / zero Chebyshev history; copy 1
     # is fully written by block 0 before any read. Both copies' halo bands
@@ -693,6 +880,28 @@ def solve_level_strips(
     n_blocks = -(-iters // k)
     om = np.zeros((n_blocks * k, 3), np.float32)
     om[:iters] = _abc_schedule(iters, cfg)
+
+    if uarena:
+        g8 = repad(jnp.pad(gray.astype(jnp.uint8), ((1, 1), (1, 1))), jnp.uint8)
+        d8 = repad(
+            jnp.pad(
+                jnp.clip(depth, 0.0, 255.0).astype(jnp.uint8), ((1, 1), (1, 1))
+            ),
+            jnp.uint8,
+        )
+        call = _strips_mega_call_uarena(
+            hp, wp2, k, iters, pad_rows, n_strips, block_h,
+            h, w, float(cfg.beta),
+            0 if level == 0 else int(cfg.depth_edge_threshold),
+            level != max_level, interpret, cap,
+        )
+        u_pp, p_pp = call(jnp.asarray(om), u_pp, p_pp, m, g8, d8)
+        return u_pp[n_blocks % 2, pad_rows : pad_rows + h, 1 : w + 1]
+
+    bh, bv, inv = _pack_weights_padded(gray, depth, level, max_level, cfg)
+    bh = repad(bh)
+    bv = repad(bv)
+    inv = repad(inv)
 
     # State prefetch needs >= 4 strips and block_h >= pad_rows (the in-flight
     # writeback / cross-block overlap analysis in the kernel docstring).
@@ -994,6 +1203,260 @@ def _rb_strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h,
     )
 
 
+def _rb_compact_quadrant_weights(bh_q, bv_q):
+    """Left/up pair weights per quadrant, derived from the right/down
+    quadrant planes by static cross-quadrant rolls.
+
+    With quadrants q00=a[0::2,0::2], q01=a[0::2,1::2], q10=a[1::2,0::2],
+    q11=a[1::2,1::2] and bh[y,x] = weight of pair ((y,x),(y,x+1)):
+    wl at (2i,2j) is bh[2i,2j-1] = bh01[i,j-1], etc. Wraparound lands on
+    zero-padded lanes/halo rows (the callers' zero-weight guard ring)."""
+    bh00, bh01, bh10, bh11 = bh_q
+    bv00, bv01, bv10, bv11 = bv_q
+    wl = (pltpu.roll(bh01, 1, 1), bh00, pltpu.roll(bh11, 1, 1), bh10)
+    wu = (pltpu.roll(bv10, 1, 0), pltpu.roll(bv11, 1, 0), bv00, bv01)
+    return wl, wu
+
+
+def _rb_compact_iter(u_q, wl_q, bh_q, wu_q, bv_q, inv_q, free_q):
+    """One red-black Gauss-Seidel iteration on quadrant-COMPACTED planes:
+    red cells are quadrants (0,0) and (1,1) of the checkerboard, black are
+    (0,1) and (1,0); each color's update computes ONLY its own quarter
+    planes (reading the other color's), so a full iteration costs one
+    full-plane relaxation instead of the masked formulation's two
+    (VERDICT round-2 weak #1: _rb_iter_full evaluates the full weighted
+    average twice and discards half each time).
+
+    Same op order and clamp points as core.solver.red_black_iter /
+    jacobi_sweep, so the iterate agrees to float-associativity noise
+    (the suite's 5e-3 red-black parity band); not bit-identical because
+    XLA fuses the 4-term dot differently across the two program shapes."""
+    u00, u01, u10, u11 = u_q
+
+    def upd(q, uc, ul, ur, uu, ud):
+        s = wl_q[q] * ul + bh_q[q] * ur + wu_q[q] * uu + bv_q[q] * ud
+        r = jnp.clip(s * inv_q[q], 0.0, 255.0)
+        return jnp.where(free_q[q], r, uc)
+
+    def rol(a, ax):  # value at index-1 (left/up neighbor)
+        return pltpu.roll(a, 1, ax)
+
+    def ror(a, ax):  # value at index+1 (right/down neighbor)
+        return pltpu.roll(a, a.shape[ax] - 1, ax)
+
+    # red: (0,0) reads black (0,1)/(1,0); (1,1) reads (1,0)/(0,1)
+    n00 = upd(0, u00, rol(u01, 1), u01, rol(u10, 0), u10)
+    n11 = upd(3, u11, u10, ror(u10, 1), u01, ror(u01, 0))
+    # black: reads the UPDATED red quadrants (Gauss-Seidel half-step)
+    n01 = upd(1, u01, n00, ror(n00, 1), rol(n11, 0), n11)
+    n10 = upd(2, u10, rol(n11, 1), n11, n00, ror(n00, 0))
+    return n00, n01, n10, n11
+
+
+def _rb_compact_mega_kernel(k, iters, pad_rows, block_h, n_strips,
+                            u_in, m_hbm, bh_hbm, bv_hbm, inv_hbm,
+                            u_pp, u_s, wl_s, wu_s, m_a, bh_a, bv_a, inv_a,
+                            sems):
+    """Quadrant-compacted red-black megakernel: ALL iterations in one
+    pallas_call over quarter-resolution planes stacked (4, hqp, wq2).
+    Structure mirrors _rb_strip_mega_kernel (block-outer grid, ping-pong
+    state halves, persistent weight arena filled at block 0) but each
+    iteration does HALF the arithmetic: one quarter-plane update per
+    quadrant per color instead of two masked full-plane relaxations.
+
+    Halo: one red-black iteration advances the dependency cone ONE quarter
+    ring (red reads black at +/-1, black reads updated red at +/-1 — two
+    full-resolution rings = one compact ring), so pad_rows >= k+1 in
+    quarter rows, half the masked megakernel's 2k+1 full-row halo.
+    Roll wraparound only corrupts the outermost slab rows/lanes, absorbed
+    by the halo exactly like _strip_mega_kernel_arena."""
+    del u_in  # aliased: u_pp IS the state buffer
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    src = b % 2
+    dst = 1 - src
+    row0 = s * block_h
+    slab_h = block_h + 2 * pad_rows
+
+    cps = [
+        pltpu.make_async_copy(
+            u_pp.at[src, q, pl.ds(row0, slab_h), :], u_s.at[q], sems.at[0]
+        )
+        for q in range(4)
+    ]
+    for cp in cps:
+        cp.start()
+
+    @pl.when(b == 0)
+    def _fill_arena():
+        wps = []
+        for q in range(4):
+            for hbm, ar, slot in (
+                (m_hbm, m_a, 1), (bh_hbm, bh_a, 2),
+                (bv_hbm, bv_a, 3), (inv_hbm, inv_a, 4),
+            ):
+                wps.append(pltpu.make_async_copy(
+                    hbm.at[q, pl.ds(row0, slab_h), :], ar.at[s, q],
+                    sems.at[slot],
+                ))
+        for cp in wps:
+            cp.start()
+        for cp in wps:
+            cp.wait()
+
+    for cp in cps:
+        cp.wait()
+
+    bh_q = tuple(bh_a[s, q] for q in range(4))
+    bv_q = tuple(bv_a[s, q] for q in range(4))
+    wl_q, wu_q = _rb_compact_quadrant_weights(bh_q, bv_q)
+    for q in range(4):
+        wl_s[q] = wl_q[q]
+        wu_s[q] = wu_q[q]
+    inv_q = tuple(inv_a[s, q] for q in range(4))
+    base = b * k
+
+    def body(i, _):
+        @pl.when(base + i < iters)
+        def _active():
+            free_q = tuple(
+                m_a[s, q].astype(jnp.int32) == 0 for q in range(4)
+            )
+            n = _rb_compact_iter(
+                tuple(u_s[q] for q in range(4)),
+                tuple(wl_s[q] for q in range(4)), bh_q,
+                tuple(wu_s[q] for q in range(4)), bv_q, inv_q, free_q,
+            )
+            for q in range(4):
+                u_s[q] = n[q]
+
+        return 0
+
+    lax.fori_loop(0, k, body, 0, unroll=False)
+
+    ops = [
+        pltpu.make_async_copy(
+            u_s.at[q, pl.ds(pad_rows, block_h), :],
+            u_pp.at[dst, q, pl.ds(row0 + pad_rows, block_h), :],
+            sems.at[5],
+        )
+        for q in range(4)
+    ]
+    for cp in ops:
+        cp.start()
+    for cp in ops:
+        cp.wait()
+
+
+def _rb_compact_bytes(wq2, slab_h, n_strips):
+    """VMEM bytes for the compact megakernel: per-strip arena of 4 quadrant
+    planes x (mask u8 + bh/bv/inv f32) = 13 bytes per quarter px, plus a
+    working set of 4 state + 8 derived-weight scratch slabs and ~14
+    slab-sized Mosaic temporaries for the quadrant updates."""
+    arena = n_strips * 4 * slab_h * wq2 * 13
+    working = 26 * 4 * slab_h * wq2  # (4 + 8 + 14) f32 quadrant slabs
+    return arena + working
+
+
+def _rb_compact_mega_call(hqp, wq2, k, iters, pad_rows, n_strips, block_h,
+                          interpret, vmem_cap=112 * 1024 * 1024):
+    slab_h = block_h + 2 * pad_rows
+    n_blocks = -(-iters // k)
+    kern = functools.partial(
+        _rb_compact_mega_kernel, k, iters, pad_rows, block_h, n_strips
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks, n_strips),
+        out_shape=jax.ShapeDtypeStruct((2, 4, hqp, wq2), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # mask quadrants u8
+            pl.BlockSpec(memory_space=pl.ANY),  # bh quadrants
+            pl.BlockSpec(memory_space=pl.ANY),  # bv quadrants
+            pl.BlockSpec(memory_space=pl.ANY),  # inv quadrants
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((4, slab_h, wq2), jnp.float32),  # u quadrants
+            pltpu.VMEM((4, slab_h, wq2), jnp.float32),  # wl quadrants
+            pltpu.VMEM((4, slab_h, wq2), jnp.float32),  # wu quadrants
+            pltpu.VMEM((n_strips, 4, slab_h, wq2), jnp.uint8),  # mask arena
+            pltpu.VMEM((n_strips, 4, slab_h, wq2), jnp.float32),  # bh arena
+            pltpu.VMEM((n_strips, 4, slab_h, wq2), jnp.float32),  # bv arena
+            pltpu.VMEM((n_strips, 4, slab_h, wq2), jnp.float32),  # inv arena
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=min(
+                _rb_compact_bytes(wq2, slab_h, n_strips) + 8 * 1024 * 1024,
+                vmem_cap,
+            ),
+        ),
+    )
+
+
+def _quad_split(a):
+    """(H, W) even-dimensioned plane -> (4, H/2, W/2) checkerboard
+    quadrants [a[0::2,0::2], a[0::2,1::2], a[1::2,0::2], a[1::2,1::2]]."""
+    return jnp.stack([a[0::2, 0::2], a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2]])
+
+
+def _quad_merge(q, h, w):
+    """Inverse of _quad_split, cropped to (h, w)."""
+    hq, wq = q.shape[1:]
+    out = jnp.zeros((2 * hq, 2 * wq), q.dtype)
+    out = (
+        out.at[0::2, 0::2].set(q[0]).at[0::2, 1::2].set(q[1])
+        .at[1::2, 0::2].set(q[2]).at[1::2, 1::2].set(q[3])
+    )
+    return out[:h, :w]
+
+
+def _rb_compact_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg,
+                                  interpret):
+    """`iters` red-black iterations via the quadrant-compacted megakernel:
+    split the ring-padded planes into checkerboard quadrants (XLA strided
+    slices), run every iteration in one pallas_call, merge back."""
+    h, w = depth.shape
+    k = max(int(cfg.pallas_iter_block), 1)
+    H2, W2 = h + 2, w + 2
+    He, We = H2 + (H2 % 2), W2 + (W2 % 2)
+    hq, wq = He // 2, We // 2
+    pad_rows = -(-(k + 1) // 8) * 8
+    wq2 = -(-wq // 128) * 128
+    block_h = _auto_block_h(hq)
+    n_strips = -(-hq // block_h)
+    hqp = n_strips * block_h + 2 * pad_rows
+
+    def prep(a, dtype=jnp.float32):
+        # ring-padded (H2, W2) -> even-dim -> quadrants -> (4, hqp, wq2)
+        p = jnp.pad(a.astype(dtype), ((0, He - H2), (0, We - W2)))
+        q = _quad_split(p)
+        return jnp.pad(
+            q, ((0, 0), (pad_rows, hqp - hq - pad_rows), (0, wq2 - wq))
+        )
+
+    u = prep(jnp.pad(depth.astype(jnp.float32), ((1, 1), (1, 1))))
+    m = prep(jnp.pad(mask.astype(jnp.uint8), ((1, 1), (1, 1))), jnp.uint8)
+    bh = prep(bh1)
+    bv = prep(bv1)
+    inv = prep(inv1)
+
+    n_blocks = -(-iters // k)
+    u_pp = jnp.stack([u, jnp.zeros_like(u)])
+    call = _rb_compact_mega_call(
+        hqp, wq2, k, iters, pad_rows, n_strips, block_h, interpret,
+        int(cfg.pallas_arena_vmem_cap),
+    )
+    u_pp = call(u_pp, m, bh, bv, inv)
+    q = u_pp[n_blocks % 2, :, pad_rows : pad_rows + hq, :wq]
+    return _quad_merge(q, H2, W2)[1 : h + 1, 1 : w + 1]
+
+
 def _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret,
                     in_kernel_halo=False):
     slab_h = block_h + 2 * pad_rows
@@ -1045,6 +1508,22 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
     # 5 f32 planes live in the resident kernel (no Chebyshev history).
     if (h + 2) * (w + 2) * 4 * 5 <= cfg.pallas_resident_vmem_budget:
         return _rb_resident_call(depth, mask, bh1, bv1, inv1, iters, interpret)
+
+    if cfg.pallas_rb_compact:
+        kq = max(int(cfg.pallas_iter_block), 1)
+        hq = (h + 3) // 2  # ceil((h+2)/2)
+        wq = (w + 3) // 2
+        pr_q = -(-(kq + 1) // 8) * 8
+        wq2c = -(-wq // 128) * 128
+        bh_q = _auto_block_h(hq)
+        ns_q = -(-hq // bh_q)
+        if (
+            _rb_compact_bytes(wq2c, bh_q + 2 * pr_q, ns_q)
+            <= int(cfg.pallas_arena_vmem_cap)
+        ):
+            return _rb_compact_pallas_iterations(
+                depth, mask, bh1, bv1, inv1, iters, cfg, interpret
+            )
 
     k = max(int(cfg.pallas_iter_block), 1)
     # Dependencies advance 2 rings per red-black iteration.

@@ -254,3 +254,93 @@ def test_full_cascade_pallas_interpret_backend():
     d_p, _ = multigrid.solve_cascade(gp, jnp.asarray(m0), jnp.asarray(v0), st, cfg_p)
     rmse = float(jnp.sqrt(jnp.mean(((d_p - d_x) / 255.0) ** 2)))
     assert rmse <= 1e-3, rmse
+
+
+@pytest.mark.parametrize("variant", ["stacked", "coldiff"])
+def test_defocus_variant_kernels_bitexact(rng, variant):
+    """The alternative defocus marching schemes — 'stacked' (all 3 channels
+    vertically stacked in one slab, one grid step per strip) and 'coldiff'
+    (column-difference slabs; interpret-only, Mosaic rejects its dynamic
+    sublane loads on hardware) — must equal the XLA formulation exactly."""
+    from realtimedepthdiffusion_tpu.core import effects as fx
+    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
+
+    rgb = rng.integers(0, 256, (97, 203, 3), dtype=np.uint8)
+    depth = (rng.random((97, 203)) * 255).astype(np.float32)
+    want = np.asarray(fx.defocus_xla(jnp.asarray(rgb), jnp.asarray(depth), CFG))
+    cfg = DiffusionConfig(pallas_defocus_variant=variant)
+    got = np.asarray(
+        defocus_pallas(jnp.asarray(rgb), jnp.asarray(depth), cfg, interpret=True)
+    )
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("level,max_level", [(1, 3), (0, 3), (3, 3)])
+def test_uarena_matches_arena_bitexact(rng, monkeypatch, level, max_level):
+    """The derived-weights (u8) arena megakernel — weights materialized
+    in-kernel from gray/d8 slabs, the 4K fast path — is BIT-identical to
+    the f32 weight-arena megakernel at every level rule (depth threshold 4,
+    forced 0 at level 0, no rule at the coarsest level). Depth is
+    non-integral to exercise the u8 truncation matching edge_weights."""
+    gray, mask, depth = _case(rng, 49, 67)
+    depth = depth + rng.random(depth.shape).astype(np.float32) * 0.9
+    args = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray),
+            level, max_level, 17, CFG)
+    want = np.asarray(ps.solve_level_strips(*args, block_h=16, interpret=True))
+
+    calls = []
+    real = ps._strips_mega_call_uarena
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ps, "_strips_mega_call_uarena", spy)
+    monkeypatch.setattr(ps, "_arena_bytes", lambda *a, **kw: 1 << 60)
+    got = np.asarray(ps.solve_level_strips(*args, block_h=16, interpret=True))
+    assert calls, "u8 derived-weights arena kernel was not taken"
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("iters", [1, 9])
+def test_rb_compact_matches_masked_and_xla(rng, monkeypatch, iters):
+    """The quadrant-compacted red-black megakernel (each color computes only
+    its own quarter planes — half the arithmetic and halo of the masked
+    formulation) produces the same iterate as the masked megakernel and the
+    XLA red-black within the established parity band."""
+    gray, mask, depth = _case(rng, 49, 67)
+    want = np.asarray(
+        solver.solve_level(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1,
+            iters, DiffusionConfig(solver="red_black"),
+        )
+    )
+    calls = []
+    real = ps._rb_compact_pallas_iterations
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ps, "_rb_compact_pallas_iterations", spy)
+    cfg_c = DiffusionConfig(solver="red_black", pallas_iter_block=4,
+                            pallas_resident_vmem_budget=0)
+    got = np.asarray(
+        ps.solve_level_red_black_pallas(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1,
+            iters, cfg_c, interpret=True,
+        )
+    )
+    assert calls, "compact red-black kernel was not taken"
+    cfg_m = DiffusionConfig(solver="red_black", pallas_iter_block=4,
+                            pallas_resident_vmem_budget=0,
+                            pallas_rb_compact=False)
+    got_m = np.asarray(
+        ps.solve_level_red_black_pallas(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1,
+            iters, cfg_m, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    np.testing.assert_allclose(got, got_m, atol=5e-3)
+    assert np.array_equal(got[mask], depth[mask])
