@@ -375,6 +375,13 @@ def _strip_mega_kernel_uarena(k, iters, pad_rows, block_h, n_strips,
     static validity masks (the index-256 sentinel). Boundary-strip roll
     wraparound only corrupts the outermost slab rows' planes, absorbed by
     pad_rows >= k+1 exactly like the state halo.
+
+    Parity standard (tests_tpu): the derivation block below is BIT-exact
+    against the XLA-compiled edge_weights planes on hardware; the full
+    solve matches the f32-arena kernel to ~1e-2 RMSE (0-255 scale), not
+    bitwise — different Mosaic programs contract the sweep's FMAs
+    differently (the knife-edge rule: bit-exactness only holds within one
+    compilation context).
     """
     del u_in, p_in  # aliased: u_pp/p_pp ARE the state buffers
     b = pl.program_id(0)
@@ -1401,19 +1408,22 @@ def _rb_compact_mega_call(hqp, wq2, k, iters, pad_rows, n_strips, block_h,
 
 def _quad_split(a):
     """(H, W) even-dimensioned plane -> (4, H/2, W/2) checkerboard
-    quadrants [a[0::2,0::2], a[0::2,1::2], a[1::2,0::2], a[1::2,1::2]]."""
-    return jnp.stack([a[0::2, 0::2], a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2]])
+    quadrants [a[0::2,0::2], a[0::2,1::2], a[1::2,0::2], a[1::2,1::2]].
+    Pure reshape/slice/stack — NO strided scatter/gather (a strided
+    ``.at[::2].set`` lowers to lax.scatter when it cannot fuse, which is
+    catastrophically slow on TPU: the first merge implementation cost
+    ~113 ms/frame at 1080p against the kernel's ~1 ms)."""
+    he, we = a.shape
+    r = a.reshape(he // 2, 2, we // 2, 2)
+    return jnp.stack([r[:, 0, :, 0], r[:, 0, :, 1], r[:, 1, :, 0], r[:, 1, :, 1]])
 
 
 def _quad_merge(q, h, w):
-    """Inverse of _quad_split, cropped to (h, w)."""
+    """Inverse of _quad_split, cropped to (h, w): reshape/transpose only
+    (layout copies, not scatter — see _quad_split)."""
     hq, wq = q.shape[1:]
-    out = jnp.zeros((2 * hq, 2 * wq), q.dtype)
-    out = (
-        out.at[0::2, 0::2].set(q[0]).at[0::2, 1::2].set(q[1])
-        .at[1::2, 0::2].set(q[2]).at[1::2, 1::2].set(q[3])
-    )
-    return out[:h, :w]
+    m = q.reshape(2, 2, hq, wq).transpose(2, 0, 3, 1).reshape(2 * hq, 2 * wq)
+    return m[:h, :w]
 
 
 def _rb_compact_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg,

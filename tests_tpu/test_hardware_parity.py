@@ -102,6 +102,161 @@ def test_rb_matches_xla(case_512):
     np.testing.assert_allclose(got, want, atol=5e-3)
 
 
+def test_uarena_weight_derivation_bitexact_on_hardware(case_512):
+    """The uarena's in-kernel weight materialization (Mosaic VPU
+    exp/compares on u8 slabs) is BIT-identical to the XLA-compiled
+    core.weights.edge_weights planes the f32 arena consumes. This pins the
+    weight RULE; the end-to-end solve comparison below is allclose because
+    the two megakernels are different Mosaic programs and FMA contraction
+    of the sweep's 4-term dot differs by compilation context (the
+    knife-edge note in this module's docstring / PERF.md)."""
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from realtimedepthdiffusion_tpu.core.weights import edge_weights
+
+    gray, _, depth = case_512
+    h, w = depth.shape
+    wts = jax.jit(lambda g, d: edge_weights(g, d, 0, 4, CFG))(
+        jnp.asarray(gray), jnp.asarray(depth)
+    )
+
+    slab_h, wp2 = h + 16, -(-(w + 2) // 128) * 128
+    g8 = np.zeros((slab_h, wp2), np.uint8)
+    g8[8 : 8 + h, 1 : 1 + w] = gray
+    d8 = np.zeros((slab_h, wp2), np.uint8)
+    d8[8 : 8 + h, 1 : 1 + w] = np.clip(depth, 0, 255).astype(np.uint8)
+    beta, thr = float(CFG.beta), 0  # level 0
+
+    def kern(g_ref, d_ref, bh_o, bv_o, inv_o):
+        # Verbatim the derivation block of _strip_mega_kernel_uarena.
+        g = g_ref[:].astype(jnp.int32)
+        gr = pltpu.roll(g, wp2 - 1, 1)
+        gd = pltpu.roll(g, slab_h - 1, 0)
+        tiny = jnp.float32(np.finfo(np.float32).tiny)
+        nbeta = jnp.float32(-beta)
+        base_h = jnp.exp(nbeta * jnp.abs(gr - g).astype(jnp.float32))
+        base_v = jnp.exp(nbeta * jnp.abs(gd - g).astype(jnp.float32))
+        base_h = jnp.where(base_h >= tiny, base_h, jnp.float32(0.0))
+        base_v = jnp.where(base_v >= tiny, base_v, jnp.float32(0.0))
+        d = d_ref[:].astype(jnp.int32)
+        dr = pltpu.roll(d, wp2 - 1, 1)
+        dd = pltpu.roll(d, slab_h - 1, 0)
+        one = jnp.float32(1.0)
+        base_h = jnp.where(jnp.abs(dr - d) > thr, base_h, one)
+        base_v = jnp.where(jnp.abs(dd - d) > thr, base_v, one)
+        col = lax.broadcasted_iota(jnp.int32, (slab_h, wp2), 1)
+        row = lax.broadcasted_iota(jnp.int32, (slab_h, wp2), 0)
+        in_rows = (row >= 8) & (row < 8 + h)
+        zero = jnp.float32(0.0)
+        bh = jnp.where(in_rows & (col >= 1) & (col <= w - 1), base_h, zero)
+        bv = jnp.where(
+            (row >= 8) & (row < 8 + h - 1) & (col >= 1) & (col <= w),
+            base_v, zero,
+        )
+        bh_o[:] = bh
+        bv_o[:] = bv
+        wl = pltpu.roll(bh, 1, 1)
+        wu = pltpu.roll(bv, 1, 0)
+        count = wl + bh + wu + bv
+        inv_o[:] = jnp.where(count >= tiny, jnp.float32(1.0) / count, zero)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((slab_h, wp2), jnp.float32)] * 3,
+    )(jnp.asarray(g8), jnp.asarray(d8))
+    crop = lambda a: np.asarray(a)[8 : 8 + h, 1 : 1 + w]
+    np.testing.assert_array_equal(crop(out[0]), np.asarray(wts.wr))
+    np.testing.assert_array_equal(crop(out[1]), np.asarray(wts.wd))
+    np.testing.assert_array_equal(crop(out[2]), np.asarray(wts.inv_count))
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def test_uarena_matches_arena_on_hardware(case_512, monkeypatch):
+    """The derived-weights (u8) arena megakernel — the 4K fast path, weights
+    materialized in-kernel — matches the f32 weight-arena megakernel (forced
+    by pretending the f32 arena never fits) within the cross-program FMA
+    band; scribbles pinned exactly. (Bit-exactness between the two is not
+    expected: different Mosaic programs contract the sweep's FMAs
+    differently — the derivation test above pins the weight rule itself.)"""
+    d, m, g = _args(case_512)
+    want = np.asarray(
+        jax.jit(lambda dd: ps.solve_level_strips(dd, m, g, 0, 4, ITERS, CFG))(d)
+    )
+    monkeypatch.setattr(ps, "_arena_bytes", lambda *a, **kw: 1 << 60)
+    got = np.asarray(
+        jax.jit(lambda dd: ps.solve_level_strips(dd, m, g, 0, 4, ITERS, CFG))(d)
+    )
+    np.testing.assert_allclose(got, want, atol=0.1)
+    assert _rmse(got, want) < 1e-2  # 0-255 scale; parity bar is ~0.26
+    mask = np.asarray(m)
+    assert np.array_equal(got[mask], np.asarray(d)[mask])
+
+
+def test_uarena_4k_strip_geometry_on_hardware(monkeypatch):
+    """The u8 arena at 4K ROW geometry (2160 rows -> 17 strips, the exact
+    strip/halo layout of a 3840x2160 L0, narrowed in lanes to keep the test
+    quick) matches the f32 arena — the VERDICT round-2 ask that the 4K fast
+    path be hardware-parity-tested at its real strip geometry."""
+    rng = np.random.default_rng(11)
+    h, w = 2160, 640
+    g = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    m = jnp.asarray(rng.random((h, w)) < 0.01)
+    d = jnp.asarray((rng.random((h, w)) * 255).astype(np.float32))
+    want = np.asarray(
+        jax.jit(lambda dd: ps.solve_level_strips(dd, m, g, 0, 5, ITERS, CFG))(d)
+    )
+    monkeypatch.setattr(ps, "_arena_bytes", lambda *a, **kw: 1 << 60)
+    got = np.asarray(
+        jax.jit(lambda dd: ps.solve_level_strips(dd, m, g, 0, 5, ITERS, CFG))(d)
+    )
+    np.testing.assert_allclose(got, want, atol=0.1)
+    assert _rmse(got, want) < 1e-2
+
+
+def test_rb_compact_matches_masked_on_hardware(case_512):
+    """Quadrant-compacted red-black == masked megakernel on the chip within
+    the red-black parity band (not bitwise: XLA/Mosaic fuse the 4-term dot
+    differently across the two program shapes), scribbles pinned exactly."""
+    d, m, g = _args(case_512)
+
+    def run(cfg):
+        return np.asarray(
+            jax.jit(
+                lambda dd: ps.solve_level_red_black_pallas(dd, m, g, 0, 4, ITERS, cfg)
+            )(d)
+        )
+
+    got = run(DiffusionConfig(solver="red_black"))
+    want = run(DiffusionConfig(solver="red_black", pallas_rb_compact=False))
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    mask = np.asarray(m)
+    assert np.array_equal(got[mask], np.asarray(d)[mask])
+
+
+def test_defocus_stacked_bitexact_on_hardware(case_512):
+    """The channel-stacked defocus kernel (one grid step per strip carrying
+    all 3 channels) is bit-identical to the per-channel marching-corners
+    kernel on the chip."""
+    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
+
+    gray, mask, depth = case_512
+    rng = np.random.default_rng(9)
+    h, w = depth.shape
+    rgb = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    dep = jnp.asarray((rng.random((h, w)) * 255).astype(np.float32))
+    want = np.asarray(jax.jit(lambda r, d: defocus_pallas(r, d, CFG))(rgb, dep))
+    cfg_s = DiffusionConfig(pallas_defocus_variant="stacked")
+    got = np.asarray(
+        jax.jit(lambda r, d: defocus_pallas(r, d, cfg_s, block_h=128))(rgb, dep)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_defocus_pallas_bitexact_on_hardware(case_512):
     from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
 

@@ -44,10 +44,11 @@ def main() -> int:
 
         return step
 
+    # stacked slab VMEM is ~3x per block row: block 256 is near the 112 MiB
+    # cap at 1080p; 360 overflows.
     variants = {
         "corners@360": variant("corners", 360),
-        "corners@544": variant("corners", 544),
-        "stacked@360": variant("stacked", 360),
+        "stacked@128": variant("stacked", 128),
         "stacked@256": variant("stacked", 256),
     }
     ab(variants, d0, K=K, reps=reps)
