@@ -68,6 +68,19 @@ class DiffusionConfig:
     # --- Solver variant: "jacobi_chebyshev" (reference), "jacobi",
     #     "red_black" (red-black Gauss-Seidel, BASELINE.json config #2) ---
     solver: str = "jacobi_chebyshev"
+    # Cyclic-Chebyshev (Golub-Varga) SOR omegas on the red-black half-sweeps
+    # (core.solver.rb_omegas): ~2x the per-iteration convergence of the
+    # reference's Chebyshev-Jacobi, which is what lets config #2's residual
+    # early exit win wall-clock (PERF.md round-3). False = plain Gauss-Seidel
+    # (the round-2 formulation). Reuses chebyshev_s for the warm-up.
+    rb_chebyshev: bool = True
+    # Spectral-radius estimate for the red-black schedule. The reference's
+    # 0.99 (chebyshev_rho) badly UNDERESTIMATES real image grids, which is
+    # fatal for Chebyshev acceleration (the polynomial blows up outside its
+    # design interval); overestimating only costs a mild transient. 0.9999
+    # measured best on the dataset cascade (PERF.md round-3 sweep: beats
+    # both 0.99 and per-level cos(pi/N) on quality AND early-exit cost).
+    rb_rho: float = 0.9999
 
     # --- Multigrid scheme: "cascadic" (reference one-way coarse-to-fine) or
     #     "vcycle" (full V-cycle, BASELINE.json config #4) ---
@@ -153,7 +166,15 @@ class DiffusionConfig:
     # to float-associativity noise (the 5e-3 red-black parity band), not
     # bitwise. Falls back to the masked megakernel when its arena exceeds
     # pallas_arena_vmem_cap.
-    pallas_rb_compact: bool = True
+    #
+    # Default OFF: measured REJECTED on v5e (tools/ab_rb.py, PERF.md). The
+    # in-kernel iterations are the cheapest of any solver form (~11 us/iter
+    # at 1080p vs 21 jacobi / 39 masked-rb), but the checkerboard
+    # deinterleave/reinterleave of the 5 planes is a stride-2 relayout XLA
+    # executes ~60x off the HBM roofline (~8 ms fixed at 1080p) — it can
+    # never amortize over a 62-iteration level. Masked full-width IS the
+    # TPU-optimal red-black formulation.
+    pallas_rb_compact: bool = False
     # VMEM budget for choosing the fully-resident kernel (bytes). v5e
     # measurement: scaling the resident kernel UP loses to the strip
     # megakernel well before physical VMEM runs out (PERF.md lesson #4).

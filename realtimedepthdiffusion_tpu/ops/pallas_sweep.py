@@ -954,26 +954,29 @@ def solve_level_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _rb_iter_full(u, wl, bh, wu, bv, inv, mask_u8, red):
-    """One red-black Gauss-Seidel iteration over a full padded block: red
-    cells take the clipped weighted average of the current state, then black
-    cells of the half-updated state — the Pallas twin of
-    core.solver.red_black_iter (same op order, same clamp points)."""
+def _rb_iter_full(u, wl, bh, wu, bv, inv, mask_u8, red, om_r, om_b):
+    """One red-black iteration over a full padded block: red cells take the
+    clipped weighted average of the current state over-relaxed by ``om_r``
+    (PROJECTED SOR: clip(u + omega*(avg - u), 0, 255); plain Gauss-Seidel
+    at omega == 1), then black cells of the half-updated state with
+    ``om_b`` — the Pallas twin of core.solver.red_black_iter (same op
+    order, same clamp points). The omegas follow core.solver.rb_omegas
+    (cyclic Chebyshev)."""
     # Mosaic rejects vector cmpi on i8 ("target does not support this
     # comparison"); widen the mask before the equality.
     free = mask_u8.astype(jnp.int32) == 0
 
-    def half(u, sel):
+    def half(u, sel, om):
         hh, ww = u.shape
         ul = pltpu.roll(u, 1, 1)
         ur = pltpu.roll(u, ww - 1, 1)
         uu = pltpu.roll(u, 1, 0)
         ud = pltpu.roll(u, hh - 1, 0)
         r = jnp.clip((wl * ul + bh * ur + wu * uu + bv * ud) * inv, 0.0, 255.0)
-        return jnp.where(sel & free, r, u)
+        return jnp.where(sel & free, jnp.clip(u + om * (r - u), 0.0, 255.0), u)
 
-    u = half(u, red)
-    return half(u, jnp.logical_not(red))
+    u = half(u, red, om_r)
+    return half(u, jnp.logical_not(red), om_b)
 
 
 def _red_mask(shape, row0, parity):
@@ -985,10 +988,10 @@ def _red_mask(shape, row0, parity):
     return ((yy + xx + row0 + parity) % 2) == 0
 
 
-def _resident_rb_kernel(iters, parity, m_ref, bh_ref, bv_ref, inv_ref,
+def _resident_rb_kernel(iters, parity, om_ref, m_ref, bh_ref, bv_ref, inv_ref,
                         u_ref, out_ref, wl_scr, wu_scr):
     """All `iters` red-black iterations with every plane VMEM-resident.
-    u_ref is aliased to out_ref; no Chebyshev history (plain GS)."""
+    u_ref is aliased to out_ref; omegas ride in SMEM (rb_omegas table)."""
     del u_ref
     wl_scr[:] = pltpu.roll(bh_ref[:], 1, 1)
     wu_scr[:] = pltpu.roll(bv_ref[:], 1, 0)
@@ -997,14 +1000,14 @@ def _resident_rb_kernel(iters, parity, m_ref, bh_ref, bv_ref, inv_ref,
     def body(i, _):
         out_ref[:] = _rb_iter_full(
             out_ref[:], wl_scr[:], bh_ref[:], wu_scr[:], bv_ref[:],
-            inv_ref[:], m_ref[:], red,
+            inv_ref[:], m_ref[:], red, om_ref[i, 0], om_ref[i, 1],
         )
         return 0
 
     lax.fori_loop(0, iters, body, 0, unroll=False)
 
 
-def _rb_resident_call(depth, mask, bh, bv, inv, iters, interpret):
+def _rb_resident_call(depth, mask, bh, bv, inv, om, iters, interpret):
     h, w = depth.shape
     up = jnp.pad(depth.astype(jnp.float32), ((1, 1), (1, 1)))
     mp = jnp.pad(mask.astype(jnp.uint8), ((1, 1), (1, 1)), constant_values=1)
@@ -1014,6 +1017,7 @@ def _rb_resident_call(depth, mask, bh, bv, inv, iters, interpret):
         kernel,
         out_shape=jax.ShapeDtypeStruct((h + 2, w + 2), jnp.float32),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (iters, 2)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bv
@@ -1025,14 +1029,14 @@ def _rb_resident_call(depth, mask, bh, bv, inv, iters, interpret):
             pltpu.VMEM((h + 2, w + 2), jnp.float32),  # wl
             pltpu.VMEM((h + 2, w + 2), jnp.float32),  # wu
         ],
-        input_output_aliases={4: 0},
+        input_output_aliases={5: 0},
         interpret=interpret,
-    )(mp, bh, bv, inv, up)
+    )(om, mp, bh, bv, inv, up)
     return out[1 : h + 1, 1 : w + 1]
 
 
 def _strip_rb_kernel(k, pad_rows, block_h, n_strips, parity, in_kernel_halo,
-                     u_hbm, m_hbm, bh_hbm, bv_hbm, inv_hbm, uo_hbm,
+                     om_ref, u_hbm, m_hbm, bh_hbm, bv_hbm, inv_hbm, uo_hbm,
                      u_s, m_s, bh_s, bv_s, inv_s, wl_s, wu_s, sems):
     """Strip-blocked red-black: same slab DMA structure as _strip_kernel but
     one red-black iteration advances the dependency cone TWO rings (black
@@ -1063,7 +1067,8 @@ def _strip_rb_kernel(k, pad_rows, block_h, n_strips, parity, in_kernel_halo,
 
     def body(i, _):
         u_s[:] = _rb_iter_full(
-            u_s[:], wl_s[:], bh_s[:], wu_s[:], bv_s[:], inv_s[:], m_s[:], red
+            u_s[:], wl_s[:], bh_s[:], wu_s[:], bv_s[:], inv_s[:], m_s[:], red,
+            om_ref[i, 0], om_ref[i, 1],
         )
         return 0
 
@@ -1102,7 +1107,7 @@ def _strip_rb_kernel(k, pad_rows, block_h, n_strips, parity, in_kernel_halo,
 
 
 def _rb_strip_mega_kernel(k, iters, pad_rows, block_h, n_strips, parity,
-                          u_in, m_hbm, bh_hbm, bv_hbm, inv_hbm,
+                          om_ref, u_in, m_hbm, bh_hbm, bv_hbm, inv_hbm,
                           u_pp, u_s, wl_s, wu_s, m_a, bh_a, bv_a, inv_a, sems):
     """Red-black megakernel: ALL iterations in one pallas_call, the red-black
     twin of _strip_mega_kernel_arena. Grid (iteration blocks, strips) with
@@ -1152,7 +1157,7 @@ def _rb_strip_mega_kernel(k, iters, pad_rows, block_h, n_strips, parity,
         def _active():
             u_s[:] = _rb_iter_full(
                 u_s[:], wl_s[:], bh_a[s], wu_s[:], bv_a[s], inv_a[s],
-                m_a[s], red,
+                m_a[s], red, om_ref[base + i, 0], om_ref[base + i, 1],
             )
 
         return 0
@@ -1181,6 +1186,7 @@ def _rb_strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h,
         grid=(n_blocks, n_strips),
         out_shape=jax.ShapeDtypeStruct((2, hp, wp2), jnp.float32),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (n_blocks*k, 2)
             pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
             pl.BlockSpec(memory_space=pl.ANY),  # mask
             pl.BlockSpec(memory_space=pl.ANY),  # bh
@@ -1198,7 +1204,7 @@ def _rb_strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h,
             pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # inv arena
             pltpu.SemaphoreType.DMA((6,)),
         ],
-        input_output_aliases={0: 0},
+        input_output_aliases={1: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -1225,7 +1231,8 @@ def _rb_compact_quadrant_weights(bh_q, bv_q):
     return wl, wu
 
 
-def _rb_compact_iter(u_q, wl_q, bh_q, wu_q, bv_q, inv_q, free_q):
+def _rb_compact_iter(u_q, wl_q, bh_q, wu_q, bv_q, inv_q, free_q,
+                     om_r=1.0, om_b=1.0):
     """One red-black Gauss-Seidel iteration on quadrant-COMPACTED planes:
     red cells are quadrants (0,0) and (1,1) of the checkerboard, black are
     (0,1) and (1,0); each color's update computes ONLY its own quarter
@@ -1240,10 +1247,12 @@ def _rb_compact_iter(u_q, wl_q, bh_q, wu_q, bv_q, inv_q, free_q):
     XLA fuses the 4-term dot differently across the two program shapes."""
     u00, u01, u10, u11 = u_q
 
-    def upd(q, uc, ul, ur, uu, ud):
+    def upd(q, uc, ul, ur, uu, ud, om):
         s = wl_q[q] * ul + bh_q[q] * ur + wu_q[q] * uu + bv_q[q] * ud
         r = jnp.clip(s * inv_q[q], 0.0, 255.0)
-        return jnp.where(free_q[q], r, uc)
+        return jnp.where(
+            free_q[q], jnp.clip(uc + om * (r - uc), 0.0, 255.0), uc
+        )
 
     def rol(a, ax):  # value at index-1 (left/up neighbor)
         return pltpu.roll(a, 1, ax)
@@ -1252,16 +1261,16 @@ def _rb_compact_iter(u_q, wl_q, bh_q, wu_q, bv_q, inv_q, free_q):
         return pltpu.roll(a, a.shape[ax] - 1, ax)
 
     # red: (0,0) reads black (0,1)/(1,0); (1,1) reads (1,0)/(0,1)
-    n00 = upd(0, u00, rol(u01, 1), u01, rol(u10, 0), u10)
-    n11 = upd(3, u11, u10, ror(u10, 1), u01, ror(u01, 0))
+    n00 = upd(0, u00, rol(u01, 1), u01, rol(u10, 0), u10, om_r)
+    n11 = upd(3, u11, u10, ror(u10, 1), u01, ror(u01, 0), om_r)
     # black: reads the UPDATED red quadrants (Gauss-Seidel half-step)
-    n01 = upd(1, u01, n00, ror(n00, 1), rol(n11, 0), n11)
-    n10 = upd(2, u10, rol(n11, 1), n11, n00, ror(n00, 0))
+    n01 = upd(1, u01, n00, ror(n00, 1), rol(n11, 0), n11, om_b)
+    n10 = upd(2, u10, rol(n11, 1), n11, n00, ror(n00, 0), om_b)
     return n00, n01, n10, n11
 
 
 def _rb_compact_mega_kernel(k, iters, pad_rows, block_h, n_strips,
-                            u_in, m_hbm, bh_hbm, bv_hbm, inv_hbm,
+                            om_ref, u_in, m_hbm, bh_hbm, bv_hbm, inv_hbm,
                             u_pp, u_s, wl_s, wu_s, m_a, bh_a, bv_a, inv_a,
                             sems):
     """Quadrant-compacted red-black megakernel: ALL iterations in one
@@ -1314,25 +1323,35 @@ def _rb_compact_mega_kernel(k, iters, pad_rows, block_h, n_strips,
     for cp in cps:
         cp.wait()
 
-    bh_q = tuple(bh_a[s, q] for q in range(4))
-    bv_q = tuple(bv_a[s, q] for q in range(4))
-    wl_q, wu_q = _rb_compact_quadrant_weights(bh_q, bv_q)
+    wl_q, wu_q = _rb_compact_quadrant_weights(
+        tuple(bh_a[s, q] for q in range(4)),
+        tuple(bv_a[s, q] for q in range(4)),
+    )
     for q in range(4):
         wl_s[q] = wl_q[q]
         wu_s[q] = wu_q[q]
-    inv_q = tuple(inv_a[s, q] for q in range(4))
     base = b * k
 
     def body(i, _):
         @pl.when(base + i < iters)
         def _active():
+            # Arena planes are read PER USE inside the loop body (never
+            # hoisted to values outside the fori_loop): a hoisted
+            # ``bh_a[s, q]`` value materializes a quarter-slab copy that
+            # Mosaic keeps live across the whole loop — 12 such slabs made
+            # the first implementation ~3.7x slower than the masked kernel
+            # (9.0 vs 2.4 ms at 1080p, tools/ab_rb.py) before this form.
             free_q = tuple(
                 m_a[s, q].astype(jnp.int32) == 0 for q in range(4)
             )
             n = _rb_compact_iter(
                 tuple(u_s[q] for q in range(4)),
-                tuple(wl_s[q] for q in range(4)), bh_q,
-                tuple(wu_s[q] for q in range(4)), bv_q, inv_q, free_q,
+                tuple(wl_s[q] for q in range(4)),
+                tuple(bh_a[s, q] for q in range(4)),
+                tuple(wu_s[q] for q in range(4)),
+                tuple(bv_a[s, q] for q in range(4)),
+                tuple(inv_a[s, q] for q in range(4)),
+                free_q, om_ref[base + i, 0], om_ref[base + i, 1],
             )
             for q in range(4):
                 u_s[q] = n[q]
@@ -1377,6 +1396,7 @@ def _rb_compact_mega_call(hqp, wq2, k, iters, pad_rows, n_strips, block_h,
         grid=(n_blocks, n_strips),
         out_shape=jax.ShapeDtypeStruct((2, 4, hqp, wq2), jnp.float32),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (n_blocks*k, 2)
             pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
             pl.BlockSpec(memory_space=pl.ANY),  # mask quadrants u8
             pl.BlockSpec(memory_space=pl.ANY),  # bh quadrants
@@ -1394,7 +1414,7 @@ def _rb_compact_mega_call(hqp, wq2, k, iters, pad_rows, n_strips, block_h,
             pltpu.VMEM((n_strips, 4, slab_h, wq2), jnp.float32),  # inv arena
             pltpu.SemaphoreType.DMA((6,)),
         ],
-        input_output_aliases={0: 0},
+        input_output_aliases={1: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -1426,11 +1446,12 @@ def _quad_merge(q, h, w):
     return m[:h, :w]
 
 
-def _rb_compact_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg,
+def _rb_compact_pallas_iterations(depth, mask, bh1, bv1, inv1, om, iters, cfg,
                                   interpret):
     """`iters` red-black iterations via the quadrant-compacted megakernel:
     split the ring-padded planes into checkerboard quadrants (XLA strided
-    slices), run every iteration in one pallas_call, merge back."""
+    slices), run every iteration in one pallas_call, merge back. ``om`` is
+    the (iters, 2) rb_omegas table."""
     h, w = depth.shape
     k = max(int(cfg.pallas_iter_block), 1)
     H2, W2 = h + 2, w + 2
@@ -1462,7 +1483,8 @@ def _rb_compact_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg,
         hqp, wq2, k, iters, pad_rows, n_strips, block_h, interpret,
         int(cfg.pallas_arena_vmem_cap),
     )
-    u_pp = call(u_pp, m, bh, bv, inv)
+    omp = jnp.pad(om, ((0, n_blocks * k - iters), (0, 0)))
+    u_pp = call(omp, u_pp, m, bh, bv, inv)
     q = u_pp[n_blocks % 2, :, pad_rows : pad_rows + hq, :wq]
     return _quad_merge(q, H2, W2)[1 : h + 1, 1 : w + 1]
 
@@ -1480,6 +1502,7 @@ def _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret,
         grid=(n_strips,),
         out_shape=jax.ShapeDtypeStruct((hp, wp2), jnp.float32),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (k, 2)
             pl.BlockSpec(memory_space=pl.ANY),  # u
             pl.BlockSpec(memory_space=pl.ANY),  # mask
             pl.BlockSpec(memory_space=pl.ANY),  # bh
@@ -1508,16 +1531,25 @@ def _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret,
     )
 
 
-def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
+def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret,
+                          om=None):
     """`iters` red-black iterations on the Pallas path (resident or strips by
     VMEM footprint). Weight planes come 1-px ring-padded (from
-    _pack_weights_padded). Returns the unpadded state."""
+    _pack_weights_padded). ``om`` is the (iters, 2) rb_omegas table (built
+    from cfg when omitted; callers running chunks of a longer schedule pass
+    the chunk's slice). Returns the unpadded state."""
+    from ..core.solver import rb_omegas
+
     h, w = depth.shape
     if iters <= 0:
         return depth.astype(jnp.float32)
+    if om is None:
+        om = jnp.asarray(rb_omegas(iters, cfg))
     # 5 f32 planes live in the resident kernel (no Chebyshev history).
     if (h + 2) * (w + 2) * 4 * 5 <= cfg.pallas_resident_vmem_budget:
-        return _rb_resident_call(depth, mask, bh1, bv1, inv1, iters, interpret)
+        return _rb_resident_call(
+            depth, mask, bh1, bv1, inv1, om, iters, interpret
+        )
 
     if cfg.pallas_rb_compact:
         kq = max(int(cfg.pallas_iter_block), 1)
@@ -1532,7 +1564,7 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
             <= int(cfg.pallas_arena_vmem_cap)
         ):
             return _rb_compact_pallas_iterations(
-                depth, mask, bh1, bv1, inv1, iters, cfg, interpret
+                depth, mask, bh1, bv1, inv1, om, iters, cfg, interpret
             )
 
     k = max(int(cfg.pallas_iter_block), 1)
@@ -1577,7 +1609,8 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
         call = _rb_strips_mega_call(
             hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret, cap
         )
-        u_pp = call(u_pp, m, bh, bv, inv)
+        omp = jnp.pad(om, ((0, n_blocks * k - iters), (0, 0)))
+        u_pp = call(omp, u_pp, m, bh, bv, inv)
         return u_pp[n_blocks % 2, pad_rows : pad_rows + h, 1 : w + 1]
 
     def fix_halo(a):
@@ -1589,15 +1622,15 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret):
     call_k = _rb_strips_call(
         hp, wp2, k, pad_rows, n_strips, block_h, interpret, ikh
     )
-    for _ in range(n_full):
-        u = call_k(u, m, bh, bv, inv)
+    for j in range(n_full):
+        u = call_k(om[j * k : (j + 1) * k], u, m, bh, bv, inv)
         if not ikh:
             u = fix_halo(u)
     if rem:
         call_r = _rb_strips_call(
             hp, wp2, rem, pad_rows, n_strips, block_h, interpret, ikh
         )
-        u = call_r(u, m, bh, bv, inv)
+        u = call_r(om[n_full * k :], u, m, bh, bv, inv)
     return u[pad_rows : pad_rows + h, 1 : w + 1]
 
 
@@ -1622,9 +1655,14 @@ def solve_level_red_black_pallas(
     wts = edge_weights(gray, depth, level, max_level, cfg)
     bh1, bv1, inv1 = _pack_wts_padded(wts)  # wts also feeds residual_norm
     u0 = depth.astype(jnp.float32)
+    if iters <= 0:
+        return u0
+    om_full = jnp.asarray(_xla.rb_omegas(iters, cfg))
 
     if not cfg.early_exit:
-        return _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret)
+        return _rb_pallas_iterations(
+            depth, mask, bh1, bv1, inv1, iters, cfg, interpret, om=om_full
+        )
 
     h, w = depth.shape
     tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
@@ -1636,7 +1674,10 @@ def solve_level_red_black_pallas(
 
     def body(state):
         u, i, _ = state
-        u = _rb_pallas_iterations(u, mask, bh1, bv1, inv1, chunk, cfg, interpret)
+        om = lax.dynamic_slice(om_full, (i, 0), (chunk, 2))
+        u = _rb_pallas_iterations(
+            u, mask, bh1, bv1, inv1, chunk, cfg, interpret, om=om
+        )
         return u, i + chunk, _xla.residual_norm(u, mask, wts)
 
     u, i, res = lax.while_loop(
@@ -1647,7 +1688,11 @@ def solve_level_red_black_pallas(
 
     def xla_tail(u):
         return lax.fori_loop(
-            0, rem, lambda j, v: _xla.red_black_iter(v, mask, wts, red), u
+            i, jnp.int32(iters),
+            lambda j, v: _xla.red_black_iter(
+                v, mask, wts, red, om_full[j, 0], om_full[j, 1]
+            ),
+            u,
         )
 
     return lax.cond((res >= tol) & (rem > 0), xla_tail, lambda u: u, u)
@@ -1681,11 +1726,11 @@ def _halo_block_kernel(k, om_ref, m_ref, bh_ref, bv_ref, inv_ref,
     lax.fori_loop(0, k, body, 0, unroll=False)
 
 
-def _halo_block_rb_kernel(k, m_ref, bh_ref, bv_ref, inv_ref, red_ref,
+def _halo_block_rb_kernel(k, om_ref, m_ref, bh_ref, bv_ref, inv_ref, red_ref,
                           u_ref, uo_ref, wl_scr, wu_scr):
     """k red-black iterations over a halo-extended block in VMEM. The red
     checkerboard arrives as a plane (u8) because the block's global parity
-    origin is only known to the shard_map caller."""
+    origin is only known to the shard_map caller; omegas (k, 2) in SMEM."""
     del u_ref  # aliased into uo_ref
     wl_scr[:] = pltpu.roll(bh_ref[:], 1, 1)
     wu_scr[:] = pltpu.roll(bv_ref[:], 1, 0)
@@ -1694,24 +1739,28 @@ def _halo_block_rb_kernel(k, m_ref, bh_ref, bv_ref, inv_ref, red_ref,
     def body(i, _):
         uo_ref[:] = _rb_iter_full(
             uo_ref[:], wl_scr[:], bh_ref[:], wu_scr[:], bv_ref[:],
-            inv_ref[:], m_ref[:], red,
+            inv_ref[:], m_ref[:], red, om_ref[i, 0], om_ref[i, 1],
         )
         return 0
 
     lax.fori_loop(0, k, body, 0, unroll=False)
 
 
-def halo_block_rb_sweeps(u_e, bh_e, bv_e, inv_e, m_e, red_e, k, interpret=False):
-    """Run k red-black iterations on a halo-extended block (the multi-chip
-    red-black inner loop). The caller guarantees halo width >= 2k (each
+def halo_block_rb_sweeps(u_e, bh_e, bv_e, inv_e, m_e, red_e, om,
+                         interpret=False):
+    """Run om.shape[0] red-black iterations on a halo-extended block (the
+    multi-chip red-black inner loop). ``om`` is the (k, 2) rb_omegas slice
+    for these iterations. The caller guarantees halo width >= 2k (each
     iteration's black half-sweep reads red-updated neighbors, so validity
     shrinks two rings per iteration) and crops afterwards."""
+    k = om.shape[0]
     shp = u_e.shape
     kern = functools.partial(_halo_block_rb_kernel, k)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(shp, jnp.float32),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (k, 2)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bv
@@ -1724,9 +1773,10 @@ def halo_block_rb_sweeps(u_e, bh_e, bv_e, inv_e, m_e, red_e, k, interpret=False)
             pltpu.VMEM(shp, jnp.float32),  # wl
             pltpu.VMEM(shp, jnp.float32),  # wu
         ],
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         interpret=interpret,
-    )(m_e.astype(jnp.uint8), bh_e, bv_e, inv_e, red_e.astype(jnp.uint8), u_e)
+    )(om, m_e.astype(jnp.uint8), bh_e, bv_e, inv_e, red_e.astype(jnp.uint8),
+      u_e)
 
 
 def halo_block_sweeps(u_e, p_e, bh_e, bv_e, inv_e, m_e, abc, interpret=False):

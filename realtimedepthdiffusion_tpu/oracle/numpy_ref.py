@@ -288,6 +288,29 @@ def chebyshev_omegas(iters: int, cfg: DiffusionConfig = DiffusionConfig()) -> np
     return out
 
 
+def rb_omegas(iters: int, cfg: DiffusionConfig = DiffusionConfig()) -> np.ndarray:
+    """Cyclic-Chebyshev (Golub-Varga) SOR omegas for the red-black
+    half-sweeps — the independent twin of core.solver.rb_omegas (same
+    recurrence, re-derived here so the oracle shares no code with the
+    implementation under test). (iters, 2) float32; all-ones when
+    cfg.rb_chebyshev is off."""
+    n = max(iters, 1)
+    out = np.ones((n, 2), dtype=F32)
+    if cfg.rb_chebyshev:
+        rho2 = float(F32(cfg.rb_rho)) ** 2
+        s = cfg.chebyshev_s
+        omega = 1.0
+        for half in range(2 * n):
+            if half < s:
+                omega = 1.0
+            elif half == s:
+                omega = 1.0 / (1.0 - rho2 / 2.0)
+            else:
+                omega = 1.0 / (1.0 - rho2 * omega / 4.0)
+            out[half // 2, half % 2] = F32(omega)
+    return out[:iters]
+
+
 # ---------------------------------------------------------------------------
 # The solver (matrixFreeSolver / solveDiffusion semantics)
 # ---------------------------------------------------------------------------
@@ -360,21 +383,30 @@ def solve_level_red_black(
     tolerance: float | None = None,
 ):
     """Red-black Gauss-Seidel variant (BASELINE.json config #2) with optional
-    residual early exit. Not part of the reference (which ignores its
-    tolerance parameter, src/main.cpp:264); defined here as the oracle for
-    the framework's extended solver."""
+    residual early exit and the cyclic-Chebyshev SOR half-sweep omegas
+    (core.solver.rb_omegas; plain Gauss-Seidel when cfg.rb_chebyshev is
+    off). Not part of the reference (which ignores its tolerance parameter,
+    src/main.cpp:264); defined here as the oracle for the framework's
+    extended solver. PROJECTED SOR: the extrapolation
+    clip(u + omega*(avg - u), 0, 255) keeps the iterate in range and
+    reduces exactly to plain Gauss-Seidel at omega == 1."""
     wl, wr, wu, wd = edge_weights(gray, depth, level, max_level, cfg)
     inv_count = _inv_count(wl + wr + wu + wd)
     h, w = depth.shape
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     red = ((yy + xx) % 2) == 0
+    om = rb_omegas(max(iters, 1), cfg)
 
     u = depth.astype(F32).copy()
     check_every = max(int(cfg.residual_check_every), 1)
     for i in range(iters):
-        for color in (red, ~red):
+        for color, omega in ((red, om[i, 0]), (~red, om[i, 1])):
             upd = jacobi_sweep(u, wl, wr, wu, wd, inv_count)
-            u = np.where(color & ~mask, upd, u)
+            u = np.where(
+                color & ~mask,
+                np.clip(u + omega * (upd - u), F32(0.0), F32(255.0)),
+                u,
+            )
         # Residual checked on the same cadence as core.solver.solve_red_black
         # (every cfg.residual_check_every iterations), so both early-exit
         # implementations stop at the same iterate.

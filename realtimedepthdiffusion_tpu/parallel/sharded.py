@@ -169,18 +169,22 @@ def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
     iterations. Returns (u, iters_done, residual); when early exit is off,
     iters_done == iters and residual is +inf.
     """
+    from ..core.solver import rb_omegas
     from ..ops.pallas_sweep import halo_block_rb_sweeps
 
     mode = _use_pallas(cfg)
     ew = 2 * k  # halo width per k-iteration block
     tol = np.float32(cfg.tolerance) * np.float32(255.0)
     chunk = max(int(cfg.residual_check_every), 1)
+    # Cyclic-Chebyshev SOR omegas, indexed by GLOBAL iteration (the
+    # recurrence continues across early-exit chunks).
+    om_full = jnp.asarray(rb_omegas(max(iters, 1), cfg))
 
-    def jnp_rb_block(u_e, bh_e, bv_e, inv_e, m_e, red_e, n):
+    def jnp_rb_block(u_e, bh_e, bv_e, inv_e, m_e, red_e, om):
         wl_e = jnp.roll(bh_e, 1, -1)
         wu_e = jnp.roll(bv_e, 1, -2)
 
-        def half(u, sel):
+        def half(u, sel, omega):
             r = jnp.clip(
                 (
                     wl_e * jnp.roll(u, 1, -1)
@@ -192,11 +196,13 @@ def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
                 0.0,
                 255.0,
             )
-            return jnp.where(sel & ~m_e, r, u)
+            return jnp.where(
+                sel & ~m_e, jnp.clip(u + omega * (r - u), 0.0, 255.0), u
+            )
 
-        for _ in range(n):
-            u_e = half(u_e, red_e)
-            u_e = half(u_e, ~red_e)
+        for j in range(om.shape[0]):
+            u_e = half(u_e, red_e, om[j, 0])
+            u_e = half(u_e, ~red_e, om[j, 1])
         return u_e
 
     def local(u, bh, bv, inv, m):
@@ -220,27 +226,29 @@ def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
         wl_1 = jnp.roll(bh_1, 1, -1)
         wu_1 = jnp.roll(bv_1, 1, -2)
 
-        def rb_iters(u_c, n):
-            """One 2k-halo exchange + n <= k local red-black iterations."""
+        def rb_iters(u_c, n, i0):
+            """One 2k-halo exchange + n <= k local red-black iterations
+            starting at global iteration ``i0`` (traced)."""
+            om = lax.dynamic_slice(om_full, (i0, jnp.int32(0)), (n, 2))
             u_e = ext(u_c)
             if mode == "jnp":
-                u_e = jnp_rb_block(u_e, bh_e, bv_e, inv_e, m_e, red_e2, n)
+                u_e = jnp_rb_block(u_e, bh_e, bv_e, inv_e, m_e, red_e2, om)
             else:
                 u_e = _foreach_image(
                     lambda ue, bhe, bve, inve, me, rede: halo_block_rb_sweeps(
-                        ue, bhe, bve, inve, me, rede, n,
+                        ue, bhe, bve, inve, me, rede, om,
                         interpret=(mode == "pallas_interpret"),
                     ),
                     u_e, bh_e, bv_e, inv_e, m_e, red_e2,
                 )
             return crop_halo(u_e, ew)
 
-        def run_chunk(u_c, n_iters):
+        def run_chunk(u_c, n_iters, i0):
             n_full, rem_i = divmod(n_iters, k)
-            for _ in range(n_full):
-                u_c = rb_iters(u_c, k)
+            for j in range(n_full):
+                u_c = rb_iters(u_c, k, i0 + j * k)
             if rem_i:
-                u_c = rb_iters(u_c, rem_i)
+                u_c = rb_iters(u_c, rem_i, i0 + n_full * k)
             return u_c
 
         def local_residual(u_c):
@@ -266,7 +274,11 @@ def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
             return res
 
         if not cfg.early_exit:
-            return run_chunk(u, iters), jnp.int32(iters), jnp.float32(jnp.inf)
+            return (
+                run_chunk(u, iters, jnp.int32(0)),
+                jnp.int32(iters),
+                jnp.float32(jnp.inf),
+            )
 
         def cond(state):
             u_c, i, res = state
@@ -274,7 +286,7 @@ def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
 
         def body(state):
             u_c, i, _ = state
-            u_c = run_chunk(u_c, chunk)
+            u_c = run_chunk(u_c, chunk, i)
             return u_c, i + chunk, local_residual(u_c)
 
         return lax.while_loop(
@@ -408,21 +420,27 @@ def solve_level_sharded(
             return out
         # Truncated final chunk (iters not divisible by the check cadence):
         # identical tail to the single-chip path, as plain (GSPMD-sharded)
-        # XLA ops with a dynamic trip count.
-        from ..core.solver import red_black_iter, red_black_parity
+        # XLA ops with a dynamic trip count, omegas indexed by the global
+        # iteration so the rb_omegas recurrence continues seamlessly.
+        from ..core.solver import rb_omegas, red_black_iter, red_black_parity
 
+        om_full = jnp.asarray(rb_omegas(max(iters, 1), cfg))
         rem = jnp.maximum(jnp.int32(iters) - done, 0)
         red = red_black_parity(h, w)
         step = (
-            (lambda v: jax.vmap(
+            (lambda v, j: jax.vmap(
                 lambda vi, mi, *ws: red_black_iter(
-                    vi, mi, type(wts)(*ws), red
+                    vi, mi, type(wts)(*ws), red, om_full[j, 0], om_full[j, 1]
                 )
             )(v, mask, *wts))
             if batched
-            else (lambda v: red_black_iter(v, mask, wts, red))
+            else (lambda v, j: red_black_iter(
+                v, mask, wts, red, om_full[j, 0], om_full[j, 1]
+            ))
         )
-        tail = lambda v: lax.fori_loop(0, rem, lambda j, x: step(x), v)
+        tail = lambda v: lax.fori_loop(
+            done, jnp.int32(iters), lambda j, x: step(x, j), v
+        )
         tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
         return lax.cond((res >= tol) & (rem > 0), tail, lambda v: v, out)
 

@@ -207,7 +207,9 @@ def test_rb_pallas_early_exit_matches_xla(rng):
             interpret=True,
         )
     )
-    np.testing.assert_allclose(got, want, atol=5e-3)
+    # 2e-2: the SOR omegas (rb_rho=0.9999 default -> omega ~1.97) amplify
+    # the cross-program FMA band beyond the plain-GS 5e-3.
+    np.testing.assert_allclose(got, want, atol=2e-2)
 
 
 @pytest.mark.parametrize("shape", [(96, 160), (257, 130)])
@@ -324,7 +326,8 @@ def test_rb_compact_matches_masked_and_xla(rng, monkeypatch, iters):
 
     monkeypatch.setattr(ps, "_rb_compact_pallas_iterations", spy)
     cfg_c = DiffusionConfig(solver="red_black", pallas_iter_block=4,
-                            pallas_resident_vmem_budget=0)
+                            pallas_resident_vmem_budget=0,
+                            pallas_rb_compact=True)
     got = np.asarray(
         ps.solve_level_red_black_pallas(
             jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1,

@@ -154,8 +154,13 @@ def test_convergence_residual_decreases(rng):
 
 
 def test_red_black_matches_oracle_and_converges(rng):
+    import math
+
     gray, mask, val, depth = _case(rng, 32, 40)
-    cfg = CFG
+    # Grid-matched rho for the SOR parity case: the default 0.9999 is deep
+    # in its overestimate transient at 32x40 and the amplified FMA
+    # random-walk would swamp the comparison.
+    cfg = DiffusionConfig(rb_rho=math.cos(math.pi / 40))
     got = np.asarray(
         solver.solve_red_black(
             jnp.asarray(depth),
@@ -167,7 +172,87 @@ def test_red_black_matches_oracle_and_converges(rng):
         )
     )
     want = oracle.solve_level_red_black(depth, mask, gray, 1, 1, 40, cfg)
-    np.testing.assert_allclose(got, want, atol=2e-3)
+    # The omega schedule itself must agree BIT-exactly (independent
+    # derivations of the Golub-Varga recurrence).
+    np.testing.assert_array_equal(
+        solver.rb_omegas(40, cfg), oracle.rb_omegas(40, cfg)
+    )
+    # Iterate parity: the SOR extrapolation (omega -> ~1.75) random-walks
+    # per-iteration XLA-vs-numpy FMA noise (measured ~2.7e-4/iteration at
+    # this size); 40 iterations stay within 2e-2 on the 0-255 scale, and
+    # the plain-GS sub-case (rb_chebyshev=False) keeps the old tight band.
+    np.testing.assert_allclose(got, want, atol=2e-2)
+    cfg_gs = DiffusionConfig(rb_chebyshev=False)
+    got_gs = np.asarray(
+        solver.solve_red_black(
+            jnp.asarray(depth),
+            jnp.asarray(mask),
+            weights.edge_weights(jnp.asarray(gray), None, 1, 1, cfg_gs),
+            40,
+            cfg_gs,
+            early_exit=False,
+        )
+    )
+    want_gs = oracle.solve_level_red_black(depth, mask, gray, 1, 1, 40, cfg_gs)
+    np.testing.assert_allclose(got_gs, want_gs, atol=2e-3)
+
+
+def test_rb_omega_schedule_properties():
+    """Machinery of the cyclic-Chebyshev schedule: plain warm-up for the
+    first S half-sweeps, then monotone DECREASE from 2/(2-rho^2) toward the
+    optimal-SOR asymptote 2/(1+sqrt(1-rho^2)), never reaching 2 (SOR
+    stability)."""
+    import math
+
+    cfg = DiffusionConfig()
+    om = solver.rb_omegas(100, cfg).ravel()  # half-sweep order
+    s = cfg.chebyshev_s
+    assert np.all(om[:s] == 1.0)
+    tail = om[s:]
+    assert np.all(np.diff(tail) <= 0)
+    limit = 2.0 / (1.0 + math.sqrt(1.0 - cfg.rb_rho**2))
+    assert np.all(tail < 2.0)
+    np.testing.assert_allclose(tail[-1], limit, rtol=1e-3)
+    # Disabled -> all ones (plain Gauss-Seidel).
+    assert np.all(solver.rb_omegas(50, DiffusionConfig(rb_chebyshev=False)) == 1.0)
+
+
+@pytest.mark.slow
+def test_rb_beats_jacobi_quality_on_real_pair():
+    """The shipped config #2 claim at reduced scale: on a real (downscaled)
+    dataset pair with the default budgets, red-black + cyclic-Chebyshev +
+    early exit reaches AT LEAST the solution quality of the reference
+    Jacobi-Chebyshev schedule (RMSE against an 8x-converged truth). The
+    wall-clock half of the claim is measured on hardware
+    (tools/rb_vs_jacobi.py, PERF.md round-3)."""
+    import dataclasses
+
+    from realtimedepthdiffusion_tpu.core import multigrid
+    from realtimedepthdiffusion_tpu.core.color import rgb_to_gray
+    from realtimedepthdiffusion_tpu.io import imread_rgb, load_annotation
+
+    rgb = imread_rgb("/root/reference/dataset/images/Dog.jpg")[::2, ::2]
+    mask, value = load_annotation(
+        "/root/reference/dataset/annotations/Dog.png"
+    )
+    mask, value = mask[::2, ::2], value[::2, ::2]
+    h, w = rgb.shape[:2]
+    gray0 = rgb_to_gray(jnp.asarray(np.ascontiguousarray(rgb)))
+    jm = jnp.asarray(np.ascontiguousarray(mask))
+    jv = jnp.asarray(np.ascontiguousarray(value))
+
+    def run(cfg):
+        gp = multigrid.build_gray_pyramid(gray0, cfg)
+        st0 = multigrid.initial_depth_state(h, w, cfg)
+        d, _ = multigrid.solve_cascade(gp, jm, jv, st0, cfg)
+        return np.asarray(d)
+
+    cfg1 = DiffusionConfig()
+    truth = run(dataclasses.replace(cfg1, max_iterations=8 * cfg1.max_iterations))
+    rmse = lambda a: float(np.sqrt(np.mean(((a - truth) / 255.0) ** 2)))
+    cfg2 = DiffusionConfig(solver="red_black", early_exit=True,
+                           tolerance=3e-3, residual_check_every=25)
+    assert rmse(run(cfg2)) <= rmse(run(cfg1))
 
 
 def test_red_black_early_exit(rng):

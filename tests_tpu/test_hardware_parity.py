@@ -231,7 +231,7 @@ def test_rb_compact_matches_masked_on_hardware(case_512):
             )(d)
         )
 
-    got = run(DiffusionConfig(solver="red_black"))
+    got = run(DiffusionConfig(solver="red_black", pallas_rb_compact=True))
     want = run(DiffusionConfig(solver="red_black", pallas_rb_compact=False))
     np.testing.assert_allclose(got, want, atol=5e-3)
     mask = np.asarray(m)

@@ -5,8 +5,10 @@ RMSE between the two solutions (equal-quality evidence). Run ON the TPU:
     python tools/rb_vs_jacobi.py [K] [pairs...]
 
 Emits one JSON line per pair:
-  {"pair": ..., "jacobi_ms": ..., "rb_ms": ..., "rb_wins": ..., "rmse": ...}
-and a summary line with the win count.
+  {"pair": ..., "jacobi_ms": ..., "rb_ms": ..., "rb_wins": ...,
+   "jacobi_rmse": ..., "rb_rmse": ...}
+(RMSEs are against an 8x-iteration converged truth, normalized to [0,1] —
+the equal-or-better-quality evidence) and a summary line with the win count.
 """
 
 from __future__ import annotations
@@ -44,7 +46,7 @@ def main() -> int:
 
     cfg1 = DiffusionConfig(solver="jacobi")
     cfg2 = DiffusionConfig(solver="red_black", early_exit=True,
-                           tolerance=1e-4, residual_check_every=25)
+                           tolerance=3e-3, residual_check_every=25)
 
     def chained_ms(step, state0, n=3):
         def chain(k):
@@ -79,8 +81,17 @@ def main() -> int:
         gray0 = rgb_to_gray(jnp.asarray(rgb))
         mask_d, value_d = jnp.asarray(mask), jnp.asarray(value)
 
+        import dataclasses
+
         results = {}
         sols = {}
+        cfg_t = dataclasses.replace(cfg1, max_iterations=8 * cfg1.max_iterations)
+        gp_t = jax.jit(lambda g: multigrid.build_gray_pyramid(g, cfg_t))(gray0)
+        st_t = multigrid.initial_depth_state(h, w, cfg_t)
+        truth, _ = jax.jit(
+            lambda m, v, s: multigrid.solve_cascade(gp_t, m, v, s, cfg_t)
+        )(mask_d, value_d, st_t)
+        truth = np.asarray(truth)
         for tag, cfg in (("jacobi", cfg1), ("rb", cfg2)):
             gp = jax.jit(lambda g: multigrid.build_gray_pyramid(g, cfg))(gray0)
             jax.block_until_ready(gp)
@@ -96,15 +107,19 @@ def main() -> int:
             )(mask_d, value_d, st0)
             sols[tag] = np.asarray(d)
 
-        rmse = float(np.sqrt(np.mean(((sols["rb"] - sols["jacobi"]) / 255.0) ** 2)))
-        rb_wins = results["rb"] < results["jacobi"]
+        r2t = lambda a: float(np.sqrt(np.mean(((a - truth) / 255.0) ** 2)))
+        rb_wins = (results["rb"] < results["jacobi"]) and (
+            r2t(sols["rb"]) <= r2t(sols["jacobi"])
+        )
         wins += bool(rb_wins)
         done += 1
         print(json.dumps({
             "pair": name, "shape": [h, w],
             "jacobi_ms": round(results["jacobi"], 3),
             "rb_ms": round(results["rb"], 3),
-            "rb_wins": bool(rb_wins), "rmse": round(rmse, 6),
+            "rb_wins": bool(rb_wins),
+            "jacobi_rmse": round(r2t(sols["jacobi"]), 6),
+            "rb_rmse": round(r2t(sols["rb"]), 6),
         }), flush=True)
 
     print(json.dumps({"summary": f"rb wins {wins}/{done}"}), flush=True)
