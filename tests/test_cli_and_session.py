@@ -208,6 +208,17 @@ def test_cli_solver_flags_reach_config():
     with pytest.raises(SystemExit, match="number"):
         parse_args(["--tolerance", "abc"])
 
+    # Red-black SOR tuning is argv-reachable too.
+    cfg4 = make_config(parse_args([
+        "-i", "x.jpg", "--solver", "red_black", "--rb-rho", "0.995",
+    ]))
+    assert cfg4.rb_rho == pytest.approx(0.995)
+    assert cfg4.rb_chebyshev is True
+    cfg5 = make_config(parse_args(["-i", "x.jpg", "--rb-plain"]))
+    assert cfg5.rb_chebyshev is False
+    with pytest.raises(SystemExit, match="number"):
+        parse_args(["--rb-rho", "abc"])
+
 
 def test_gui_live_incremental_hits_windowed_path(monkeypatch):
     """--live --incremental: after the first full solve, a small paint stroke
