@@ -119,7 +119,7 @@ def _resident_kernel(iters, om_ref, m_ref, bh_ref, bv_ref,
         new_u, new_prev = _sweep_full(
             out_ref[:], prev_scr[:], wl_scr[:], bh_ref[:], wu_scr[:],
             bv_ref[:], inv_ref[:], m_ref[:],
-            om_ref[i, 0], om_ref[i, 1], om_ref[i, 2],
+            om_ref[0, i], om_ref[1, i], om_ref[2, i],
         )
         prev_scr[:] = new_prev
         out_ref[:] = new_u
@@ -145,14 +145,18 @@ def solve_level_resident(
     # The zero ring is Dirichlet-pinned (mask=1, value 0): roll wraparound in
     # the kernel then only ever reads pinned zeros.
     mp = jnp.pad(mask.astype(jnp.uint8), ((1, 1), (1, 1)), constant_values=1)
-    omegas = jnp.asarray(_abc_schedule(iters, cfg))
+    # SMEM tables ride TRANSPOSED, (3, iters): Mosaic pads an SMEM row's
+    # minor dim to 128 lanes, so an (iters, 3) table costs 512 B/iteration
+    # and overflows the 1 MiB SMEM at ~2048 iterations (a truth run at 8x
+    # the reference schedule failed to compile); (3, iters) costs 12 B.
+    omegas = jnp.asarray(_abc_schedule(iters, cfg).T)
 
     kernel = functools.partial(_resident_kernel, iters)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((h + 2, w + 2), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (iters, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (3, iters)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bv
@@ -232,8 +236,8 @@ def _strip_mega_kernel(k, iters, pad_rows, block_h, n_strips,
         def _active():
             new_u, new_prev = _sweep_full(
                 u_s[:], p_s[:], wl_s[:], bh_s[:], wu_s[:], bv_s[:], inv_s[:],
-                m_s[:], om_ref[base + i, 0], om_ref[base + i, 1],
-                om_ref[base + i, 2],
+                m_s[:], om_ref[0, base + i], om_ref[1, base + i],
+                om_ref[2, base + i],
             )
             p_s[:] = new_prev
             u_s[:] = new_u
@@ -330,7 +334,7 @@ def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips, static_copy,
             new_u, new_prev = _sweep_full(
                 u_s[:], p_s[:], wl_s[:], bh_r[:], wu_s[:], bv_r[:],
                 inv_r[:], m_r[:],
-                om_ref[base + i, 0], om_ref[base + i, 1], om_ref[base + i, 2],
+                om_ref[0, base + i], om_ref[1, base + i], om_ref[2, base + i],
             )
             p_s[:] = new_prev
             u_s[:] = new_u
@@ -460,7 +464,7 @@ def _strip_mega_kernel_uarena(k, iters, pad_rows, block_h, n_strips,
             new_u, new_prev = _sweep_full(
                 u_s[:], p_s[:], wl_s[:], bh_s[:], wu_s[:], bv_s[:],
                 inv_s[:], m_a[s],
-                om_ref[base + i, 0], om_ref[base + i, 1], om_ref[base + i, 2],
+                om_ref[0, base + i], om_ref[1, base + i], om_ref[2, base + i],
             )
             p_s[:] = new_prev
             u_s[:] = new_u
@@ -617,7 +621,7 @@ def _strip_mega_kernel_prefetch(k, iters, pad_rows, block_h, n_strips, n_blocks,
             new_u, new_prev = _sweep_full(
                 u_r[:], p_r[:], wl_s[:], bh_a[s], wu_s[:], bv_a[s],
                 inv_a[s], m_a[s],
-                om_ref[base + i, 0], om_ref[base + i, 1], om_ref[base + i, 2],
+                om_ref[0, base + i], om_ref[1, base + i], om_ref[2, base + i],
             )
             p_r[:] = new_prev
             u_r[:] = new_u
@@ -647,7 +651,7 @@ def _strips_mega_call_uarena(hp, wp2, k, iters, pad_rows, n_strips, block_h,
         _strip_mega_kernel_uarena, k, iters, pad_rows, block_h, n_strips,
         h_img, w_img, beta, thr, use_depth_rule,
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kern,
         grid=(n_blocks, n_strips),
         out_shape=(
@@ -689,6 +693,7 @@ def _strips_mega_call_uarena(hp, wp2, k, iters, pad_rows, n_strips, block_h,
             ),
         ),
     )
+    return lambda om, *rest: call(om.T, *rest)
 
 
 def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
@@ -715,7 +720,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
                 pltpu.VMEM((slab_h, wp2), jnp.float32),  # u slab
                 pltpu.VMEM((slab_h, wp2), jnp.float32),  # prev slab
             ]
-        return pl.pallas_call(
+        call = pl.pallas_call(
             kern,
             grid=(n_blocks, n_strips),
             out_shape=(
@@ -761,12 +766,13 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
                 ),
             ),
         )
+        return lambda om, *rest: call(om.T, *rest)
     slab_h = block_h + 2 * pad_rows
     n_blocks = -(-iters // k)
     kern = functools.partial(
         _strip_mega_kernel, k, iters, pad_rows, block_h, n_strips
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kern,
         grid=(n_blocks, n_strips),
         out_shape=(
@@ -774,7 +780,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
             jax.ShapeDtypeStruct((2, hp, wp2), jnp.float32),  # prev ping-pong
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (n_blocks*k, 3)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (3, n_blocks*k)
             pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
             pl.BlockSpec(memory_space=pl.ANY),  # prev ping-pong (aliased)
             pl.BlockSpec(memory_space=pl.ANY),  # mask
@@ -801,6 +807,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
+    return lambda om, *rest: call(om.T, *rest)
 
 
 def _auto_block_h(h: int) -> int:
@@ -1000,7 +1007,7 @@ def _resident_rb_kernel(iters, parity, om_ref, m_ref, bh_ref, bv_ref, inv_ref,
     def body(i, _):
         out_ref[:] = _rb_iter_full(
             out_ref[:], wl_scr[:], bh_ref[:], wu_scr[:], bv_ref[:],
-            inv_ref[:], m_ref[:], red, om_ref[i, 0], om_ref[i, 1],
+            inv_ref[:], m_ref[:], red, om_ref[0, i], om_ref[1, i],
         )
         return 0
 
@@ -1017,7 +1024,7 @@ def _rb_resident_call(depth, mask, bh, bv, inv, om, iters, interpret):
         kernel,
         out_shape=jax.ShapeDtypeStruct((h + 2, w + 2), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (iters, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (2, iters)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bv
@@ -1031,7 +1038,7 @@ def _rb_resident_call(depth, mask, bh, bv, inv, om, iters, interpret):
         ],
         input_output_aliases={5: 0},
         interpret=interpret,
-    )(om, mp, bh, bv, inv, up)
+    )(jnp.asarray(om).T, mp, bh, bv, inv, up)
     return out[1 : h + 1, 1 : w + 1]
 
 
@@ -1068,7 +1075,7 @@ def _strip_rb_kernel(k, pad_rows, block_h, n_strips, parity, in_kernel_halo,
     def body(i, _):
         u_s[:] = _rb_iter_full(
             u_s[:], wl_s[:], bh_s[:], wu_s[:], bv_s[:], inv_s[:], m_s[:], red,
-            om_ref[i, 0], om_ref[i, 1],
+            om_ref[0, i], om_ref[1, i],
         )
         return 0
 
@@ -1157,7 +1164,7 @@ def _rb_strip_mega_kernel(k, iters, pad_rows, block_h, n_strips, parity,
         def _active():
             u_s[:] = _rb_iter_full(
                 u_s[:], wl_s[:], bh_a[s], wu_s[:], bv_a[s], inv_a[s],
-                m_a[s], red, om_ref[base + i, 0], om_ref[base + i, 1],
+                m_a[s], red, om_ref[0, base + i], om_ref[1, base + i],
             )
 
         return 0
@@ -1181,12 +1188,12 @@ def _rb_strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h,
     kern = functools.partial(
         _rb_strip_mega_kernel, k, iters, pad_rows, block_h, n_strips, 1
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kern,
         grid=(n_blocks, n_strips),
         out_shape=jax.ShapeDtypeStruct((2, hp, wp2), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (n_blocks*k, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (2, n_blocks*k)
             pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
             pl.BlockSpec(memory_space=pl.ANY),  # mask
             pl.BlockSpec(memory_space=pl.ANY),  # bh
@@ -1214,6 +1221,7 @@ def _rb_strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h,
             ),
         ),
     )
+    return lambda om, *rest: call(om.T, *rest)
 
 
 def _rb_compact_quadrant_weights(bh_q, bv_q):
@@ -1351,7 +1359,7 @@ def _rb_compact_mega_kernel(k, iters, pad_rows, block_h, n_strips,
                 tuple(wu_s[q] for q in range(4)),
                 tuple(bv_a[s, q] for q in range(4)),
                 tuple(inv_a[s, q] for q in range(4)),
-                free_q, om_ref[base + i, 0], om_ref[base + i, 1],
+                free_q, om_ref[0, base + i], om_ref[1, base + i],
             )
             for q in range(4):
                 u_s[q] = n[q]
@@ -1391,12 +1399,12 @@ def _rb_compact_mega_call(hqp, wq2, k, iters, pad_rows, n_strips, block_h,
     kern = functools.partial(
         _rb_compact_mega_kernel, k, iters, pad_rows, block_h, n_strips
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kern,
         grid=(n_blocks, n_strips),
         out_shape=jax.ShapeDtypeStruct((2, 4, hqp, wq2), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (n_blocks*k, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (2, n_blocks*k)
             pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
             pl.BlockSpec(memory_space=pl.ANY),  # mask quadrants u8
             pl.BlockSpec(memory_space=pl.ANY),  # bh quadrants
@@ -1424,6 +1432,7 @@ def _rb_compact_mega_call(hqp, wq2, k, iters, pad_rows, n_strips, block_h,
             ),
         ),
     )
+    return lambda om, *rest: call(om.T, *rest)
 
 
 def _quad_split(a):
@@ -1497,12 +1506,12 @@ def _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret,
     kern = functools.partial(
         _strip_rb_kernel, k, pad_rows, block_h, n_strips, 1, in_kernel_halo
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kern,
         grid=(n_strips,),
         out_shape=jax.ShapeDtypeStruct((hp, wp2), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (k, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (2, k)
             pl.BlockSpec(memory_space=pl.ANY),  # u
             pl.BlockSpec(memory_space=pl.ANY),  # mask
             pl.BlockSpec(memory_space=pl.ANY),  # bh
@@ -1529,6 +1538,7 @@ def _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret,
             vmem_limit_bytes=32 * 1024 * 1024,
         ),
     )
+    return lambda om, *rest: call(om.T, *rest)
 
 
 def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret,
@@ -1717,7 +1727,7 @@ def _halo_block_kernel(k, om_ref, m_ref, bh_ref, bv_ref, inv_ref,
         new_u, new_prev = _sweep_full(
             uo_ref[:], po_ref[:], wl_scr[:], bh_ref[:], wu_scr[:],
             bv_ref[:], inv_ref[:], m_ref[:],
-            om_ref[i, 0], om_ref[i, 1], om_ref[i, 2],
+            om_ref[0, i], om_ref[1, i], om_ref[2, i],
         )
         po_ref[:] = new_prev
         uo_ref[:] = new_u
@@ -1730,7 +1740,7 @@ def _halo_block_rb_kernel(k, om_ref, m_ref, bh_ref, bv_ref, inv_ref, red_ref,
                           u_ref, uo_ref, wl_scr, wu_scr):
     """k red-black iterations over a halo-extended block in VMEM. The red
     checkerboard arrives as a plane (u8) because the block's global parity
-    origin is only known to the shard_map caller; omegas (k, 2) in SMEM."""
+    origin is only known to the shard_map caller; omegas (2, k) in SMEM."""
     del u_ref  # aliased into uo_ref
     wl_scr[:] = pltpu.roll(bh_ref[:], 1, 1)
     wu_scr[:] = pltpu.roll(bv_ref[:], 1, 0)
@@ -1739,7 +1749,7 @@ def _halo_block_rb_kernel(k, om_ref, m_ref, bh_ref, bv_ref, inv_ref, red_ref,
     def body(i, _):
         uo_ref[:] = _rb_iter_full(
             uo_ref[:], wl_scr[:], bh_ref[:], wu_scr[:], bv_ref[:],
-            inv_ref[:], m_ref[:], red, om_ref[i, 0], om_ref[i, 1],
+            inv_ref[:], m_ref[:], red, om_ref[0, i], om_ref[1, i],
         )
         return 0
 
@@ -1760,7 +1770,7 @@ def halo_block_rb_sweeps(u_e, bh_e, bv_e, inv_e, m_e, red_e, om,
         kern,
         out_shape=jax.ShapeDtypeStruct(shp, jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (k, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (2, k)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bv
@@ -1775,8 +1785,8 @@ def halo_block_rb_sweeps(u_e, bh_e, bv_e, inv_e, m_e, red_e, om,
         ],
         input_output_aliases={6: 0},
         interpret=interpret,
-    )(om, m_e.astype(jnp.uint8), bh_e, bv_e, inv_e, red_e.astype(jnp.uint8),
-      u_e)
+    )(jnp.asarray(om).T, m_e.astype(jnp.uint8), bh_e, bv_e, inv_e,
+      red_e.astype(jnp.uint8), u_e)
 
 
 def halo_block_sweeps(u_e, p_e, bh_e, bv_e, inv_e, m_e, abc, interpret=False):
@@ -1796,7 +1806,7 @@ def halo_block_sweeps(u_e, p_e, bh_e, bv_e, inv_e, m_e, abc, interpret=False):
             jax.ShapeDtypeStruct(shp, jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # abc (k, 3)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # abc (3, k)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bv
@@ -1814,4 +1824,4 @@ def halo_block_sweeps(u_e, p_e, bh_e, bv_e, inv_e, m_e, abc, interpret=False):
         ],
         input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
-    )(abc, m_e.astype(jnp.uint8), bh_e, bv_e, inv_e, u_e, p_e)
+    )(jnp.asarray(abc).T, m_e.astype(jnp.uint8), bh_e, bv_e, inv_e, u_e, p_e)
