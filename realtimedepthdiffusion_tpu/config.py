@@ -64,6 +64,16 @@ class DiffusionConfig:
     early_exit: bool = False
     # Residual check cadence when early_exit is on (sweeps between checks).
     residual_check_every: int = 25
+    # Early-exit residual metric, threshold tolerance*255 either way:
+    #   "rms" — root-mean-square of |relax(u) - u| over non-scribble pixels.
+    #           The metric that can actually fire at fine levels: the
+    #           max-norm is pinned at tens of gray levels by a handful of
+    #           stubborn weak-edge pixels even after the FULL iteration cap
+    #           (measured on Flower L0: max 31.9 vs rms 0.11 at the cap —
+    #           PERF.md round-3), so a max-norm exit silently degenerates to
+    #           fixed-count exactly where the time is spent.
+    #   "max" — max-norm (the round-2 semantics), strictly conservative.
+    residual_metric: str = "rms"
 
     # --- Solver variant: "jacobi_chebyshev" (reference), "jacobi",
     #     "red_black" (red-black Gauss-Seidel, BASELINE.json config #2) ---

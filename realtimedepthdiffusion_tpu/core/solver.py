@@ -146,6 +146,30 @@ def residual_norm(u: jnp.ndarray, mask: jnp.ndarray, wts: EdgeWeights) -> jnp.nd
     return jnp.max(jnp.abs(jnp.where(mask, 0.0, r)))
 
 
+def residual_rms(u: jnp.ndarray, mask: jnp.ndarray, wts: EdgeWeights) -> jnp.ndarray:
+    """RMS residual sqrt(mean |relax(u) - u|^2) over non-scribble pixels.
+
+    The early-exit metric that remains meaningful at fine cascade levels:
+    the max-norm is pinned by a few stubborn weak-edge pixels that do not
+    converge within the level's iteration budget at all (Flower L0 ends at
+    max 31.9 gray levels after the FULL cap while the RMS is 0.11), so a
+    max-norm exit never fires exactly where the time is spent."""
+    r = jnp.where(mask, 0.0, jacobi_sweep(u, wts) - u)
+    cnt = jnp.maximum(jnp.sum(jnp.where(mask, 0.0, 1.0)), 1.0)
+    return jnp.sqrt(jnp.sum(r * r) / cnt)
+
+
+def residual_metric_fn(cfg: DiffusionConfig):
+    """The residual functional selected by ``cfg.residual_metric``."""
+    try:
+        return {"max": residual_norm, "rms": residual_rms}[cfg.residual_metric]
+    except KeyError:
+        raise ValueError(
+            f"unknown residual_metric {cfg.residual_metric!r}; "
+            "expected 'rms' or 'max'"
+        ) from None
+
+
 def solve_jacobi_chebyshev(
     depth: jnp.ndarray,
     mask: jnp.ndarray,
@@ -237,8 +261,8 @@ def solve_red_black(
     over-relaxed by the cyclic-Chebyshev omega schedule (``rb_omegas``;
     plain Gauss-Seidel when ``cfg.rb_chebyshev`` is off). When
     ``early_exit`` the loop is a ``lax.while_loop`` that stops once the
-    max-norm residual drops below tolerance*255 (checked every
-    ``cfg.residual_check_every`` iterations).
+    residual (``cfg.residual_metric``: rms default, or max-norm) drops below
+    tolerance*255 (checked every ``cfg.residual_check_every`` iterations).
     """
     h, w = depth.shape
     red = red_black_parity(h, w)
@@ -257,6 +281,7 @@ def solve_red_black(
 
     tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
     chunk = max(int(cfg.residual_check_every), 1)
+    res_fn = residual_metric_fn(cfg)
 
     def cond(state):
         u, i, res = state
@@ -267,7 +292,7 @@ def solve_red_black(
         # Never exceed the iteration cap: the final chunk is truncated.
         n = jnp.minimum(jnp.int32(chunk), jnp.int32(iters) - i)
         u = jax.lax.fori_loop(i, i + n, one_iter, u)
-        return u, i + n, residual_norm(u, mask, wts)
+        return u, i + n, res_fn(u, mask, wts)
 
     u, _, _ = jax.lax.while_loop(cond, body, (u0, jnp.int32(0), jnp.float32(jnp.inf)))
     return u

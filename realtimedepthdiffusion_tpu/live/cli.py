@@ -16,6 +16,8 @@ plus headless extensions for CI/scripting (the reference is GUI-only):
     --early-exit       stop a level once the residual drops below tolerance
     --tolerance X      residual tolerance for --early-exit (default 1e-5,
                        the value the reference declares but never uses)
+    --residual-metric  rms | max — early-exit residual functional (default
+                       rms; max-norm cannot fire at fine levels, PERF.md)
     --rb-rho X         spectral-radius estimate for the red-black
                        cyclic-Chebyshev omegas (default 0.9999)
     --rb-plain         plain Gauss-Seidel red-black (disable the SOR omegas)
@@ -44,6 +46,7 @@ USAGE = (
     " --checkpoint F save full session state\n --resume F restore session state\n --backend xla|pallas|auto\n --solver jacobi_chebyshev|jacobi|red_black\n"
     " --multigrid cascadic|vcycle\n --incremental N windowed live re-solve budget\n"
     " --early-exit residual-tolerance early exit\n --tolerance X residual tolerance (default 1e-5)\n"
+    " --residual-metric rms|max early-exit residual functional (default rms)\n"
     " --rb-rho X red-black Chebyshev rho (default 0.9999)\n --rb-plain disable red-black SOR omegas\n"
     " --gray-pyramid opencv|floor gray-chain convention\n --time print timing report\n"
     " --trace DIR dump a jax.profiler trace of the solve\n --verbose debug logging\n"
@@ -70,6 +73,7 @@ class CliArgs:
     incremental: int = 0
     early_exit: bool = False
     tolerance: Optional[float] = None
+    residual_metric: Optional[str] = None
     rb_rho: Optional[float] = None
     rb_plain: bool = False
     gray_pyramid: str = "opencv"
@@ -133,6 +137,8 @@ def parse_args(argv: List[str]) -> CliArgs:
                 a.tolerance = float(val())
             except ValueError:
                 raise SystemExit(f"error: --tolerance expects a number\n{USAGE}")
+        elif arg == "--residual-metric":
+            a.residual_metric = val()
         elif arg == "--rb-rho":
             try:
                 a.rb_rho = float(val())
@@ -164,6 +170,8 @@ def make_config(a: CliArgs) -> DiffusionConfig:
         kw["rb_rho"] = a.rb_rho
     if a.rb_plain:
         kw["rb_chebyshev"] = False
+    if a.residual_metric is not None:
+        kw["residual_metric"] = a.residual_metric
     if a.tolerance is not None:
         kw["tolerance"] = a.tolerance
         # A tolerance given without --early-exit means "use it": the

@@ -1677,6 +1677,7 @@ def solve_level_red_black_pallas(
     h, w = depth.shape
     tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
     chunk = max(int(cfg.residual_check_every), 1)
+    res_fn = _xla.residual_metric_fn(cfg)
 
     def cond(state):
         u, i, res = state
@@ -1688,7 +1689,7 @@ def solve_level_red_black_pallas(
         u = _rb_pallas_iterations(
             u, mask, bh1, bv1, inv1, chunk, cfg, interpret, om=om
         )
-        return u, i + chunk, _xla.residual_norm(u, mask, wts)
+        return u, i + chunk, res_fn(u, mask, wts)
 
     u, i, res = lax.while_loop(
         cond, body, (u0, jnp.int32(0), jnp.float32(jnp.inf))

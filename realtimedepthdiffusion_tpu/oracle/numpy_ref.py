@@ -412,7 +412,12 @@ def solve_level_red_black(
         # implementations stop at the same iterate.
         if tolerance is not None and (i + 1) % check_every == 0:
             r = jacobi_sweep(u, wl, wr, wu, wd, inv_count)
-            res = np.max(np.abs(np.where(mask, F32(0.0), r - u)))
+            d = np.where(mask, F32(0.0), r - u)
+            if cfg.residual_metric == "max":
+                res = np.max(np.abs(d))
+            else:  # "rms" — core.solver.residual_rms semantics
+                cnt = max(float(np.sum(~mask)), 1.0)
+                res = np.sqrt(float(np.sum(d * d)) / cnt)
             if res < tolerance * F32(255.0):
                 break
     return u

@@ -169,8 +169,10 @@ def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
     iterations. Returns (u, iters_done, residual); when early exit is off,
     iters_done == iters and residual is +inf.
     """
-    from ..core.solver import rb_omegas
+    from ..core.solver import rb_omegas, residual_metric_fn
     from ..ops.pallas_sweep import halo_block_rb_sweeps
+
+    residual_metric_fn(cfg)  # validate the metric name at build time
 
     mode = _use_pallas(cfg)
     ew = 2 * k  # halo width per k-iteration block
@@ -252,8 +254,14 @@ def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
             return u_c
 
         def local_residual(u_c):
-            """Max-norm residual of this block, pmax'd to a global value
-            (core.solver.residual_norm semantics: |relax(u) - u| off-mask)."""
+            """Global residual in ``cfg.residual_metric`` semantics.
+
+            max: |relax(u) - u| off-mask, pmax'd over the spatial axes
+            (core.solver.residual_norm). rms: per-image sum-of-squares and
+            off-mask counts are psum'd over the spatial axes, so every chip
+            sees the same per-image RMS (core.solver.residual_rms); the gate
+            is the max over images — exit only when EVERY image in the batch
+            has converged — made global with a pmax over the batch axis."""
             u_1 = extend_with_halo(u_c, 1)
             r = jnp.clip(
                 (
@@ -267,8 +275,17 @@ def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
                 255.0,
             )
             d = jnp.abs(crop_halo(r, 1) - u_c)
-            res = jnp.max(jnp.where(m, 0.0, d))
-            res = lax.pmax(lax.pmax(res, "dy"), "dx")
+            if cfg.residual_metric == "max":
+                res = jnp.max(jnp.where(m, 0.0, d))
+                res = lax.pmax(lax.pmax(res, "dy"), "dx")
+                if batched:
+                    res = lax.pmax(res, "batch")
+                return res
+            sq = jnp.sum(jnp.where(m, 0.0, d * d), axis=(-2, -1))
+            cnt = jnp.sum(jnp.where(m, 0.0, 1.0), axis=(-2, -1))
+            sq = lax.psum(lax.psum(sq, "dy"), "dx")
+            cnt = lax.psum(lax.psum(cnt, "dy"), "dx")
+            res = jnp.max(jnp.sqrt(sq / jnp.maximum(cnt, 1.0)))
             if batched:
                 res = lax.pmax(res, "batch")
             return res

@@ -186,11 +186,12 @@ def test_cli_solver_flags_reach_config():
     a = parse_args([
         "-i", "x.jpg", "--incremental", "48", "--early-exit",
         "--tolerance", "2e-5", "--gray-pyramid", "floor",
-        "--solver", "red_black",
+        "--solver", "red_black", "--residual-metric", "max",
     ])
     cfg = make_config(a)
     assert cfg.incremental_iterations == 48
     assert cfg.early_exit is True
+    assert cfg.residual_metric == "max"
     assert cfg.tolerance == pytest.approx(2e-5)
     assert cfg.gray_pyramid == "floor"
     assert cfg.solver == "red_black"

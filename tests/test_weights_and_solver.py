@@ -255,21 +255,41 @@ def test_rb_beats_jacobi_quality_on_real_pair():
     assert rmse(run(cfg2)) <= rmse(run(cfg1))
 
 
-def test_red_black_early_exit(rng):
-    """With early exit the residual at return is below tolerance*255 (or the
-    iteration cap was hit) and the result stays close to the full run."""
+@pytest.mark.parametrize("metric", ["rms", "max"])
+def test_red_black_early_exit(rng, metric):
+    """With early exit the selected residual metric at return is below
+    tolerance*255 (or the iteration cap was hit) and the result stays close
+    to the full run."""
     gray, mask, val, depth = _case(rng, 32, 40)
-    cfg = DiffusionConfig(early_exit=True, tolerance=1e-4, residual_check_every=10)
+    cfg = DiffusionConfig(early_exit=True, tolerance=1e-4,
+                          residual_check_every=10, residual_metric=metric)
     jw = weights.edge_weights(jnp.asarray(gray), None, 1, 1, cfg)
     u = solver.solve_red_black(
         jnp.asarray(depth), jnp.asarray(mask), jw, 5000, cfg
     )
-    res = float(solver.residual_norm(u, jnp.asarray(mask), jw))
+    res = float(solver.residual_metric_fn(cfg)(u, jnp.asarray(mask), jw))
     assert res < 1e-4 * 255.0
     # Dirichlet pixels still pinned, result in the solver's bounded range.
     got = np.asarray(u)
     assert np.array_equal(got[mask], depth[mask])
     assert got.min() >= 0.0 and got.max() <= 255.0
+
+
+def test_residual_metric_fn(rng):
+    """rms <= max pointwise (Cauchy-Schwarz on the residual field), both
+    agree on a converged field, and unknown names are rejected loudly."""
+    gray, mask, val, depth = _case(rng, 24, 32)
+    jw = weights.edge_weights(jnp.asarray(gray), None, 1, 1, CFG)
+    u = solver.solve_red_black(jnp.asarray(depth), jnp.asarray(mask), jw, 40,
+                               DiffusionConfig(solver="red_black"))
+    r_max = float(solver.residual_norm(u, jnp.asarray(mask), jw))
+    r_rms = float(solver.residual_rms(u, jnp.asarray(mask), jw))
+    assert 0.0 <= r_rms <= r_max
+    assert solver.residual_metric_fn(DiffusionConfig()) is solver.residual_rms
+    assert (solver.residual_metric_fn(DiffusionConfig(residual_metric="max"))
+            is solver.residual_norm)
+    with pytest.raises(ValueError, match="residual_metric"):
+        solver.residual_metric_fn(DiffusionConfig(residual_metric="l7"))
 
 
 def test_subnormal_flush_boundary():

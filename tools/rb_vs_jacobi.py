@@ -1,14 +1,18 @@
 """Config #2 (red-black + early exit) vs config #1 (Jacobi fixed-count)
 across the 12 reference dataset pairs: per-pair chained wall-clock and the
-RMSE between the two solutions (equal-quality evidence). Run ON the TPU:
+RMSE of each solution against an 8x-iteration jacobi_chebyshev truth
+(equal-quality evidence). Run ON the TPU:
 
-    python tools/rb_vs_jacobi.py [K] [pairs...]
+    python tools/rb_vs_jacobi.py [K] [--tols 3e-3,1e-2] [pairs...]
 
-Emits one JSON line per pair:
-  {"pair": ..., "jacobi_ms": ..., "rb_ms": ..., "rb_wins": ...,
-   "jacobi_rmse": ..., "rb_rmse": ...}
-(RMSEs are against an 8x-iteration converged truth, normalized to [0,1] —
-the equal-or-better-quality evidence) and a summary line with the win count.
+Arms: "jacobi" (plain fixed-count — BASELINE config #1 as benched),
+"jch" (jacobi_chebyshev — the reference's actual 1937-sweep schedule, the
+stronger baseline), and one "rb@tol" per requested tolerance (red-black
+SOR + residual early exit — config #2). Emits one JSON line per pair:
+  {"pair": ..., "shape": ..., "ms": {arm: ...}, "rmse": {arm: ...},
+   "rb_wins_vs_jacobi": ..., "rb_wins_vs_jch": ...}
+(win = first rb arm no slower AND no worse RMSE than that baseline) and a
+summary line with both win counts.
 """
 
 from __future__ import annotations
@@ -29,8 +33,14 @@ _DATASET = [
 
 
 def main() -> int:
-    K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    names = sys.argv[2:] or _DATASET
+    argv = list(sys.argv[1:])
+    tols = [3e-3]
+    if "--tols" in argv:
+        i = argv.index("--tols")
+        tols = [float(t) for t in argv[i + 1].split(",")]
+        del argv[i : i + 2]
+    K = int(argv.pop(0)) if argv and argv[0].isdigit() else 8
+    names = argv or _DATASET
 
     from bench import _enable_compile_cache
 
@@ -44,11 +54,16 @@ def main() -> int:
     from realtimedepthdiffusion_tpu.core.color import rgb_to_gray
     from realtimedepthdiffusion_tpu.io import imread_rgb, load_annotation
 
-    cfg1 = DiffusionConfig(solver="jacobi")
-    cfg2 = DiffusionConfig(solver="red_black", early_exit=True,
-                           tolerance=3e-3, residual_check_every=25)
+    cfgs = {"jacobi": DiffusionConfig(solver="jacobi"),
+            "jch": DiffusionConfig(solver="jacobi_chebyshev")}
+    for tol in tols:
+        cfgs[f"rb@{tol:g}"] = DiffusionConfig(
+            solver="red_black", early_exit=True, tolerance=tol,
+            residual_check_every=25,
+        )
+    rb0 = f"rb@{tols[0]:g}"
 
-    def chained_ms(step, state0, n=3):
+    def chained_fns(step, state0):
         def chain(k):
             return jax.jit(
                 lambda s: jax.lax.fori_loop(0, k, lambda i, ss: step(ss), s)
@@ -57,18 +72,33 @@ def main() -> int:
         f1, fk = chain(1), chain(K)
         jax.block_until_ready(f1(state0))
         jax.block_until_ready(fk(state0))
+        return f1, fk, state0
 
-        def env(f):
-            best = 1e9
-            for _ in range(n):
+    def interleaved_ms(arms, n=4):
+        """Per-frame ms for each arm, measured in interleaved rounds (the
+        tools/ab.py methodology: sequential arms read tunnel weather, not
+        engineering — round-3's first harness run attributed a 3.4x noise
+        spike to config #1 this way). Median over reps per envelope."""
+        import statistics
+
+        envs = {tag: {"f1": [], "fk": []} for tag in arms}
+        for _ in range(n):
+            for tag, (f1, fk, s0) in arms.items():
                 t0 = time.perf_counter()
-                jax.block_until_ready(f(state0))
-                best = min(best, time.perf_counter() - t0)
-            return best * 1000
-
-        return (env(fk) - env(f1)) / (K - 1)
+                jax.block_until_ready(f1(s0))
+                envs[tag]["f1"].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                jax.block_until_ready(fk(s0))
+                envs[tag]["fk"].append(time.perf_counter() - t0)
+        return {
+            tag: 1000.0
+            * (statistics.median(e["fk"]) - statistics.median(e["f1"]))
+            / (K - 1)
+            for tag, e in envs.items()
+        }
 
     wins = 0
+    wins_jch = 0
     done = 0
     for name in names:
         img = f"/root/reference/dataset/images/{name}.jpg"
@@ -83,46 +113,54 @@ def main() -> int:
 
         import dataclasses
 
-        results = {}
         sols = {}
-        cfg_t = dataclasses.replace(cfg1, max_iterations=8 * cfg1.max_iterations)
+        arms = {}
+        cfg_t = dataclasses.replace(
+            cfgs["jch"], max_iterations=8 * cfgs["jch"].max_iterations
+        )
         gp_t = jax.jit(lambda g: multigrid.build_gray_pyramid(g, cfg_t))(gray0)
         st_t = multigrid.initial_depth_state(h, w, cfg_t)
         truth, _ = jax.jit(
             lambda m, v, s: multigrid.solve_cascade(gp_t, m, v, s, cfg_t)
         )(mask_d, value_d, st_t)
         truth = np.asarray(truth)
-        for tag, cfg in (("jacobi", cfg1), ("rb", cfg2)):
+        for tag, cfg in cfgs.items():
             gp = jax.jit(lambda g: multigrid.build_gray_pyramid(g, cfg))(gray0)
             jax.block_until_ready(gp)
 
-            def step(state):
+            def step(state, gp=gp, cfg=cfg):
                 _, s = multigrid.solve_cascade(gp, mask_d, value_d, state, cfg)
                 return s
 
             st0 = multigrid.initial_depth_state(h, w, cfg)
-            results[tag] = chained_ms(step, st0)
+            arms[tag] = chained_fns(step, st0)
             d, _ = jax.jit(
                 lambda m, v, s: multigrid.solve_cascade(gp, m, v, s, cfg)
             )(mask_d, value_d, st0)
             sols[tag] = np.asarray(d)
+        results = interleaved_ms(arms)
 
         r2t = lambda a: float(np.sqrt(np.mean(((a - truth) / 255.0) ** 2)))
-        rb_wins = (results["rb"] < results["jacobi"]) and (
-            r2t(sols["rb"]) <= r2t(sols["jacobi"])
-        )
-        wins += bool(rb_wins)
+        rmse = {tag: round(r2t(s), 6) for tag, s in sols.items()}
+
+        def beats(base):
+            return (results[rb0] <= results[base]) and (rmse[rb0] <= rmse[base])
+
+        w1, w2 = beats("jacobi"), beats("jch")
+        wins += bool(w1)
+        wins_jch += bool(w2)
         done += 1
         print(json.dumps({
             "pair": name, "shape": [h, w],
-            "jacobi_ms": round(results["jacobi"], 3),
-            "rb_ms": round(results["rb"], 3),
-            "rb_wins": bool(rb_wins),
-            "jacobi_rmse": round(r2t(sols["jacobi"]), 6),
-            "rb_rmse": round(r2t(sols["rb"]), 6),
+            "ms": {t: round(v, 3) for t, v in results.items()},
+            "rmse": rmse,
+            "rb_wins_vs_jacobi": bool(w1),
+            "rb_wins_vs_jch": bool(w2),
         }), flush=True)
 
-    print(json.dumps({"summary": f"rb wins {wins}/{done}"}), flush=True)
+    print(json.dumps({
+        "summary": f"rb wins {wins}/{done} vs jacobi, {wins_jch}/{done} vs jch"
+    }), flush=True)
     return 0
 
 
