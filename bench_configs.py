@@ -97,10 +97,11 @@ def main():
     emit("config1 jacobi cascade 1080p (fixed 1937 sweeps)", ms)
 
     # 2. Red-black GS + residual early exit (tolerance honored).
-    # tolerance 3e-3 = the round-3 sweep's operating point: beats config #1
-    # on BOTH solution RMSE-to-truth (~2x better) and relaxation count
-    # (~0.7x) across the dataset (PERF.md round-3).
-    cfg2 = DiffusionConfig(solver="red_black", early_exit=True, tolerance=3e-3,
+    # tolerance 1e-3 on the RMS residual metric = the round-3 sweep's
+    # operating point: beats even the reference's Chebyshev-Jacobi schedule
+    # on BOTH wall-clock (~2x) and RMSE-to-truth across the dataset
+    # (tools/rb_vs_jacobi.py, PERF.md round-3).
+    cfg2 = DiffusionConfig(solver="red_black", early_exit=True, tolerance=1e-3,
                            residual_check_every=25)
     ms = chained_ms(cascade_step(cfg2, gp), multigrid.initial_depth_state(h, w, cfg2))
     emit("config2 red-black GS + early exit 1080p", ms)

@@ -318,8 +318,11 @@ class DepthSession:
                 self.depth_state,
             )
         )
-        parts = [f"L{l}={r:.4f}" for l, r in enumerate(res)]
-        return "Residual (max-norm, per level): " + "  ".join(parts)
+        parts = [
+            f"L{l}=max {mx:.4f}/rms {rm:.4f}"
+            for l, (mx, rm) in enumerate(zip(res[0], res[1]))
+        ]
+        return "Residual (per level): " + "  ".join(parts)
 
     def timing_report(self) -> str:
         """'t' key: the last solve's wall time + per-stage breakdown (the

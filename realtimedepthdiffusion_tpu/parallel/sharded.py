@@ -160,9 +160,10 @@ def _sharded_level_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
 def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
                          batched: bool = False):
     """Build the shard_map'd red-black Gauss-Seidel solver for one level
-    geometry, with the optional residual early exit made global by a pmax
-    over the spatial mesh axes: every chip sees the same max-norm residual,
-    so all agree on the stopping iteration (BASELINE config #2, multi-chip).
+    geometry, with the optional residual early exit made global by a
+    pmax/psum over the spatial mesh axes: every chip sees the same residual
+    (``cfg.residual_metric``: rms default or max-norm), so all agree on the
+    stopping iteration (BASELINE config #2, multi-chip).
 
     One red-black iteration advances the dependency cone two rings (black
     reads red-updated neighbors), so blocks exchange a 2k-wide halo per k

@@ -107,11 +107,13 @@ class DepthPipeline:
         )
 
         def _residuals(gray_pyr, mask0, value0, depth_state):
-            # Per-level max-norm residuals of the current depth state — the
-            # convergence observability the reference lacks (its deviceError
-            # buffer is dead, SURVEY.md quirk #2).
+            # Per-level residuals of the current depth state, both norms
+            # (max row 0, rms row 1) — the convergence observability the
+            # reference lacks (its deviceError buffer is dead, SURVEY.md
+            # quirk #2). Showing both explains early-exit behavior: the
+            # rms is what cfg.residual_metric='rms' gates on.
             from .core.multigrid import build_annotation_pyramids
-            from .core.solver import residual_norm
+            from .core.solver import residual_norm, residual_rms
             from .core.weights import edge_weights
 
             masks, _ = build_annotation_pyramids(mask0, value0, cfg)
@@ -119,8 +121,11 @@ class DepthPipeline:
             res = []
             for l in range(len(gray_pyr)):
                 wts = edge_weights(gray_pyr[l], depth_state[l], l, L, cfg)
-                res.append(residual_norm(depth_state[l], masks[l], wts))
-            return jnp.stack(res)
+                res.append(jnp.stack([
+                    residual_norm(depth_state[l], masks[l], wts),
+                    residual_rms(depth_state[l], masks[l], wts),
+                ]))
+            return jnp.stack(res, axis=1)
 
         self._residuals = jax.jit(_residuals)
 
@@ -169,7 +174,8 @@ class DepthPipeline:
         return self._to_u8(depth0)
 
     def residuals(self, gray_pyr, mask0, value0, depth_state) -> jnp.ndarray:
-        """Per-level max-norm residuals of a depth state (coarse last)."""
+        """Per-level residuals of a depth state, shape (2, levels): row 0
+        max-norm, row 1 rms (coarse last)."""
         return self._residuals(gray_pyr, mask0, value0, depth_state)
 
 

@@ -85,10 +85,14 @@ def test_residual_report():
     s.value_np[:] = value
     s.solve()
     rep = s.residual_report()
-    assert "L0=" in rep
-    # residuals are small after a full solve
-    vals = [float(x.split("=")[1]) for x in rep.split(":")[1].split()]
-    assert all(v < 5.0 for v in vals)
+    assert "L0=max" in rep and "/rms" in rep
+    # both norms are small after a full solve, and rms <= max per level
+    import re
+
+    pairs = re.findall(r"max ([0-9.]+)/rms ([0-9.]+)", rep)
+    assert pairs
+    for mx, rm in pairs:
+        assert float(rm) <= float(mx) < 5.0
 
 
 def test_session_checkpoint_roundtrip(tmp_path):
