@@ -145,6 +145,14 @@ class DiffusionConfig:
     # 1080-row level prefers k=8 — PERF.md).
     pallas_iter_block_small: int = 16
     pallas_small_level_rows: int = 768
+    # Deeper iteration block for the u8 derived-weights arena route (4K+):
+    # the per-grid-step in-kernel weight materialization (~40 VPU ops/px)
+    # amortizes over the block's sweeps, and k=12 shares k=8's pad_rows
+    # (ceil(13/8)*8 == ceil(9/8)*8 == 16) so the deeper block costs zero
+    # extra halo rows. Median K=6 A/B at 4K on v5e: 6.28 (k=8) -> 5.93 ms
+    # (k=12); k=16 measured equal to k=12 but needs pad_rows=24
+    # (tools/ab_4k.py, PERF.md).
+    pallas_iter_block_uarena: int = 12
 
     # --- Measured Pallas kernel variants (PERF.md carries the A/Bs). Each
     #     default is the measured winner on TPU v5e; the losers stay

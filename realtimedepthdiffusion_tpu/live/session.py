@@ -255,6 +255,7 @@ class DepthSession:
         annotated image doubles as the resumable checkpoint via
         save_annotation's sentinel encoding."""
         with self.timer.stage("save"):
+            os.makedirs(out_dir, exist_ok=True)
             mask_np = self.mask_np.astype(bool)
             value_np = self.value_np
             p1 = os.path.join(out_dir, "AnnotatedImage.png")

@@ -866,6 +866,16 @@ def solve_level_strips(
         not arena
         and _uarena_bytes(wp2, block_h + 2 * pad_rows, n_strips) <= cap
     )
+    if uarena and int(cfg.pallas_iter_block_uarena) > k:
+        # Deeper iteration block on the derived-weights route: the per-step
+        # weight materialization amortizes over k sweeps (config.py carries
+        # the 4K A/B). Re-derive the halo geometry and keep the bump only if
+        # the arena still fits with the (possibly) taller slabs.
+        k2 = int(cfg.pallas_iter_block_uarena)
+        pr2 = -(-(k2 + 1) // 8) * 8
+        if _uarena_bytes(wp2, block_h + 2 * pr2, n_strips) <= cap:
+            k, pad_rows = k2, pr2
+            block_h, n_strips, hp = geometry(block_h)
     if not (arena or uarena):
         # The per-step-DMA fallback runs under the default 16 MiB scoped-VMEM
         # budget (the arena kernels request their own limit); clamp block_h

@@ -219,10 +219,13 @@ def test_rb_omega_schedule_properties():
 
 @pytest.mark.slow
 def test_rb_beats_jacobi_quality_on_real_pair():
-    """The shipped config #2 claim at reduced scale: on a real (downscaled)
-    dataset pair with the default budgets, red-black + cyclic-Chebyshev +
-    early exit reaches AT LEAST the solution quality of the reference
-    Jacobi-Chebyshev schedule (RMSE against an 8x-converged truth). The
+    """The shipped config #2 claim: on a real dataset pair at FULL
+    resolution with the shipped operating point (tol 1e-3, RMS metric),
+    red-black + cyclic-Chebyshev + early exit reaches AT LEAST the solution
+    quality of the reference Jacobi-Chebyshev schedule (RMSE against an
+    8x-converged truth). Full resolution matters: at half scale the pyramid
+    is one level shorter and the same tolerance exits relatively earlier,
+    flipping the comparison — the claim is about the shipped geometry. The
     wall-clock half of the claim is measured on hardware
     (tools/rb_vs_jacobi.py, PERF.md round-3)."""
     import dataclasses
@@ -231,11 +234,10 @@ def test_rb_beats_jacobi_quality_on_real_pair():
     from realtimedepthdiffusion_tpu.core.color import rgb_to_gray
     from realtimedepthdiffusion_tpu.io import imread_rgb, load_annotation
 
-    rgb = imread_rgb("/root/reference/dataset/images/Dog.jpg")[::2, ::2]
+    rgb = imread_rgb("/root/reference/dataset/images/Dog.jpg")
     mask, value = load_annotation(
         "/root/reference/dataset/annotations/Dog.png"
     )
-    mask, value = mask[::2, ::2], value[::2, ::2]
     h, w = rgb.shape[:2]
     gray0 = rgb_to_gray(jnp.asarray(np.ascontiguousarray(rgb)))
     jm = jnp.asarray(np.ascontiguousarray(mask))
@@ -251,7 +253,7 @@ def test_rb_beats_jacobi_quality_on_real_pair():
     truth = run(dataclasses.replace(cfg1, max_iterations=8 * cfg1.max_iterations))
     rmse = lambda a: float(np.sqrt(np.mean(((a - truth) / 255.0) ** 2)))
     cfg2 = DiffusionConfig(solver="red_black", early_exit=True,
-                           tolerance=3e-3, residual_check_every=25)
+                           tolerance=1e-3, residual_check_every=25)
     assert rmse(run(cfg2)) <= rmse(run(cfg1))
 
 

@@ -46,9 +46,14 @@ def main() -> int:
 
     # Default: f32 arena overflows at 4K -> derived-weights u8 arena.
     # cap=0 also rejects the u8 arena -> round 2's per-step-DMA fallback.
+    # k=12/16 arms: deeper iteration blocks amortize the per-grid-step
+    # in-kernel weight materialization (~40 VPU ops/px) over more sweeps,
+    # at the cost of more halo rows (pad_rows 16 -> 24).
     ab(
         {
-            "uarena": solve(DiffusionConfig()),
+            "uarena-k8": solve(DiffusionConfig(pallas_iter_block_uarena=8)),
+            "uarena-k12": solve(DiffusionConfig()),  # shipped default
+            "uarena-k16": solve(DiffusionConfig(pallas_iter_block_uarena=16)),
             "dma-fallback": solve(DiffusionConfig(pallas_arena_vmem_cap=0)),
         },
         d0, K=K, reps=reps,
