@@ -6,7 +6,8 @@ plus headless extensions for CI/scripting (the reference is GUI-only):
 
     --headless         run without windows
     --solve            perform one solve (headless)
-    --effect b|g|h     render an effect after solving (headless)
+    --effect b|g|h     render an effect after solving (headless);
+                       long names refocus/desaturation/haze also accepted
     --save-dir DIR     write AnnotatedImage/DepthMap/ArtisticEffect PNGs
     --backend ...      xla | pallas | auto (default auto)
     --solver ...       jacobi_chebyshev | jacobi | red_black
@@ -39,10 +40,17 @@ from ..config import DiffusionConfig
 from ..io import imread_rgb
 
 USAGE_SHORT = "Usage: depth-diffusion -i ImageFile.Extension"
+
+# --effect accepts the GUI key letters plus their long names.
+_EFFECT_NAMES = {
+    "b": "b", "refocus": "b", "defocus": "b",
+    "g": "g", "grayscale": "g", "desaturation": "g", "desaturate": "g",
+    "h": "h", "haze": "h",
+}
 USAGE = (
     "Usage:\n -i input image\n -a annotated image\n --live solve every frame\n"
     " --headless run without GUI\n --solve run one solve (headless)\n"
-    " --effect b|g|h artistic effect\n --save-dir DIR output directory\n"
+    " --effect b|g|h (refocus|desaturation|haze) artistic effect\n --save-dir DIR output directory\n"
     " --checkpoint F save full session state\n --resume F restore session state\n --backend xla|pallas|auto\n --solver jacobi_chebyshev|jacobi|red_black\n"
     " --multigrid cascadic|vcycle\n --incremental N windowed live re-solve budget\n"
     " --early-exit residual-tolerance early exit\n --tolerance X residual tolerance (default 1e-5)\n"
@@ -106,7 +114,17 @@ def parse_args(argv: List[str]) -> CliArgs:
         elif arg == "--solve":
             a.solve = True
         elif arg == "--effect":
-            a.effect = val()
+            # Accept the reference's key letters (src/main.cpp:190-230) and
+            # their long names; reject anything else loudly — a silently
+            # ignored effect saves the reference's all-zeros ArtisticEffect
+            # (main.cpp:94,314-316), which reads as a broken run.
+            v = val().lower()
+            a.effect = _EFFECT_NAMES.get(v)
+            if a.effect is None:
+                raise SystemExit(
+                    f"error: unknown --effect {v!r} "
+                    f"(choose from {sorted(_EFFECT_NAMES)})\n{USAGE}"
+                )
         elif arg == "--save-dir":
             a.save_dir = val()
         elif arg == "--checkpoint":

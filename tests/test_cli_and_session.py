@@ -110,6 +110,20 @@ def test_cli_missing_flag_value():
         parse_args(["-i"])
 
 
+def test_cli_effect_names():
+    """--effect takes the GUI key letters or long names; an unknown value
+    errors loudly (silently dropping it would save the reference's all-zeros
+    ArtisticEffect, main.cpp:94,314-316 — indistinguishable from a crash)."""
+    import pytest as _pytest
+
+    for v, key in [("b", "b"), ("refocus", "b"), ("DEFOCUS", "b"),
+                   ("g", "g"), ("desaturation", "g"),
+                   ("h", "h"), ("haze", "h")]:
+        assert parse_args(["-i", "x.jpg", "--effect", v]).effect == key
+    with _pytest.raises(SystemExit, match="unknown --effect"):
+        parse_args(["-i", "x.jpg", "--effect", "sepia"])
+
+
 def test_gui_key_state_machine():
     """The GUI key contract as a displayless state machine (the reference's
     src/main.cpp:180-334 bindings), including the idle-frame/live semantics."""
