@@ -58,6 +58,7 @@ def test_incremental_parity_dataset():
     assert np.array_equal(d_inc[m2], v2[m2].astype(np.float32))
 
 
+@pytest.mark.slow
 def test_incremental_parity_synthetic_sparse():
     """Worst-case: ultra-sparse annotations (0.4% coverage) where one new
     scribble rebalances the whole harmonic field. The localized solve's

@@ -13,7 +13,17 @@ from realtimedepthdiffusion_tpu.models import (
 from tests.conftest import synthetic_pair
 
 
-@pytest.mark.parametrize("family", [ChebyshevCascade, JacobiCascade, RedBlackCascade, VCycle])
+@pytest.mark.parametrize(
+    "family",
+    [
+        ChebyshevCascade,
+        JacobiCascade,
+        RedBlackCascade,
+        # VCycle solves twice the levels; its residual property is anchored
+        # fast in test_multigrid.py, the family smoke rides slow.
+        pytest.param(VCycle, marks=pytest.mark.slow),
+    ],
+)
 def test_model_families_solve(family):
     rgb, mask, value = synthetic_pair(64, 80, 4)
     model = family(max_iterations=60)

@@ -258,7 +258,15 @@ def test_full_cascade_pallas_interpret_backend():
     assert rmse <= 1e-3, rmse
 
 
-@pytest.mark.parametrize("variant", ["stacked", "coldiff"])
+@pytest.mark.parametrize(
+    "variant",
+    [
+        "coldiff",
+        # stacked is an off-default measured-record variant (PERF.md); its
+        # interpret-mode bit-parity is heavy and rides in the slow set.
+        pytest.param("stacked", marks=pytest.mark.slow),
+    ],
+)
 def test_defocus_variant_kernels_bitexact(rng, variant):
     """The alternative defocus marching schemes — 'stacked' (all 3 channels
     vertically stacked in one slab, one grid step per strip) and 'coldiff'

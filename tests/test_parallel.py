@@ -335,6 +335,7 @@ def test_batched_step_defocus_pallas_interpret(rng):
     np.testing.assert_array_equal(np.asarray(out), want)
 
 
+@pytest.mark.slow
 def test_sharded_defocus_thin_block_fallback(rng):
     """Per-chip blocks thinner than the defocus halo (ew = max_half+1) can't
     be served by the halo exchange (the neighbor slices would silently
