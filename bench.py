@@ -103,7 +103,13 @@ def main():
             return jax.lax.fori_loop(0, k, body, (state, rgb_arg))
         return jax.jit(run)
 
-    K = 16
+    # K=32 frames per chain: per-frame time is (t(K)-t(1))/(K-1), so every
+    # millisecond of relay/queue noise in one envelope pollutes the per-frame
+    # figure by 1/(K-1) — doubling K from 16 halved the noise floor of the
+    # reported number (the tunnel's weather moved round-2 readings by ~0.3 ms
+    # at K=16). Envelopes take the MIN over 5 runs: the noise is strictly
+    # additive (RTT + queuing), so the min converges on true device time.
+    K = 32
     f1, fk = chained(1), chained(K)
 
     t0 = time.perf_counter()
@@ -115,7 +121,7 @@ def main():
     _ = float(out.astype(jnp.float32).sum())
     log(f"compile+first f{K}: {time.perf_counter() - t0:.1f}s")
 
-    def envelope(f, n=3):
+    def envelope(f, n=5):
         best = float("inf")
         for _ in range(n):
             t0 = time.perf_counter()
