@@ -197,6 +197,16 @@ class DiffusionConfig:
     # measurement: scaling the resident kernel UP loses to the strip
     # megakernel well before physical VMEM runs out (PERF.md lesson #4).
     pallas_resident_vmem_budget: int = 6 * 1024 * 1024
+    # Manual partial-unroll factor for the VMEM-resident kernel's sweep
+    # loop (Mosaic's fori_loop supports only unroll=1 or full unroll).
+    # Measured (tools/ab_unroll.py, interleaved K=32 on v5e): unroll=4 buys
+    # ~7% on the in-context L4..L2 arm (1.027 -> 0.955 ms, spreads overlap)
+    # — the coarse levels are dependency-chain-bound, not loop-overhead-
+    # bound. Default 1: value-chaining sweeps inside an unrolled block lets
+    # Mosaic contract FMAs across sweep boundaries (~6e-6 drift vs the
+    # store-per-sweep form), and shifting the DEFAULT path's bits is not
+    # worth 0.07 ms/frame.
+    pallas_resident_unroll: int = 1
     # Defocus marching scheme: "corners" = 4 running corner slabs, one
     # (channel x strip) grid step each (the round-2 kernel); "stacked" = the
     # 3 channels ride one vertically-stacked slab per strip (shared

@@ -105,27 +105,43 @@ def _abc_schedule(iters, cfg):
     return np.stack([a, om - a, np.float32(1.0) - om], axis=1)
 
 
-def _resident_kernel(iters, om_ref, m_ref, bh_ref, bv_ref,
+def _resident_kernel(iters, unroll, om_ref, m_ref, bh_ref, bv_ref,
                      inv_ref, u_ref, out_ref, prev_scr, wl_scr, wu_scr):
     """All `iters` sweeps with every plane VMEM-resident. u_ref is aliased to
     out_ref (so out_ref starts holding the seeded input); prev_scr is the
-    Chebyshev history scratch; wl/wu are rolled once into scratch."""
+    Chebyshev history scratch; wl/wu are rolled once into scratch.
+
+    The sweep loop is manually partial-unrolled (cfg.pallas_resident_unroll):
+    coarse levels are a few vregs, so the sweep chain is latency-bound and
+    per-iteration scalar loop overhead is a real fraction of the cost
+    (tools/ab_levels.py). Mosaic's fori_loop only supports unroll=1 or full
+    unroll, so the body chains `unroll` sweeps through VALUES (one VMEM
+    read-modify-write per block of sweeps) and the caller pads the omega
+    table with identity rows (a, b, c) = (0, 1, 0) — an identity row leaves
+    u unchanged (out = 0*r + 1*u + 0*prev) and only trails the LAST real
+    sweep, where its clobbering of prev is unread."""
     del u_ref  # aliased: out_ref already contains the input state
     prev_scr[:] = jnp.zeros_like(prev_scr)
     wl_scr[:] = pltpu.roll(bh_ref[:], 1, 1)
     wu_scr[:] = pltpu.roll(bv_ref[:], 1, 0)
 
+    unroll = max(int(unroll), 1)
+    n_blocks = -(-iters // unroll)  # omega table is padded to n_blocks*unroll
+
     def body(i, _):
-        new_u, new_prev = _sweep_full(
-            out_ref[:], prev_scr[:], wl_scr[:], bh_ref[:], wu_scr[:],
-            bv_ref[:], inv_ref[:], m_ref[:],
-            om_ref[0, i], om_ref[1, i], om_ref[2, i],
-        )
-        prev_scr[:] = new_prev
-        out_ref[:] = new_u
+        u, prev = out_ref[:], prev_scr[:]
+        for j in range(unroll):
+            t = i * unroll + j
+            u, prev = _sweep_full(
+                u, prev, wl_scr[:], bh_ref[:], wu_scr[:],
+                bv_ref[:], inv_ref[:], m_ref[:],
+                om_ref[0, t], om_ref[1, t], om_ref[2, t],
+            )
+        prev_scr[:] = prev
+        out_ref[:] = u
         return 0
 
-    lax.fori_loop(0, iters, body, 0, unroll=False)
+    lax.fori_loop(0, n_blocks, body, 0, unroll=False)
 
 
 def solve_level_resident(
@@ -149,9 +165,17 @@ def solve_level_resident(
     # minor dim to 128 lanes, so an (iters, 3) table costs 512 B/iteration
     # and overflows the 1 MiB SMEM at ~2048 iterations (a truth run at 8x
     # the reference schedule failed to compile); (3, iters) costs 12 B.
-    omegas = jnp.asarray(_abc_schedule(iters, cfg).T)
+    # Pad the (iters, 3) schedule to a multiple of the unroll factor with
+    # identity rows (0, 1, 0): each leaves u unchanged (see _resident_kernel).
+    unroll = max(int(cfg.pallas_resident_unroll), 1)
+    abc = _abc_schedule(iters, cfg)
+    pad = -iters % unroll
+    if pad:
+        ident = np.tile(np.asarray([0.0, 1.0, 0.0], np.float32), (pad, 1))
+        abc = np.concatenate([abc, ident], axis=0)
+    omegas = jnp.asarray(abc.T)
 
-    kernel = functools.partial(_resident_kernel, iters)
+    kernel = functools.partial(_resident_kernel, iters, unroll)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((h + 2, w + 2), jnp.float32),

@@ -38,6 +38,34 @@ def test_resident_kernel_matches_xla(rng, iters):
     assert np.array_equal(got[mask], depth[mask])
 
 
+@pytest.mark.parametrize("iters", [7, 9, 25])
+def test_resident_unroll_parity_band(rng, iters):
+    """cfg.pallas_resident_unroll chains sweeps through values inside the
+    unrolled block (remainder via identity omega rows), which only moves
+    bits by cross-sweep FMA contraction — outputs must agree with unroll=1
+    to ~1e-4 and scribbles must stay pinned for every factor, divisible or
+    not (7/3 and 9/4 exercise the identity-row remainder path)."""
+    import dataclasses
+
+    gray, mask, depth = _case(rng, 49, 67)
+    base = np.asarray(
+        ps.solve_level_resident(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, iters, CFG,
+            interpret=True,
+        )
+    )
+    for unroll in (3, 4):
+        cfg = dataclasses.replace(CFG, pallas_resident_unroll=unroll)
+        got = np.asarray(
+            ps.solve_level_resident(
+                jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, iters, cfg,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, base, atol=1e-4)
+        assert np.array_equal(got[mask], depth[mask])
+
+
 @pytest.mark.parametrize("iters,block_h", [(16, 16), (25, 16), (7, 8)])
 def test_strip_kernel_matches_xla(rng, iters, block_h):
     gray, mask, depth = _case(rng, 49, 67)
