@@ -834,13 +834,20 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
     return lambda om, *rest: call(om.T, *rest)
 
 
-def _auto_block_h(h: int) -> int:
+def _auto_block_h(h: int, deep_block: bool = False) -> int:
     """Strip height near the measured 128-row sweet spot, but with the strip
     count ROUNDED so the ragged last strip is absorbed instead of padded:
-    1080 rows -> 8x136 (0.7% pad rows, vs 6.7% for 9x128), 540 -> 4x136
-    (24% fewer halo+pad rows than 5x128). Keeps >= 4 strips (the
-    state-prefetch viability bound)."""
-    n = max(4, (h + 64) // 128)
+    1080 rows -> 8x136 (0.7% pad rows, vs 6.7% for 9x128). Keeps >= 4
+    strips (the state-prefetch viability bound) — except on deep-block
+    levels (h <= cfg.pallas_small_level_rows run k=16, so every block
+    recomputes 2k=32 halo rows per strip): there, halving the strip count
+    halves that redundancy, and the K=32 interleaved A/B reads 540 rows at
+    2x272 = 0.606 ms vs 4x136 = 0.731 (1080 rows, k=8: 136 and 272 tie at
+    1.34, 544 is worse — VMEM slab pressure)."""
+    if deep_block:
+        n = max(2, (h + 128) // 256)
+    else:
+        n = max(4, (h + 64) // 128)
     return -(-(-(-h // n)) // 8) * 8
 
 
@@ -857,10 +864,11 @@ def solve_level_strips(
 ) -> jnp.ndarray:
     """Strip-blocked solve: ALL iterations in one megakernel launch."""
     h, w = depth.shape
+    deep_block = h <= cfg.pallas_small_level_rows
     if block_h is None:
-        block_h = _auto_block_h(h)
+        block_h = _auto_block_h(h, deep_block)
     k = max(int(cfg.pallas_iter_block), 1)
-    if h <= cfg.pallas_small_level_rows:
+    if deep_block:
         # Short levels amortize per-step overhead better with deeper blocks
         # (config docstring has the measurements).
         k = max(k, int(cfg.pallas_iter_block_small))
