@@ -1584,12 +1584,13 @@ def _rb_strips_call(hp, wp2, k, pad_rows, n_strips, block_h, interpret,
 
 
 def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret,
-                          om=None):
+                          om=None, block_h=None):
     """`iters` red-black iterations on the Pallas path (resident or strips by
     VMEM footprint). Weight planes come 1-px ring-padded (from
     _pack_weights_padded). ``om`` is the (iters, 2) rb_omegas table (built
     from cfg when omitted; callers running chunks of a longer schedule pass
-    the chunk's slice). Returns the unpadded state."""
+    the chunk's slice). ``block_h`` overrides the strip height (A/B probes).
+    Returns the unpadded state."""
     from ..core.solver import rb_omegas
 
     h, w = depth.shape
@@ -1628,7 +1629,7 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret,
         n = -(-h // bh_rows)
         return bh_rows, n, n * bh_rows + 2 * pad_rows
 
-    block_h, n_strips, hp = geometry(_auto_block_h(h))
+    block_h, n_strips, hp = geometry(block_h or _auto_block_h(h, deep_block=True))
     cap = int(cfg.pallas_arena_vmem_cap)
     mega = (
         cfg.pallas_rb_megakernel
