@@ -136,13 +136,21 @@ class DiffusionConfig:
 
     # --- Backend selection: "auto" picks Pallas on TPU, pure-XLA elsewhere ---
     backend: str = "auto"
-    # Sweeps fused per Pallas launch for the strip-tiled level-0 kernel.
-    pallas_iter_block: int = 8
+    # Sweeps fused per grid step (iteration block k) for the Jacobi strip
+    # megakernel. k=12 shares k=8's pad_rows (ceil(13/8)*8 == 16), so the
+    # deeper block costs zero extra halo; with 272-row strips the round-3
+    # K=32 A/B reads 1080p/62it at k=12: 1.215 vs k=8: 1.256 ms (the old
+    # k=8 pick came from a min-based A/B against 136-row strips).
+    pallas_iter_block: int = 12
+    # The red-black megakernel advances 2 rings per iteration (pad_rows =
+    # ceil((2k+1)/8)*8), so k=12 GROWS its halo 24 -> 32 rows and measured
+    # slower (2.30 vs 2.24 ms at 1080p/62it/272-row strips): rb keeps k=8.
+    pallas_iter_block_rb: int = 8
     # Shorter strip levels (h <= pallas_small_level_rows) raise the iteration
     # block to pallas_iter_block_small: with fewer rows per strip the
     # per-grid-step overhead dominates, so fewer, deeper blocks win (median
-    # K=32 A/B on v5e: 540-row level 0.82 -> 0.62 ms at k=16, while the
-    # 1080-row level prefers k=8 — PERF.md).
+    # K=32 A/B on v5e: 540-row level 0.82 -> 0.62 ms at k=16; at the tall
+    # 272-row strip geometry k=16 and k=8 tie, 24/32 lose — PERF.md).
     pallas_iter_block_small: int = 16
     pallas_small_level_rows: int = 768
     # Deeper iteration block for the u8 derived-weights arena route (4K+):

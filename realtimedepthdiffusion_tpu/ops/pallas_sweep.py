@@ -835,16 +835,16 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
 
 
 def _auto_block_h(h: int, deep_block: bool = False) -> int:
-    """Strip height near the measured 128-row sweet spot, but with the strip
-    count ROUNDED so the ragged last strip is absorbed instead of padded:
-    1080 rows -> 8x136 (0.7% pad rows, vs 6.7% for 9x128). Keeps >= 4
-    strips (the state-prefetch viability bound) — except on deep-block
-    levels (h <= cfg.pallas_small_level_rows run k=16, so every block
-    recomputes 2k=32 halo rows per strip): there, halving the strip count
-    halves that redundancy, and the K=32 interleaved A/B reads 540 rows at
-    2x272 = 0.606 ms vs 4x136 = 0.731 (1080 rows, k=8: 136 and 272 tie at
-    1.34, 544 is worse — VMEM slab pressure)."""
-    if deep_block:
+    """Strip height with the strip count ROUNDED so the ragged last strip is
+    absorbed instead of padded (1080 -> 4x272, 0.7% pad rows). Round-3 K=32
+    interleaved A/Bs moved the sweet spot from 128-row to ~256-row strips at
+    1080p-class levels — every block recomputes pad_rows of halo per strip,
+    so halving the strip count halves that redundancy (L1 540 rows: 2x272 =
+    0.606 vs 4x136 = 0.731 ms; L0 1080: 4x272 beats 8x136 at both k=8 and
+    k=12; 2x544 LOSES at 1.51 — VMEM slab pressure; rb megakernel: 2.53 ->
+    2.21 / 1.29 -> 1.21). Levels taller than 1200 rows (4K) keep the
+    128-row target their uarena tuning was measured at."""
+    if deep_block or h <= 1200:
         n = max(2, (h + 128) // 256)
     else:
         n = max(4, (h + 64) // 128)
@@ -1504,7 +1504,7 @@ def _rb_compact_pallas_iterations(depth, mask, bh1, bv1, inv1, om, iters, cfg,
     slices), run every iteration in one pallas_call, merge back. ``om`` is
     the (iters, 2) rb_omegas table."""
     h, w = depth.shape
-    k = max(int(cfg.pallas_iter_block), 1)
+    k = max(int(cfg.pallas_iter_block_rb), 1)
     H2, W2 = h + 2, w + 2
     He, We = H2 + (H2 % 2), W2 + (W2 % 2)
     hq, wq = He // 2, We // 2
@@ -1605,7 +1605,7 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret,
         )
 
     if cfg.pallas_rb_compact:
-        kq = max(int(cfg.pallas_iter_block), 1)
+        kq = max(int(cfg.pallas_iter_block_rb), 1)
         hq = (h + 3) // 2  # ceil((h+2)/2)
         wq = (w + 3) // 2
         pr_q = -(-(kq + 1) // 8) * 8
@@ -1620,7 +1620,7 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret,
                 depth, mask, bh1, bv1, inv1, om, iters, cfg, interpret
             )
 
-    k = max(int(cfg.pallas_iter_block), 1)
+    k = max(int(cfg.pallas_iter_block_rb), 1)
     # Dependencies advance 2 rings per red-black iteration.
     pad_rows = -(-(2 * k + 1) // 8) * 8
     wp2 = -(-(w + 2) // 128) * 128

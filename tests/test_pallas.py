@@ -89,12 +89,12 @@ def test_rb_strip_halo_variants(rng, in_kernel_halo):
     (host-level fix_halo — the measured-faster default — and in-kernel
     boundary-band DMAs)."""
     gray, mask, depth = _case(rng, 49, 67)
-    cfg_rb = DiffusionConfig(solver="red_black", pallas_iter_block=4)
+    cfg_rb = DiffusionConfig(solver="red_black", pallas_iter_block_rb=4)
     want_rb = np.asarray(
         solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, 7, cfg_rb)
     )
     cfg_var = DiffusionConfig(
-        solver="red_black", pallas_iter_block=4,
+        solver="red_black", pallas_iter_block_rb=4,
         pallas_in_kernel_halo=in_kernel_halo,
         pallas_resident_vmem_budget=0, pallas_rb_megakernel=False,
     )
@@ -201,13 +201,13 @@ def test_rb_strip_kernel_matches_xla(rng, iters):
     """Red-black strip kernel (2-rings-per-iteration halo) == XLA red-black,
     forced onto the strip path via a tiny VMEM budget."""
     gray, mask, depth = _case(rng, 49, 67)
-    cfg = DiffusionConfig(solver="red_black", pallas_iter_block=4)
+    cfg = DiffusionConfig(solver="red_black", pallas_iter_block_rb=4)
     want = np.asarray(
         solver.solve_level(jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 0, 1, iters, cfg)
     )
     # Route through the public entry but force strips by shrinking the budget.
     cfg_strip = DiffusionConfig(
-        solver="red_black", pallas_iter_block=4, pallas_resident_vmem_budget=0
+        solver="red_black", pallas_iter_block_rb=4, pallas_resident_vmem_budget=0
     )
     got = np.asarray(
         ps.solve_level_red_black_pallas(
@@ -361,7 +361,7 @@ def test_rb_compact_matches_masked_and_xla(rng, monkeypatch, iters):
         return real(*a, **kw)
 
     monkeypatch.setattr(ps, "_rb_compact_pallas_iterations", spy)
-    cfg_c = DiffusionConfig(solver="red_black", pallas_iter_block=4,
+    cfg_c = DiffusionConfig(solver="red_black", pallas_iter_block_rb=4,
                             pallas_resident_vmem_budget=0,
                             pallas_rb_compact=True)
     got = np.asarray(
@@ -371,7 +371,7 @@ def test_rb_compact_matches_masked_and_xla(rng, monkeypatch, iters):
         )
     )
     assert calls, "compact red-black kernel was not taken"
-    cfg_m = DiffusionConfig(solver="red_black", pallas_iter_block=4,
+    cfg_m = DiffusionConfig(solver="red_black", pallas_iter_block_rb=4,
                             pallas_resident_vmem_budget=0,
                             pallas_rb_compact=False)
     got_m = np.asarray(
