@@ -838,16 +838,17 @@ def _auto_block_h(h: int, deep_block: bool = False) -> int:
     """Strip height with the strip count ROUNDED so the ragged last strip is
     absorbed instead of padded (1080 -> 4x272, 0.7% pad rows). Round-3 K=32
     interleaved A/Bs moved the sweet spot from 128-row to ~256-row strips at
-    1080p-class levels — every block recomputes pad_rows of halo per strip,
-    so halving the strip count halves that redundancy (L1 540 rows: 2x272 =
+    EVERY level — each block recomputes pad_rows of halo per strip, so
+    halving the strip count halves that redundancy (L1 540 rows: 2x272 =
     0.606 vs 4x136 = 0.731 ms; L0 1080: 4x272 beats 8x136 at both k=8 and
-    k=12; 2x544 LOSES at 1.51 — VMEM slab pressure; rb megakernel: 2.53 ->
-    2.21 / 1.29 -> 1.21). Levels taller than 1200 rows (4K) keep the
-    128-row target their uarena tuning was measured at."""
-    if deep_block or h <= 1200:
-        n = max(2, (h + 128) // 256)
-    else:
-        n = max(4, (h + 64) // 128)
+    k=12; rb megakernel: 2.53 -> 2.21 / 1.29 -> 1.21; 4K uarena 8x272 =
+    4.8-5.9 vs 17x128 = 6.3 — the in-kernel weight re-derivation makes 4K's
+    halo doubly expensive). Taller still LOSES everywhere measured (1080:
+    2x544 = 1.51; 4K: 360/544-row strips = 9.4/9.5 — VMEM slab pressure /
+    fallback-gate trips). ``deep_block`` is kept for call-site symmetry;
+    both branches now share the 256-row target."""
+    del deep_block
+    n = max(2, (h + 128) // 256)
     return -(-(-(-h // n)) // 8) * 8
 
 

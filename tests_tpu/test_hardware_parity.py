@@ -198,10 +198,11 @@ def test_uarena_matches_arena_on_hardware(case_512, monkeypatch):
 
 
 def test_uarena_4k_strip_geometry_on_hardware(monkeypatch):
-    """The u8 arena at 4K ROW geometry (2160 rows -> 17 strips, the exact
-    strip/halo layout of a 3840x2160 L0, narrowed in lanes to keep the test
-    quick) matches the f32 arena — the VERDICT round-2 ask that the 4K fast
-    path be hardware-parity-tested at its real strip geometry."""
+    """The u8 arena at 4K ROW geometry (2160 rows -> 8x272 strips since the
+    round-3 tall-strip retune; the exact strip/halo layout of a 3840x2160
+    L0, narrowed in lanes to keep the test quick) matches the f32 arena —
+    the VERDICT round-2 ask that the 4K fast path be hardware-parity-tested
+    at its real strip geometry."""
     rng = np.random.default_rng(11)
     h, w = 2160, 640
     g = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
