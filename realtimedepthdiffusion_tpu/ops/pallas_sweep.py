@@ -834,7 +834,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
     return lambda om, *rest: call(om.T, *rest)
 
 
-def _auto_block_h(h: int, deep_block: bool = False) -> int:
+def _auto_block_h(h: int, deep_block: bool = False, w: int | None = None) -> int:
     """Strip height with the strip count ROUNDED so the ragged last strip is
     absorbed instead of padded (1080 -> 4x272, 0.7% pad rows). Round-3 K=32
     interleaved A/Bs moved the sweet spot from 128-row to ~256-row strips at
@@ -843,11 +843,18 @@ def _auto_block_h(h: int, deep_block: bool = False) -> int:
     0.606 vs 4x136 = 0.731 ms; L0 1080: 4x272 beats 8x136 at both k=8 and
     k=12; rb megakernel: 2.53 -> 2.21 / 1.29 -> 1.21; 4K uarena 8x272 =
     4.8-5.9 vs 17x128 = 6.3 — the in-kernel weight re-derivation makes 4K's
-    halo doubly expensive). Taller still LOSES everywhere measured (1080:
-    2x544 = 1.51; 4K: 360/544-row strips = 9.4/9.5 — VMEM slab pressure /
-    fallback-gate trips). ``deep_block`` is kept for call-site symmetry;
-    both branches now share the 256-row target."""
+    halo doubly expensive). Small-footprint levels go further: ONE strip
+    (no halo recompute at all beyond the zero pad) when ~15 level-sized f32
+    slabs fit 64 MiB of VMEM — L1 1x544 = 0.539 vs 2x272 = 0.611 ms,
+    bit-identical. Taller multi-strip geometries LOSE everywhere measured
+    (1080: 2x544 = 1.51; 4K: 360/544-row strips = 9.4/9.5 — VMEM slab
+    pressure / fallback-gate trips). ``deep_block`` is kept for call-site
+    symmetry; all branches share the 256-row multi-strip target."""
     del deep_block
+    if w is not None:
+        wp2 = -(-(w + 2) // 128) * 128
+        if (h + 48) * wp2 * 4 * 15 <= 64 * 1024 * 1024:
+            return -(-h // 8) * 8
     n = max(2, (h + 128) // 256)
     return -(-(-(-h // n)) // 8) * 8
 
@@ -867,7 +874,7 @@ def solve_level_strips(
     h, w = depth.shape
     deep_block = h <= cfg.pallas_small_level_rows
     if block_h is None:
-        block_h = _auto_block_h(h, deep_block)
+        block_h = _auto_block_h(h, deep_block, w=w)
     k = max(int(cfg.pallas_iter_block), 1)
     if deep_block:
         # Short levels amortize per-step overhead better with deeper blocks
@@ -1630,7 +1637,7 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret,
         n = -(-h // bh_rows)
         return bh_rows, n, n * bh_rows + 2 * pad_rows
 
-    block_h, n_strips, hp = geometry(block_h or _auto_block_h(h, deep_block=True))
+    block_h, n_strips, hp = geometry(block_h or _auto_block_h(h, deep_block=True, w=w))
     cap = int(cfg.pallas_arena_vmem_cap)
     mega = (
         cfg.pallas_rb_megakernel
