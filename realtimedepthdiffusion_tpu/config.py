@@ -205,6 +205,12 @@ class DiffusionConfig:
     # measurement: scaling the resident kernel UP loses to the strip
     # megakernel well before physical VMEM runs out (PERF.md lesson #4).
     pallas_resident_vmem_budget: int = 6 * 1024 * 1024
+    # The resident kernel only wins in a middle size band: below this pixel
+    # count a level is latency-bound and the strip megakernel's in-block
+    # value chaining (no per-sweep VMEM round-trip) is 1.5-2.5x faster
+    # (K=16 A/Bs: L3 135x240 0.118 vs 0.292 ms, L4 67x120 0.221 vs 0.327;
+    # L2 270x480 — 130k px — still prefers resident, 0.318 vs 0.383).
+    pallas_resident_min_px: int = 65536
     # Manual partial-unroll factor for the VMEM-resident kernel's sweep
     # loop (Mosaic's fori_loop supports only unroll=1 or full unroll).
     # Measured (tools/ab_unroll.py, interleaved K=32 on v5e): unroll=4 buys

@@ -994,10 +994,19 @@ def solve_level_pallas(
     cfg: DiffusionConfig = DiffusionConfig(),
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Choose resident vs strip kernel by VMEM footprint."""
+    """Choose resident vs strip kernel by VMEM footprint AND level size.
+
+    The resident kernel wins only in a middle band (K=16 interleaved on
+    v5e, round 3): tiny levels are LATENCY-bound and the strip megakernel's
+    in-block value chaining skips the resident kernel's per-sweep VMEM
+    round-trip (L3 135x240/500it: 0.118 vs 0.292 ms; L4 67x120/1000it:
+    0.221 vs 0.327), while at throughput-bound mid sizes the resident
+    kernel's lack of halo/pad waste wins (L2 270x480/250it: 0.318 vs
+    0.383). Above the VMEM budget only strips fit (and win anyway)."""
     h, w = depth.shape
     # ~6 f32 planes live in the resident kernel.
-    if (h + 2) * (w + 2) * 4 * 6 <= cfg.pallas_resident_vmem_budget:
+    fits = (h + 2) * (w + 2) * 4 * 6 <= cfg.pallas_resident_vmem_budget
+    if fits and h * w >= int(cfg.pallas_resident_min_px):
         return solve_level_resident(
             depth, mask, gray, level, max_level, iters, cfg, interpret
         )
