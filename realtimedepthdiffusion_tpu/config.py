@@ -211,6 +211,12 @@ class DiffusionConfig:
     # (K=16 A/Bs: L3 135x240 0.118 vs 0.292 ms, L4 67x120 0.221 vs 0.327;
     # L2 270x480 — 130k px — still prefers resident, 0.318 vs 0.383).
     pallas_resident_min_px: int = 65536
+    # Red-black resident kernel: measured SLOWER than the rb strip
+    # megakernel at every size (K=16 A/Bs: L2 0.71 vs 0.60, L3 0.47 vs
+    # 0.37, L4 0.61 vs 0.34 ms — each rb round pays TWO per-half-sweep VMEM
+    # round-trips in the resident form, while the strip kernel value-chains
+    # the whole iteration block). Kept selectable for other hardware.
+    pallas_rb_resident: bool = False
     # Manual partial-unroll factor for the VMEM-resident kernel's sweep
     # loop (Mosaic's fori_loop supports only unroll=1 or full unroll).
     # Measured (tools/ab_unroll.py, interleaved K=32 on v5e): unroll=4 buys

@@ -1616,7 +1616,12 @@ def _rb_pallas_iterations(depth, mask, bh1, bv1, inv1, iters, cfg, interpret,
     if om is None:
         om = jnp.asarray(rb_omegas(iters, cfg))
     # 5 f32 planes live in the resident kernel (no Chebyshev history).
-    if (h + 2) * (w + 2) * 4 * 5 <= cfg.pallas_resident_vmem_budget:
+    # Off by default: unlike Jacobi, rb strips won at EVERY measured size
+    # (config.py pallas_rb_resident carries the round-3 A/B).
+    if (
+        cfg.pallas_rb_resident
+        and (h + 2) * (w + 2) * 4 * 5 <= cfg.pallas_resident_vmem_budget
+    ):
         return _rb_resident_call(
             depth, mask, bh1, bv1, inv1, om, iters, interpret
         )
