@@ -15,6 +15,7 @@ plus headless extensions for CI/scripting (the reference is GUI-only):
     --incremental N    windowed warm re-solve with N iterations after small
                        edits (the low-latency --live painting path)
     --early-exit       stop a level once the residual drops below tolerance
+                       (requires --solver red_black, the residual-loop solver)
     --tolerance X      residual tolerance for --early-exit (default 1e-5,
                        the value the reference declares but never uses)
     --residual-metric  rms | max — early-exit residual functional (default
@@ -53,7 +54,7 @@ USAGE = (
     " --effect b|g|h (refocus|desaturation|haze) artistic effect\n --save-dir DIR output directory\n"
     " --checkpoint F save full session state\n --resume F restore session state\n --backend xla|pallas|auto\n --solver jacobi_chebyshev|jacobi|red_black\n"
     " --multigrid cascadic|vcycle\n --incremental N windowed live re-solve budget\n"
-    " --early-exit residual-tolerance early exit\n --tolerance X residual tolerance (default 1e-5)\n"
+    " --early-exit residual-tolerance early exit (red_black only)\n --tolerance X residual tolerance (default 1e-5)\n"
     " --residual-metric rms|max early-exit residual functional (default rms)\n"
     " --rb-rho X red-black Chebyshev rho (default 0.9999)\n --rb-plain disable red-black SOR omegas\n"
     " --gray-pyramid opencv|floor gray-chain convention\n --time print timing report\n"
@@ -156,7 +157,16 @@ def parse_args(argv: List[str]) -> CliArgs:
             except ValueError:
                 raise SystemExit(f"error: --tolerance expects a number\n{USAGE}")
         elif arg == "--residual-metric":
-            a.residual_metric = val()
+            # Validate at parse time like --effect: a typo'd metric would
+            # otherwise surface as a trace-time ValueError (or be silently
+            # ignored when no early-exit path consumes it).
+            v = val().lower()
+            if v not in ("rms", "max"):
+                raise SystemExit(
+                    f"error: unknown --residual-metric {v!r} "
+                    f"(choose from ['max', 'rms'])\n{USAGE}"
+                )
+            a.residual_metric = v
         elif arg == "--rb-rho":
             try:
                 a.rb_rho = float(val())
@@ -196,6 +206,15 @@ def make_config(a: CliArgs) -> DiffusionConfig:
         # reference accepts a tolerance it never honors (src/main.cpp:264);
         # this framework honors it when asked.
         kw["early_exit"] = True
+    if kw["early_exit"] and a.solver != "red_black":
+        # Only the red-black solver has a residual loop; silently dropping
+        # the tolerance would reproduce the reference bug this flag exists
+        # to fix, so reject the combination loudly.
+        raise SystemExit(
+            "error: --early-exit/--tolerance require --solver red_black "
+            f"(the only solver with a residual loop); got {a.solver!r}\n"
+            f"{USAGE}"
+        )
     return DiffusionConfig(**kw)
 
 

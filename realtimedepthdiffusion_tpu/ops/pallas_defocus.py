@@ -356,7 +356,7 @@ def defocus_pallas(
 
 
 def _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret,
-                  variant="coldiff"):
+                  variant="corners"):
     hs, wp = half_p.shape
     slab_h = block_h + 2 * hr
     if variant == "stacked":
@@ -386,7 +386,7 @@ def _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret,
             pltpu.SemaphoreType.DMA((3,)),
         ]
         vmem = (10 * slab_h + 4 * block_h) * wp * 4
-    else:
+    elif variant == "corners":
         kern = functools.partial(_defocus_kernel, block_h, hr, hc)
         grid = (3, n_strips)
         scratch = [
@@ -400,6 +400,14 @@ def _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret,
             pltpu.SemaphoreType.DMA((3,)),
         ]
         vmem = (10 * slab_h + 4 * block_h) * wp * 4
+    else:
+        # An unknown name must not silently fall through to the corners
+        # kernel — an A/B "measuring" a typo'd variant would measure the
+        # default instead.
+        raise ValueError(
+            f"unknown pallas defocus variant {variant!r}; expected "
+            "'corners', 'stacked' or 'coldiff'"
+        )
     return pl.pallas_call(
         kern,
         grid=grid,

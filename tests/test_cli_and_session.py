@@ -212,7 +212,9 @@ def test_cli_solver_flags_reach_config():
 
     # --tolerance alone implies early exit (the reference declares a
     # tolerance it never uses; given explicitly, we honor it).
-    cfg2 = make_config(parse_args(["-i", "x.jpg", "--tolerance", "1e-4"]))
+    cfg2 = make_config(parse_args(
+        ["-i", "x.jpg", "--solver", "red_black", "--tolerance", "1e-4"]
+    ))
     assert cfg2.early_exit is True and cfg2.tolerance == pytest.approx(1e-4)
     # defaults unchanged
     cfg3 = make_config(parse_args(["-i", "x.jpg"]))
@@ -222,6 +224,22 @@ def test_cli_solver_flags_reach_config():
         parse_args(["--incremental", "abc"])
     with pytest.raises(SystemExit, match="number"):
         parse_args(["--tolerance", "abc"])
+
+    # Only red_black has a residual loop: requesting early exit (directly or
+    # via --tolerance) on any other solver must fail loudly, not silently
+    # run the full fixed schedule (the reference bug these flags fix).
+    with pytest.raises(SystemExit, match="red_black"):
+        make_config(parse_args(["-i", "x.jpg", "--tolerance", "1e-4"]))
+    with pytest.raises(SystemExit, match="red_black"):
+        make_config(parse_args(
+            ["-i", "x.jpg", "--solver", "jacobi", "--early-exit"]
+        ))
+
+    # --residual-metric validates at parse time (like --effect) and is
+    # case-insensitive.
+    assert parse_args(["--residual-metric", "MAX"]).residual_metric == "max"
+    with pytest.raises(SystemExit, match="residual-metric"):
+        parse_args(["--residual-metric", "rsm"])
 
     # Red-black SOR tuning is argv-reachable too.
     cfg4 = make_config(parse_args([

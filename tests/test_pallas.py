@@ -313,6 +313,18 @@ def test_defocus_variant_kernels_bitexact(rng, variant):
     assert np.array_equal(got, want)
 
 
+def test_defocus_unknown_variant_rejected(rng):
+    """A typo'd variant name must raise, not silently run the corners
+    kernel (an A/B 'measuring' the typo would measure the default)."""
+    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
+
+    rgb = jnp.asarray(rng.integers(0, 256, (32, 40, 3), dtype=np.uint8))
+    depth = jnp.asarray((rng.random((32, 40)) * 255).astype(np.float32))
+    cfg = DiffusionConfig(pallas_defocus_variant="stackd")
+    with pytest.raises(ValueError, match="unknown pallas defocus variant"):
+        defocus_pallas(rgb, depth, cfg, interpret=True)
+
+
 @pytest.mark.parametrize("level,max_level", [(1, 3), (0, 3), (3, 3)])
 def test_uarena_matches_arena_bitexact(rng, monkeypatch, level, max_level):
     """The derived-weights (u8) arena megakernel — weights materialized
