@@ -319,5 +319,9 @@ def solve_level(
     depth state (the pyrUp'd, re-seeded map), exactly like loadIndexToWeight
     running before the sweep loop (src/GPUSolver.cu:293)."""
     wts = edge_weights(gray, depth, level, max_level, cfg)
-    solver = _SOLVERS[cfg.solver]
+    solver = _SOLVERS.get(cfg.solver)
+    if solver is None:
+        raise ValueError(
+            f"unknown solver {cfg.solver!r}; expected one of {sorted(_SOLVERS)}"
+        )
     return solver(depth, mask, wts, iters, cfg)

@@ -294,6 +294,20 @@ def test_residual_metric_fn(rng):
         solver.residual_metric_fn(DiffusionConfig(residual_metric="l7"))
 
 
+def test_unknown_solver_and_backend_rejected(rng):
+    """C20 error-checking: a typo'd solver or backend name must raise a
+    ValueError naming the valid choices, not a bare KeyError (solver) or a
+    silent fallthrough (backend), at the first solve_level call."""
+    from realtimedepthdiffusion_tpu.ops import dispatch
+
+    gray, mask, val, depth = _case(rng, 16, 24)
+    args = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 1, 4)
+    with pytest.raises(ValueError, match="unknown solver"):
+        solver.solve_level(*args, DiffusionConfig(solver="jacobi_chebyshv"))
+    with pytest.raises(ValueError, match="unknown backend"):
+        dispatch.solve_level(*args, DiffusionConfig(backend="pallaz"))
+
+
 def test_subnormal_flush_boundary():
     """The isolated-pixel cut sits exactly at the float32 normal/subnormal
     boundary OF THE INDIVIDUAL WEIGHTS (exp(-beta*sad) < ~1.18e-38, i.e.
