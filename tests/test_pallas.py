@@ -395,3 +395,46 @@ def test_rb_compact_matches_masked_and_xla(rng, monkeypatch, iters):
     np.testing.assert_allclose(got, want, atol=5e-3)
     np.testing.assert_allclose(got, got_m, atol=5e-3)
     assert np.array_equal(got[mask], depth[mask])
+
+
+# Degenerate geometries: the dispatch routing (resident / strip / small-level
+# megakernel / rb twins) and the kernels' pad/halo math must survive any
+# image the reference accepts (src/GPUSolver.cu:287-288 runs at every size) —
+# 1-pixel rows/columns, sub-sublane heights, lane-boundary widths.
+_GNARLY_SIZES = [
+    (1, 1), (1, 7), (7, 1), (2, 2), (3, 129), (129, 3), (5, 128),
+    (7, 127), (9, 257), (31, 17), (63, 255), (65, 257), (128, 130),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("solver_name", ["jacobi_chebyshev", "red_black"])
+def test_solver_dispatch_gnarly_geometries(rng, solver_name):
+    from realtimedepthdiffusion_tpu.ops import dispatch
+
+    for h, w in _GNARLY_SIZES:
+        gray, mask, depth = _case(rng, h, w)
+        args = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray),
+                0, 2, 9)
+        want = np.asarray(dispatch.solve_level(
+            *args, DiffusionConfig(solver=solver_name, backend="xla")))
+        got = np.asarray(dispatch.solve_level(
+            *args,
+            DiffusionConfig(solver=solver_name, backend="pallas_interpret")))
+        np.testing.assert_allclose(got, want, atol=5e-3,
+                                   err_msg=f"{solver_name} {h}x{w}")
+        assert np.array_equal(got[mask], depth[mask]), (solver_name, h, w)
+
+
+@pytest.mark.slow
+def test_defocus_pallas_gnarly_geometries(rng):
+    from realtimedepthdiffusion_tpu.core import effects as fx
+    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
+
+    for h, w in [(1, 1), (1, 9), (9, 1), (2, 2), (3, 129), (129, 3),
+                 (7, 127), (31, 17), (65, 257)]:
+        rgb = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        depth = jnp.asarray((rng.random((h, w)) * 255).astype(np.float32))
+        want = np.asarray(fx.defocus_xla(rgb, depth, CFG))
+        got = np.asarray(defocus_pallas(rgb, depth, CFG, interpret=True))
+        assert np.array_equal(got, want), (h, w)
