@@ -224,6 +224,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(USAGE_SHORT)
         return 0
     a = parse_args(argv)
+    # Persistent XLA cache: after the first run on a given image shape the
+    # tool starts in seconds, like the reference's precompiled CUDA binary.
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if a.help:
         print(USAGE)
         if a.image is None:

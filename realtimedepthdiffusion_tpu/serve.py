@@ -63,38 +63,109 @@ def solve_pairs(
     cfg: DiffusionConfig = DiffusionConfig(),
     effect: Optional[int] = None,
     progress=None,
+    io_workers: int = 4,
+    prefetch: int = 2,
 ) -> List[str]:
-    """Solve every pair; returns the written depth-map paths. Pipelines are
-    compiled once per distinct image shape (shape bucketing)."""
+    """Solve every pair; returns the written depth-map paths in input order.
+    Pipelines are compiled once per distinct image shape (shape bucketing).
+
+    The host IO rides an async pipeline (the TPU input-pipeline pattern —
+    PNG/JPEG decode of 1080p pairs costs 2-5x the 4 ms solve, so a
+    sequential loop leaves the device idle most of the time): ``io_workers``
+    threads decode up to ``prefetch``+1 pairs ahead, device readback of a
+    solved pair is deferred until the NEXT solve is dispatched (JAX dispatch
+    is async, so the device computes pair i+1 while the host converts pair
+    i), and PNG encodes run on the same thread pool. ``prefetch=0,
+    io_workers=1`` degrades to the strictly sequential order of operations.
+    Outputs are bit-identical either way — the pipeline only reorders host
+    work, never device math (tests/test_serve_and_incremental.py).
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax.numpy as jnp
 
     from .pipeline import DepthPipeline
 
     os.makedirs(out_dir, exist_ok=True)
     pipes: Dict[Tuple[int, int], DepthPipeline] = {}
-    written = []
-    for img_path, ann_path in pairs:
-        rgb, mask, value = _load_pair(img_path, ann_path, cfg)
-        h, w = rgb.shape[:2]
-        if (h, w) not in pipes:
-            pipes[(h, w)] = DepthPipeline(h, w, cfg)
-        pipe = pipes[(h, w)]
-        rgb_d, gpyr = pipe.prepare_image(rgb)
-        state = pipe.initial_state()
-        mask_d, value_d = jnp.asarray(mask), jnp.asarray(value)
-        stem = os.path.splitext(os.path.basename(img_path))[0]
-        if effect is None:
-            depth, _ = pipe.solve(gpyr, mask_d, value_d, state)
-        else:
-            depth, _, art = pipe.solve_and_effect(
-                effect, gpyr, rgb_d, mask_d, value_d, state
-            )
-            imwrite(os.path.join(out_dir, f"{stem}_effect.png"), np.asarray(art))
-        dp = os.path.join(out_dir, f"{stem}_depth.png")
-        imwrite(dp, depth_to_u8(np.asarray(depth)))
-        written.append(dp)
-        if progress:
-            progress(img_path, dp)
+    n = len(pairs)
+    written: List[Optional[str]] = [None] * n
+    io_workers = max(int(io_workers), 1)
+    prefetch = max(int(prefetch), 0)
+
+    with ThreadPoolExecutor(max_workers=io_workers) as pool:
+        loads: deque = deque()  # (index, decode future)
+        inflight: deque = deque()  # (index, img_path, stem, depth, art)
+        writes: deque = deque()  # (index, img_path, write future)
+        next_load = 0
+
+        def pump_loads():
+            nonlocal next_load
+            while next_load < n and len(loads) < prefetch + 1:
+                img_path, ann_path = pairs[next_load]
+                loads.append(
+                    (next_load, pool.submit(_load_pair, img_path, ann_path, cfg))
+                )
+                next_load += 1
+
+        def drain_solve():
+            """Read back the oldest solved pair and hand it to a writer."""
+            i, img_path, stem, depth_u8, art = inflight.popleft()
+            # depth is converted to u8 ON DEVICE (pipe.depth_u8, bit-equal
+            # to io.depth_to_u8): a 4x smaller readback than f32, which
+            # matters on any host link (and dominates over a remote tunnel).
+            depth_np = np.asarray(depth_u8)  # blocks until the device is done
+            art_np = np.asarray(art) if art is not None else None
+
+            def write():
+                if art_np is not None:
+                    imwrite(
+                        os.path.join(out_dir, f"{stem}_effect.png"), art_np
+                    )
+                dp = os.path.join(out_dir, f"{stem}_depth.png")
+                imwrite(dp, depth_np)
+                return dp
+
+            writes.append((i, img_path, pool.submit(write)))
+
+        def drain_writes(block: bool):
+            while writes and (block or writes[0][2].done()):
+                i, img_path, fut = writes.popleft()
+                written[i] = fut.result()
+                if progress:
+                    progress(img_path, written[i])
+
+        pump_loads()
+        while loads:
+            i, fut = loads.popleft()
+            rgb, mask, value = fut.result()
+            pump_loads()  # keep the decode window full while we dispatch
+            h, w = rgb.shape[:2]
+            if (h, w) not in pipes:
+                pipes[(h, w)] = DepthPipeline(h, w, cfg)
+            pipe = pipes[(h, w)]
+            rgb_d, gpyr = pipe.prepare_image(rgb)
+            state = pipe.initial_state()
+            mask_d, value_d = jnp.asarray(mask), jnp.asarray(value)
+            stem = os.path.splitext(os.path.basename(pairs[i][0]))[0]
+            if effect is None:
+                depth, _ = pipe.solve(gpyr, mask_d, value_d, state)
+                art = None
+            else:
+                depth, _, art = pipe.solve_and_effect(
+                    effect, gpyr, rgb_d, mask_d, value_d, state
+                )
+            inflight.append((i, pairs[i][0], stem, pipe.depth_u8(depth), art))
+            # Keep up to min(prefetch, 2) solves in flight beyond the one
+            # just queued: their readback overlaps the device working on
+            # this one. prefetch=0 drains immediately (strictly sequential).
+            while len(inflight) > min(prefetch, 2):
+                drain_solve()
+            drain_writes(block=False)
+        while inflight:
+            drain_solve()
+        drain_writes(block=True)
     return written
 
 
@@ -198,7 +269,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch", type=int, default=None,
                    help="images per multi-chip dispatch (rounded up to the "
                         "mesh batch axis; default = the mesh batch axis)")
+    p.add_argument("--io-workers", type=int, default=4,
+                   help="host threads for PNG decode/encode (single-chip "
+                        "path; 1 disables IO parallelism)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="pairs decoded ahead of the device (single-chip "
+                        "path; 0 = strictly sequential)")
     a = p.parse_args(argv)
+
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     pairs: List[Tuple[str, str]] = []
     for pr in a.pairs:
@@ -216,7 +297,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = DiffusionConfig(**cfg_kw)
     eff = _EFFECT_BY_KEY.get(a.effect) if a.effect else None
     runner = solve_pairs_multichip if a.multichip else solve_pairs
-    kwargs = {"batch": a.batch} if a.multichip else {}
+    kwargs = (
+        {"batch": a.batch}
+        if a.multichip
+        else {"io_workers": a.io_workers, "prefetch": a.prefetch}
+    )
     written = runner(
         pairs, a.out, cfg, eff,
         progress=lambda src, dst: print(f"{src} -> {dst}"),

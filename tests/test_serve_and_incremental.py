@@ -176,3 +176,65 @@ def test_serve_multichip_matches_sequential(tmp_path):
         # step after the round-trip through the display quantization)
         assert np.abs(seq - mc).max() <= 1, name
         assert os.path.exists(os.path.join(out_mc, f"{name}_effect.png"))
+
+
+def test_serve_async_pipeline_matches_sequential(tmp_path):
+    """The async IO pipeline (decode-ahead threads, deferred readback,
+    threaded PNG writes) must produce byte-identical outputs, in input
+    order, to the strictly sequential path (prefetch=0, io_workers=1) —
+    it reorders host work only, never device math."""
+    from realtimedepthdiffusion_tpu.serve import discover_pairs, solve_pairs
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    for i, (name, h, w) in enumerate(
+        [("a", 64, 80), ("b", 64, 80), ("c", 72, 96), ("d", 64, 80)]
+    ):
+        _write_pair(d, name, h, w, i + 1)
+    pairs = discover_pairs(
+        os.path.join(d, "images"), os.path.join(d, "annotations")
+    )
+    cfg = DiffusionConfig(backend="xla")
+    from realtimedepthdiffusion_tpu.core import effects as fx
+
+    seq = solve_pairs(pairs, os.path.join(d, "seq"), cfg, fx.EFFECT_HAZE,
+                      io_workers=1, prefetch=0)
+    par = solve_pairs(pairs, os.path.join(d, "par"), cfg, fx.EFFECT_HAZE,
+                      io_workers=4, prefetch=3)
+    assert [os.path.basename(p) for p in seq] == [
+        os.path.basename(p) for p in par
+    ]
+    assert [os.path.basename(p) for p in seq] == [
+        "a_depth.png", "b_depth.png", "c_depth.png", "d_depth.png"
+    ]
+    for s, p in zip(seq, par):
+        with open(s, "rb") as f1, open(p, "rb") as f2:
+            assert f1.read() == f2.read(), s
+        e1 = s.replace("_depth.png", "_effect.png")
+        e2 = p.replace("_depth.png", "_effect.png")
+        with open(e1, "rb") as f1, open(e2, "rb") as f2:
+            assert f1.read() == f2.read(), e1
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    """enable_compilation_cache honors RTDD_CACHE_DIR / RTDD_NO_COMPILE_CACHE
+    and returns the directory it configured."""
+    from realtimedepthdiffusion_tpu.utils.cache import (
+        default_cache_dir, enable_compilation_cache)
+
+    import jax
+
+    monkeypatch.setenv("RTDD_CACHE_DIR", str(tmp_path / "xla"))
+    assert default_cache_dir() == str(tmp_path / "xla")
+    try:
+        got = enable_compilation_cache()
+        assert got == str(tmp_path / "xla")
+        assert os.path.isdir(got)
+
+        monkeypatch.setenv("RTDD_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache() is None
+    finally:
+        # Global jax config: don't leave later tests writing compiled
+        # artifacts into this test's tmp dir.
+        jax.config.update("jax_compilation_cache_dir", None)
