@@ -129,8 +129,8 @@ def solve_pairs(
 
             writes.append((i, img_path, pool.submit(write)))
 
-        def drain_writes(block: bool):
-            while writes and (block or writes[0][2].done()):
+        def drain_writes(block: bool, keep: int = 0):
+            while len(writes) > keep and (block or writes[0][2].done()):
                 i, img_path, fut = writes.popleft()
                 written[i] = fut.result()
                 if progress:
@@ -163,6 +163,9 @@ def solve_pairs(
             while len(inflight) > min(prefetch, 2):
                 drain_solve()
             drain_writes(block=False)
+            # Bound host memory: if PNG encode is the bottleneck, block on
+            # the oldest writes instead of accumulating encoded frames.
+            drain_writes(block=True, keep=2 * io_workers + 4)
         while inflight:
             drain_solve()
         drain_writes(block=True)
