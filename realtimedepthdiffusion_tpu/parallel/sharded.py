@@ -638,12 +638,33 @@ def batched_step(
     img_spec = P("batch", "dy", "dx")
 
     def shardings():
-        levels = cfg.num_levels(rows, cols)
+        from ..core.multigrid import initial_depth_state as _ids
+
+        # Input shardings are the initial PLACEMENT only — the solve pads
+        # and re-shards explicitly inside (solve_level_sharded). jit rejects
+        # a spec whose axis doesn't divide the dim, and the dataset is full
+        # of odd shapes (853x1280 images; any odd pyramid level), so spatial
+        # axes are requested only where they divide; GSPMD redistributes the
+        # rest on first use.
+        dy, dx = mesh.shape["dy"], mesh.shape["dx"]
+
+        def spec(hh, ww, *extra):
+            return P(
+                "batch",
+                "dy" if hh % dy == 0 else None,
+                "dx" if ww % dx == 0 else None,
+                *extra,
+            )
+
+        img = NamedSharding(mesh, spec(rows, cols))
         in_sh = (
-            NamedSharding(mesh, P("batch", "dy", "dx", None)),  # rgb (B,H,W,3)
-            NamedSharding(mesh, img_spec),  # mask
-            NamedSharding(mesh, img_spec),  # value
-            tuple(NamedSharding(mesh, img_spec) for _ in range(levels)),
+            NamedSharding(mesh, spec(rows, cols, None)),  # rgb (B,H,W,3)
+            img,  # mask
+            img,  # value
+            tuple(
+                NamedSharding(mesh, spec(*s.shape))
+                for s in _ids(rows, cols, cfg)
+            ),
         )
         return in_sh
 

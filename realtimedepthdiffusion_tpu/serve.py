@@ -217,9 +217,18 @@ def solve_pairs_multichip(
     eff = fx.EFFECT_NONE if effect is None else effect
 
     buckets: Dict[Tuple[int, int], List[Tuple[str, np.ndarray, np.ndarray, np.ndarray]]] = {}
-    for img_path, ann_path in pairs:
-        rgb, mask, value = _load_pair(img_path, ann_path, cfg)
-        buckets.setdefault(rgb.shape[:2], []).append((img_path, rgb, mask, value))
+    # Decode in parallel while assembling buckets (input order preserved by
+    # map); the batched dispatches below amortize everything else.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        decoded = pool.map(
+            lambda pr: (pr[0], *_load_pair(pr[0], pr[1], cfg)), pairs
+        )
+        for img_path, rgb, mask, value in decoded:
+            buckets.setdefault(rgb.shape[:2], []).append(
+                (img_path, rgb, mask, value)
+            )
 
     written = []
     for (h, w), items in buckets.items():

@@ -145,10 +145,13 @@ def test_serve_multichip_matches_sequential(tmp_path):
     os.makedirs(os.path.join(d, "images"))
     os.makedirs(os.path.join(d, "annotations"))
     # 3 pairs of one shape (batch of 2 -> padded last batch) + 1 of another
-    # (bucket smaller than the batch).
+    # (bucket smaller than the batch) + 1 ODD-dimensioned (most dataset
+    # images are odd — 853x1280, 685x1280, ... — and jit in_shardings reject
+    # spatial specs that don't divide, so odd shapes must fall back to
+    # batch-only input placement; regression for the round-3 fix).
     for name, (h, w), seed in [
         ("a", (64, 80), 1), ("b", (64, 80), 2), ("c", (64, 80), 5),
-        ("dd", (72, 96), 3),
+        ("dd", (72, 96), 3), ("ee", (69, 85), 4),
     ]:
         _write_pair(d, name, h, w, seed)
     img_dir, ann_dir = os.path.join(d, "images"), os.path.join(d, "annotations")
@@ -169,7 +172,7 @@ def test_serve_multichip_matches_sequential(tmp_path):
         "--multichip", "--batch", "2", "--iterations", "64",
     ]) == 0
 
-    for name in ("a", "b", "c", "dd"):
+    for name in ("a", "b", "c", "dd", "ee"):
         seq = imread_gray(os.path.join(out_seq, f"{name}_depth.png")).astype(np.int32)
         mc = imread_gray(os.path.join(out_mc, f"{name}_depth.png")).astype(np.int32)
         # identical solves up to the sharded halo-block fp rounding (one u8
