@@ -27,6 +27,11 @@ import math
 from typing import Tuple
 
 
+# The canonical early-exit residual metrics (core/solver.residual_metric_fn
+# maps them to functionals; the CLI validates against the same tuple).
+VALID_RESIDUAL_METRICS = ("rms", "max")
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffusionConfig:
     """All tunables of the depth-diffusion pipeline.
@@ -240,6 +245,22 @@ class DiffusionConfig:
     # back to the u8 derived-weights arena (weights materialized in-kernel
     # from gray/d8 slabs), then to per-step DMA.
     pallas_arena_vmem_cap: int = 112 * 1024 * 1024
+
+    def __post_init__(self):
+        # Validate at construction so EVERY surface (library, serving, CLI)
+        # fails loudly instead of silently ignoring the request — the
+        # reference accepts a tolerance it never honors (src/main.cpp:264);
+        # this framework refuses to reproduce that bug.
+        if self.early_exit and self.solver != "red_black":
+            raise ValueError(
+                "early_exit requires solver='red_black' (the only solver "
+                f"with a residual loop); got solver={self.solver!r}"
+            )
+        if self.residual_metric not in VALID_RESIDUAL_METRICS:
+            raise ValueError(
+                f"unknown residual_metric {self.residual_metric!r}; "
+                f"expected one of {VALID_RESIDUAL_METRICS}"
+            )
 
     def num_levels(self, rows: int, cols: int) -> int:
         """Pyramid depth: log2(max(min(W,H)/base,1))+1 (src/main.cpp:95).

@@ -37,7 +37,7 @@ import dataclasses
 import sys
 from typing import List, Optional
 
-from ..config import DiffusionConfig
+from ..config import VALID_RESIDUAL_METRICS, DiffusionConfig
 from ..io import imread_rgb
 
 USAGE_SHORT = "Usage: depth-diffusion -i ImageFile.Extension"
@@ -161,10 +161,10 @@ def parse_args(argv: List[str]) -> CliArgs:
             # otherwise surface as a trace-time ValueError (or be silently
             # ignored when no early-exit path consumes it).
             v = val().lower()
-            if v not in ("rms", "max"):
+            if v not in VALID_RESIDUAL_METRICS:
                 raise SystemExit(
                     f"error: unknown --residual-metric {v!r} "
-                    f"(choose from ['max', 'rms'])\n{USAGE}"
+                    f"(choose from {sorted(VALID_RESIDUAL_METRICS)})\n{USAGE}"
                 )
             a.residual_metric = v
         elif arg == "--rb-rho":
@@ -224,11 +224,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(USAGE_SHORT)
         return 0
     a = parse_args(argv)
-    # Persistent XLA cache: after the first run on a given image shape the
-    # tool starts in seconds, like the reference's precompiled CUDA binary.
-    from ..utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
     if a.help:
         print(USAGE)
         if a.image is None:
@@ -236,6 +231,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     if a.image is None:
         print(USAGE_SHORT)
         return 0
+    # Persistent XLA cache: after the first run on a given image shape the
+    # tool starts in seconds, like the reference's precompiled CUDA binary.
+    # (After the help/no-image returns — those paths must not import jax.)
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if a.verbose:
         import logging

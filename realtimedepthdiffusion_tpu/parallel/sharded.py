@@ -635,11 +635,7 @@ def batched_step(
         out = render(rgb, gray0, jnp.clip(depth0, 0.0, 255.0))
         return depth0, new_state, out
 
-    img_spec = P("batch", "dy", "dx")
-
     def shardings():
-        from ..core.multigrid import initial_depth_state as _ids
-
         # Input shardings are the initial PLACEMENT only — the solve pads
         # and re-shards explicitly inside (solve_level_sharded). jit rejects
         # a spec whose axis doesn't divide the dim, and the dataset is full
@@ -662,8 +658,8 @@ def batched_step(
             img,  # mask
             img,  # value
             tuple(
-                NamedSharding(mesh, spec(*s.shape))
-                for s in _ids(rows, cols, cfg)
+                NamedSharding(mesh, spec(*cfg.level_size(rows, cols, lv)))
+                for lv in range(cfg.num_levels(rows, cols))
             ),
         )
         return in_sh

@@ -93,6 +93,12 @@ def solve_pairs(
     written: List[Optional[str]] = [None] * n
     io_workers = max(int(io_workers), 1)
     prefetch = max(int(prefetch), 0)
+    # Output paths are keyed by stem; with threaded writes two pairs sharing
+    # a stem could write the same file CONCURRENTLY (torn PNG). Preserve the
+    # sequential loop's last-wins semantics: only the final occurrence of a
+    # stem encodes; earlier duplicates just report the shared path.
+    stems = [os.path.splitext(os.path.basename(p))[0] for p, _ in pairs]
+    last_for_stem = {s: i for i, s in enumerate(stems)}
 
     with ThreadPoolExecutor(max_workers=io_workers) as pool:
         loads: deque = deque()  # (index, decode future)
@@ -112,6 +118,13 @@ def solve_pairs(
         def drain_solve():
             """Read back the oldest solved pair and hand it to a writer."""
             i, img_path, stem, depth_u8, art = inflight.popleft()
+            if last_for_stem[stem] != i:
+                # A later pair writes this stem; skip the dead encode and
+                # report the path the winner will write (last-wins).
+                written[i] = os.path.join(out_dir, f"{stem}_depth.png")
+                if progress:
+                    progress(img_path, written[i])
+                return
             # depth is converted to u8 ON DEVICE (pipe.depth_u8, bit-equal
             # to io.depth_to_u8): a 4x smaller readback than f32, which
             # matters on any host link (and dominates over a remote tunnel).
@@ -289,10 +302,6 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "path; 0 = strictly sequential)")
     a = p.parse_args(argv)
 
-    from .utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
     pairs: List[Tuple[str, str]] = []
     for pr in a.pairs:
         img, ann = pr.split(":", 1)
@@ -302,6 +311,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not pairs:
         print("no input pairs", file=sys.stderr)
         return 2
+
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg_kw = dict(backend=a.backend, solver=a.solver)
     if a.iterations is not None:

@@ -25,7 +25,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Point jax at a persistent on-disk compilation cache. Returns the
     directory used, or None when disabled/unavailable (the cache is an
     optimization, never a requirement — failures are swallowed)."""
-    if os.environ.get("RTDD_NO_COMPILE_CACHE"):
+    if os.environ.get("RTDD_NO_COMPILE_CACHE", "").lower() not in ("", "0", "false"):
         return None
     cache = cache_dir or default_cache_dir()
     try:

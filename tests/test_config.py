@@ -46,3 +46,18 @@ def test_brush_and_defocus_constants():
 def test_scribble_depth_values():
     # keys '0'..'4' -> min((k-'0')*64, 254) (src/main.cpp:41-43)
     assert SCRIBBLE_DEPTH_VALUES == (0, 64, 128, 192, 254)
+
+
+def test_config_validation_at_construction():
+    """Every surface fails loudly at config construction: early_exit without
+    the (only) residual-loop solver, or a typo'd residual metric."""
+    import pytest
+
+    from realtimedepthdiffusion_tpu.config import DiffusionConfig
+
+    with pytest.raises(ValueError, match="red_black"):
+        DiffusionConfig(early_exit=True)
+    with pytest.raises(ValueError, match="residual_metric"):
+        DiffusionConfig(residual_metric="rsm")
+    # the valid pairing constructs fine
+    DiffusionConfig(solver="red_black", early_exit=True, residual_metric="max")

@@ -241,3 +241,38 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
         # Global jax config: don't leave later tests writing compiled
         # artifacts into this test's tmp dir.
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_serve_duplicate_stems_last_wins(tmp_path):
+    """Two pairs sharing an output stem must not race their threaded PNG
+    writes: only the final occurrence encodes (the sequential loop's
+    last-wins overwrite semantics), and both report the shared path."""
+    from realtimedepthdiffusion_tpu.serve import solve_pairs
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "x", 64, 80, 1)
+    rgb2, mask2, value2 = synthetic_pair(64, 80, 7)  # different annotation
+    imwrite(os.path.join(d, "images", "x2.png"), rgb2)
+    save_annotation(os.path.join(d, "annotations", "x2.png"), mask2, value2)
+
+    img = os.path.join(d, "images", "x.png")
+    ann = os.path.join(d, "annotations", "x.png")
+    img2 = os.path.join(d, "images", "x2.png")
+    ann2 = os.path.join(d, "annotations", "x2.png")
+    cfg = DiffusionConfig(backend="xla")
+
+    # Same stem twice (x.png then x2.png renamed onto stem x via pairs of
+    # (image, annotation) lists that alias the stem): emulate by passing the
+    # same image path with two different annotations.
+    out = os.path.join(d, "out")
+    got = solve_pairs([(img, ann), (img, ann2)], out, cfg,
+                      io_workers=4, prefetch=2)
+    assert got[0] == got[1] == os.path.join(out, "x_depth.png")
+
+    # Last-wins: the file content equals a solo run of the LAST pair.
+    out2 = os.path.join(d, "out2")
+    solo = solve_pairs([(img, ann2)], out2, cfg, io_workers=1, prefetch=0)
+    with open(got[1], "rb") as f1, open(solo[0], "rb") as f2:
+        assert f1.read() == f2.read()

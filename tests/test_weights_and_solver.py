@@ -263,7 +263,7 @@ def test_red_black_early_exit(rng, metric):
     tolerance*255 (or the iteration cap was hit) and the result stays close
     to the full run."""
     gray, mask, val, depth = _case(rng, 32, 40)
-    cfg = DiffusionConfig(early_exit=True, tolerance=1e-4,
+    cfg = DiffusionConfig(solver="red_black", early_exit=True, tolerance=1e-4,
                           residual_check_every=10, residual_metric=metric)
     jw = weights.edge_weights(jnp.asarray(gray), None, 1, 1, cfg)
     u = solver.solve_red_black(
