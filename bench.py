@@ -54,7 +54,16 @@ def main():
     from realtimedepthdiffusion_tpu.core import multigrid
     from realtimedepthdiffusion_tpu.core.color import rgb_to_gray
 
-    h, w = 1080, 1920
+    # Driver contract: plain `python bench.py` is the 1080p headline.
+    # `--size 4k` measures the same worst-case frame at 2160x3840 (6 levels,
+    # defocus max_half 55) for the PERF.md resolution-scaling row.
+    h, w, label = 1080, 1920, "1080p"
+    if "--size" in sys.argv:
+        sz = sys.argv[sys.argv.index("--size") + 1].lower()
+        if sz in ("4k", "2160p"):
+            h, w, label = 2160, 3840, "4K"
+        elif sz not in ("1080p", "hd"):
+            raise SystemExit(f"unknown --size {sz!r} (1080p|4k)")
     cfg = DiffusionConfig()
     log("devices:", jax.devices())
 
@@ -109,7 +118,7 @@ def main():
     # reported number (the tunnel's weather moved round-2 readings by ~0.3 ms
     # at K=16). Envelopes take the MIN over 5 runs: the noise is strictly
     # additive (RTT + queuing), so the min converges on true device time.
-    K = 32
+    K = 32 if label == "1080p" else 8  # 4K frames are ~4x bigger
     f1, fk = chained(1), chained(K)
 
     t0 = time.perf_counter()
@@ -141,10 +150,13 @@ def main():
     )
     log(f"sweeps/frame: {sweeps}; sweep throughput: {sweeps / dt_ms * 1000:.0f}/s")
 
+    levels = cfg.num_levels(h, w)
     print(
         json.dumps(
             {
-                "metric": "1080p solve+defocus ms/frame, worst-case effect (1937 Chebyshev sweeps, 5-level cascade, 1 TPU core, relay-RTT-excluded)",
+                "metric": f"{label} solve+defocus ms/frame, worst-case effect "
+                          f"({sweeps} Chebyshev sweeps, {levels}-level cascade, "
+                          "1 TPU core, relay-RTT-excluded)",
                 "value": round(dt_ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(16.0 / dt_ms, 3),
