@@ -1,0 +1,64 @@
+"""An editing session: warm re-solves and the localized incremental path.
+
+`DepthSession` is the programmatic twin of the GUI (live/cli.py): it owns
+the annotation planes, the brush, and the warm multigrid state. After the
+first full solve, each additional scribble re-solves WARM — and with
+`incremental_iterations > 0` a small stroke takes the localized windowed
+path (a deep solve in a window around the stroke plus a coarse far-field
+correction; ~0.2 ms on TPU vs ~4.4 ms for the full schedule, PERF.md).
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+from realtimedepthdiffusion_tpu.config import DiffusionConfig
+from realtimedepthdiffusion_tpu.io import imread_rgb
+from realtimedepthdiffusion_tpu.live.session import DepthSession
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--image", default="/root/reference/dataset/images/Dog.jpg")
+    p.add_argument("--iterations", type=int, default=1000)
+    p.add_argument("--incremental", type=int, default=62,
+                   help="windowed re-solve budget for small strokes (0 = always full)")
+    args = p.parse_args(argv)
+
+    rgb = imread_rgb(args.image)
+    h, w = rgb.shape[:2]
+    cfg = DiffusionConfig(
+        max_iterations=args.iterations,
+        incremental_iterations=args.incremental,
+    )
+    sess = DepthSession(rgb, cfg)
+
+    # Scribble "near" (depth 0) across the center, "far" (254) at the top.
+    sess.set_color_key(0)
+    for x in range(w // 4, 3 * w // 4, 8):
+        sess.paint(x, h // 2)
+    sess.set_color_key(4)
+    for x in range(w // 4, 3 * w // 4, 8):
+        sess.paint(x, h // 8)
+
+    t0 = time.perf_counter()
+    depth = sess.solve()  # cold: compiles + full solve
+    t1 = time.perf_counter()
+    print(f"full solve (incl. compile): {t1 - t0:.2f}s; "
+          f"depth range [{depth.min():.0f}, {depth.max():.0f}]")
+
+    # One more small stroke -> warm re-solve (incremental path when enabled).
+    sess.set_color_key(2)
+    sess.paint(w // 2, 3 * h // 4)
+    t0 = time.perf_counter()
+    depth = sess.solve()
+    t1 = time.perf_counter()
+    kind = "incremental" if args.incremental else "full warm"
+    print(f"{kind} re-solve: {(t1 - t0) * 1e3:.1f} ms (host wall, incl. transfers)")
+    print(sess.timing_report())
+    return depth
+
+
+if __name__ == "__main__":
+    main()
