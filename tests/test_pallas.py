@@ -257,6 +257,32 @@ def test_defocus_pallas_bitexact(rng, shape):
     assert np.array_equal(got, want)
 
 
+def test_defocus_pallas_bitexact_halo_taller_than_block(rng):
+    """Tightest regime for the one-sided marched corner buffers: a large
+    aperture makes the row halo (hr) TALLER than the strip block, and a
+    far-plane row drives hv all the way to max_half — the wrap-garbage
+    creep bounds (bottom corners: garbage >= block_h + hr - hv + 1; top
+    corners: garbage < hv + 1 <= hr) are exercised at their minimum
+    margins. Must still equal the XLA formulation exactly."""
+    from realtimedepthdiffusion_tpu.core import effects as fx
+    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
+
+    h, w = 120, 180
+    cfg = DiffusionConfig(defocus_aperture=0.5)  # k=108, max_half=54, hr=56
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    depth = (rng.random((h, w)) * 255).astype(np.float32)
+    # Far-plane rows inside EACH 48-row strip: hv_hi == max_half everywhere.
+    depth[40:44, :] = 255.0
+    depth[60:64, :] = 255.0
+    depth[100:104, :] = 255.0
+    want = np.asarray(fx.defocus_xla(jnp.asarray(rgb), jnp.asarray(depth), cfg))
+    got = np.asarray(
+        defocus_pallas(jnp.asarray(rgb), jnp.asarray(depth), cfg,
+                       block_h=48, interpret=True)
+    )
+    assert np.array_equal(got, want)
+
+
 def test_defocus_routes_to_pallas_interpret(rng):
     """backend='pallas_interpret' routes fx.defocus through the kernel."""
     from realtimedepthdiffusion_tpu.core import effects as fx
