@@ -29,17 +29,16 @@ def log(*a):
 
 def _enable_compile_cache():
     """Persistent compilation cache (repo-local, gitignored): the first bench
-    run pays the ~2-5 min remote compile; subsequent runs start in seconds."""
+    run pays the ~2-5 min remote compile; subsequent runs start in seconds.
+    Delegates to utils.cache so the cache policy lives in ONE place; also
+    imported by tools/ab_*.py and tests_tpu/conftest.py."""
     import os
 
-    import jax
+    from realtimedepthdiffusion_tpu.utils.cache import enable_compilation_cache
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:  # cache is an optimization, never a requirement
-        log("compile cache unavailable:", e)
+    if enable_compilation_cache(cache) is None:
+        log("compile cache disabled or unavailable")
 
 
 def main():
@@ -59,7 +58,10 @@ def main():
     # defocus max_half 55) for the PERF.md resolution-scaling row.
     h, w, label = 1080, 1920, "1080p"
     if "--size" in sys.argv:
-        sz = sys.argv[sys.argv.index("--size") + 1].lower()
+        at = sys.argv.index("--size") + 1
+        if at >= len(sys.argv):
+            raise SystemExit("--size needs a value (1080p|4k)")
+        sz = sys.argv[at].lower()
         if sz in ("4k", "2160p"):
             h, w, label = 2160, 3840, "4K"
         elif sz not in ("1080p", "hd"):

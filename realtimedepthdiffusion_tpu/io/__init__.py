@@ -3,6 +3,7 @@ import PIL/OpenCV (BASELINE.json: imaging libraries confined to I/O)."""
 
 from .image import (
     depth_to_u8,
+    image_size,
     imread_gray,
     imread_rgb,
     imwrite,
@@ -12,6 +13,7 @@ from .image import (
 
 __all__ = [
     "depth_to_u8",
+    "image_size",
     "imread_gray",
     "imread_rgb",
     "imwrite",

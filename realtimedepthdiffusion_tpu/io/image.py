@@ -34,6 +34,16 @@ def imread_rgb(path: str) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def image_size(path: str) -> Tuple[int, int]:
+    """(H, W) of an image from its header alone — no pixel decode. Matches
+    ``imread_rgb``'s output shape (no EXIF transpose is applied on either
+    path). Lets batch serving shape-bucket thousands of pairs without
+    holding their decoded pixels in host RAM."""
+    with _pil().open(path) as img:
+        w, h = img.size
+    return h, w
+
+
 def imread_gray(path: str) -> np.ndarray:
     """Load an image as (H, W) uint8 grayscale (PIL 'L' mode)."""
     img = _pil().open(path).convert("L")

@@ -36,7 +36,7 @@ import numpy as np
 
 from .config import DiffusionConfig
 from .core import effects as fx
-from .io import depth_to_u8, imread_rgb, imwrite, load_annotation
+from .io import depth_to_u8, image_size, imread_rgb, imwrite, load_annotation
 
 _EFFECT_BY_KEY = {"b": fx.EFFECT_DEFOCUS, "g": fx.EFFECT_DESATURATION, "h": fx.EFFECT_HAZE}
 
@@ -104,6 +104,10 @@ def solve_pairs(
         loads: deque = deque()  # (index, decode future)
         inflight: deque = deque()  # (index, img_path, stem, depth, art)
         writes: deque = deque()  # (index, img_path, write future)
+        # Duplicate-stem pairs don't encode (last-wins); their progress
+        # callbacks fire only once the WINNING pair's PNG is on disk, so a
+        # consumer that opens the reported path never sees a missing file.
+        dup_waiters: Dict[int, List[Tuple[int, str]]] = {}
         next_load = 0
 
         def pump_loads():
@@ -120,10 +124,13 @@ def solve_pairs(
             i, img_path, stem, depth_u8, art = inflight.popleft()
             if last_for_stem[stem] != i:
                 # A later pair writes this stem; skip the dead encode and
-                # report the path the winner will write (last-wins).
+                # report the path the winner will write (last-wins). Progress
+                # is deferred to the winner's write completion (drain order is
+                # input order, so the winner always drains after this pair).
                 written[i] = os.path.join(out_dir, f"{stem}_depth.png")
-                if progress:
-                    progress(img_path, written[i])
+                dup_waiters.setdefault(last_for_stem[stem], []).append(
+                    (i, img_path)
+                )
                 return
             # depth is converted to u8 ON DEVICE (pipe.depth_u8, bit-equal
             # to io.depth_to_u8): a 4x smaller readback than f32, which
@@ -148,6 +155,8 @@ def solve_pairs(
                 written[i] = fut.result()
                 if progress:
                     progress(img_path, written[i])
+                    for _j, dup_path in dup_waiters.pop(i, ()):
+                        progress(dup_path, written[i])
 
         pump_loads()
         while loads:
@@ -161,7 +170,7 @@ def solve_pairs(
             rgb_d, gpyr = pipe.prepare_image(rgb)
             state = pipe.initial_state()
             mask_d, value_d = jnp.asarray(mask), jnp.asarray(value)
-            stem = os.path.splitext(os.path.basename(pairs[i][0]))[0]
+            stem = stems[i]
             if effect is None:
                 depth, _ = pipe.solve(gpyr, mask_d, value_d, state)
                 art = None
@@ -229,48 +238,59 @@ def solve_pairs_multichip(
     batch = -(-max(batch, 1) // b_mesh) * b_mesh  # divisible by the mesh axis
     eff = fx.EFFECT_NONE if effect is None else effect
 
-    buckets: Dict[Tuple[int, int], List[Tuple[str, np.ndarray, np.ndarray, np.ndarray]]] = {}
-    # Decode in parallel while assembling buckets (input order preserved by
-    # map); the batched dispatches below amortize everything else.
+    # Shape-bucket by the image HEADER alone (io.image_size — no pixel
+    # decode): host RAM is bounded at ~two decoded batches regardless of how
+    # many thousand pairs are queued, mirroring the single-chip path's
+    # prefetch window. Pixels for a batch are decoded (4-way parallel) while
+    # the device runs the PREVIOUS batch's dispatch.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        decoded = pool.map(
-            lambda pr: (pr[0], *_load_pair(pr[0], pr[1], cfg)), pairs
-        )
-        for img_path, rgb, mask, value in decoded:
-            buckets.setdefault(rgb.shape[:2], []).append(
-                (img_path, rgb, mask, value)
-            )
+    buckets: Dict[Tuple[int, int], List[Tuple[str, str]]] = {}
+    for img_path, ann_path in pairs:
+        buckets.setdefault(image_size(img_path), []).append((img_path, ann_path))
 
     written = []
-    for (h, w), items in buckets.items():
-        fn, _ = batched_step(mesh, h, w, cfg, effect=eff)
-        state0 = initial_depth_state(h, w, cfg)
-        for lo in range(0, len(items), batch):
-            chunk = items[lo : lo + batch]
-            n = len(chunk)
-            fill = [chunk[-1]] * (batch - n)
-            rgbs = np.stack([it[1][..., :3] for it in chunk + fill])
-            masks = np.stack([it[2].astype(bool) for it in chunk + fill])
-            values = np.stack([it[3] for it in chunk + fill])
-            state = tuple(
-                jnp.broadcast_to(s, (batch,) + s.shape) for s in state0
-            )
-            depth, _, art = fn(
-                jnp.asarray(rgbs), jnp.asarray(masks), jnp.asarray(values), state
-            )
-            depth_np = np.asarray(depth)
-            art_np = np.asarray(art) if effect is not None else None
-            for i, (img_path, *_rest) in enumerate(chunk):
-                stem = os.path.splitext(os.path.basename(img_path))[0]
-                if art_np is not None:
-                    imwrite(os.path.join(out_dir, f"{stem}_effect.png"), art_np[i])
-                dp = os.path.join(out_dir, f"{stem}_depth.png")
-                imwrite(dp, depth_to_u8(depth_np[i]))
-                written.append(dp)
-                if progress:
-                    progress(img_path, dp)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for (h, w), items in buckets.items():
+            fn, _ = batched_step(mesh, h, w, cfg, effect=eff)
+            state0 = initial_depth_state(h, w, cfg)
+            starts = list(range(0, len(items), batch))
+
+            def decode(chunk):
+                # Executor.map submits eagerly; the returned iterator is the
+                # batch's decode future (consumed on the main thread only).
+                return pool.map(
+                    lambda pr: (pr[0], *_load_pair(pr[0], pr[1], cfg)), chunk
+                )
+
+            pending = decode(items[starts[0] : starts[0] + batch])
+            for bi, lo in enumerate(starts):
+                chunk = list(pending)  # block for this batch's decodes
+                n = len(chunk)
+                fill = [chunk[-1]] * (batch - n)
+                rgbs = np.stack([it[1][..., :3] for it in chunk + fill])
+                masks = np.stack([it[2].astype(bool) for it in chunk + fill])
+                values = np.stack([it[3] for it in chunk + fill])
+                state = tuple(
+                    jnp.broadcast_to(s, (batch,) + s.shape) for s in state0
+                )
+                depth, _, art = fn(
+                    jnp.asarray(rgbs), jnp.asarray(masks), jnp.asarray(values), state
+                )
+                if bi + 1 < len(starts):  # decode ahead while the device runs
+                    lo2 = starts[bi + 1]
+                    pending = decode(items[lo2 : lo2 + batch])
+                depth_np = np.asarray(depth)
+                art_np = np.asarray(art) if effect is not None else None
+                for i, (img_path, *_rest) in enumerate(chunk):
+                    stem = os.path.splitext(os.path.basename(img_path))[0]
+                    if art_np is not None:
+                        imwrite(os.path.join(out_dir, f"{stem}_effect.png"), art_np[i])
+                    dp = os.path.join(out_dir, f"{stem}_depth.png")
+                    imwrite(dp, depth_to_u8(depth_np[i]))
+                    written.append(dp)
+                    if progress:
+                        progress(img_path, dp)
     return written
 
 

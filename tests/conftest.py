@@ -21,12 +21,12 @@ jax.config.update("jax_platforms", "cpu")
 # bench.py uses for TPU executables; entries are keyed by platform so the
 # CPU test programs and TPU bench programs coexist). Recompiling the larger
 # test programs dominates suite wall time on this 1-CPU box; a warm cache
-# cuts repeat runs substantially.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+# cuts repeat runs substantially. One policy, one implementation: utils.cache.
+from realtimedepthdiffusion_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

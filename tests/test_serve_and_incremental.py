@@ -220,6 +220,17 @@ def test_serve_async_pipeline_matches_sequential(tmp_path):
             assert f1.read() == f2.read(), e1
 
 
+def test_image_size_header_probe(tmp_path):
+    """io.image_size reads (H, W) from the header without decoding pixels,
+    and agrees with imread_rgb's shape (multichip serving buckets by it)."""
+    from realtimedepthdiffusion_tpu.io import image_size, imread_rgb
+
+    p = str(tmp_path / "im.png")
+    imwrite(p, np.zeros((37, 53, 3), np.uint8))
+    assert image_size(p) == (37, 53)
+    assert imread_rgb(p).shape[:2] == image_size(p)
+
+
 def test_compilation_cache_helper(tmp_path, monkeypatch):
     """enable_compilation_cache honors RTDD_CACHE_DIR / RTDD_NO_COMPILE_CACHE
     and returns the directory it configured."""
@@ -267,9 +278,18 @@ def test_serve_duplicate_stems_last_wins(tmp_path):
     # (image, annotation) lists that alias the stem): emulate by passing the
     # same image path with two different annotations.
     out = os.path.join(d, "out")
+    seen = []  # (src, dst, dst existed when reported)
+
+    def progress(src, dst):
+        seen.append((src, dst, os.path.exists(dst)))
+
     got = solve_pairs([(img, ann), (img, ann2)], out, cfg,
-                      io_workers=4, prefetch=2)
+                      io_workers=4, prefetch=2, progress=progress)
     assert got[0] == got[1] == os.path.join(out, "x_depth.png")
+    # Progress (including the dead duplicate's) only fires once the winning
+    # PNG is on disk — a consumer that opens the reported path never 404s.
+    assert len(seen) == 2
+    assert all(existed for _, _, existed in seen), seen
 
     # Last-wins: the file content equals a solo run of the LAST pair.
     out2 = os.path.join(d, "out2")
