@@ -220,6 +220,71 @@ def test_serve_async_pipeline_matches_sequential(tmp_path):
             assert f1.read() == f2.read(), e1
 
 
+def test_serve_multichip_bounded_decode(tmp_path, monkeypatch):
+    """The multichip path buckets by image HEADER and decodes lazily: batch
+    k's pixels are decoded only after batch k-1 has been dispatched, so host
+    RAM holds at most ~two decoded batches no matter how long the queue is
+    (the round-3 review finding: the first version decoded EVERYTHING up
+    front)."""
+    import realtimedepthdiffusion_tpu.parallel.sharded as sharded
+    import realtimedepthdiffusion_tpu.serve as serve_mod
+    from realtimedepthdiffusion_tpu.parallel.mesh import make_mesh
+    from realtimedepthdiffusion_tpu.serve import solve_pairs_multichip
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    names = ["a", "b", "c", "d"]
+    for i, name in enumerate(names):
+        _write_pair(d, name, 48, 64, i + 1)
+    pairs = [
+        (os.path.join(d, "images", f"{n}.png"),
+         os.path.join(d, "annotations", f"{n}.png"))
+        for n in names
+    ]
+
+    events = []  # ("decode", stem) from pool threads / ("dispatch", #) main
+    real_load = serve_mod._load_pair
+
+    def spy_load(img_path, ann_path, cfg):
+        events.append(("decode", os.path.basename(img_path)))
+        return real_load(img_path, ann_path, cfg)
+
+    real_step = sharded.batched_step
+    n_dispatch = [0]
+
+    def spy_step(*a, **kw):
+        fn, meta = real_step(*a, **kw)
+
+        def wrapped(*fa):
+            events.append(("dispatch", n_dispatch[0]))
+            n_dispatch[0] += 1
+            return fn(*fa)
+
+        return wrapped, meta
+
+    monkeypatch.setattr(serve_mod, "_load_pair", spy_load)
+    monkeypatch.setattr(sharded, "batched_step", spy_step)
+
+    cfg = DiffusionConfig(backend="xla", max_iterations=16)
+    out = os.path.join(d, "out")
+    got = solve_pairs_multichip(pairs, out, cfg, batch=1, mesh=make_mesh(1))
+    assert len(got) == 4 and all(os.path.exists(p) for p in got)
+
+    # batch=1 on a 1-device mesh -> 4 batches. Decode of batch k (k >= 2)
+    # must come after dispatch of batch k-2 (one-batch decode-ahead).
+    decode_at = {}
+    dispatch_at = {}
+    for idx, (kind, tag) in enumerate(events):
+        if kind == "decode":
+            decode_at[tag] = idx
+        else:
+            dispatch_at[tag] = idx
+    assert n_dispatch[0] == 4
+    for k in range(2, 4):
+        assert decode_at[f"{names[k]}.png"] > dispatch_at[k - 2], events
+
+
 def test_image_size_header_probe(tmp_path):
     """io.image_size reads (H, W) from the header without decoding pixels,
     and agrees with imread_rgb's shape (multichip serving buckets by it)."""
