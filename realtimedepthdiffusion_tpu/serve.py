@@ -65,9 +65,16 @@ def solve_pairs(
     progress=None,
     io_workers: int = 4,
     prefetch: int = 2,
-) -> List[str]:
+    keep_going: bool = False,
+) -> List[Optional[str]]:
     """Solve every pair; returns the written depth-map paths in input order.
     Pipelines are compiled once per distinct image shape (shape bucketing).
+
+    ``keep_going=True`` turns per-pair host-IO failures (corrupt PNG,
+    annotation/image shape mismatch, unwritable output) into a stderr
+    warning and a ``None`` entry instead of aborting the whole run mid-way —
+    the production-serving contract. Device/compile errors still raise: they
+    would affect every pair.
 
     The host IO rides an async pipeline (the TPU input-pipeline pattern —
     PNG/JPEG decode of 1080p pairs costs 2-5x the 4 ms solve, so a
@@ -108,6 +115,7 @@ def solve_pairs(
         # callbacks fire only once the WINNING pair's PNG is on disk, so a
         # consumer that opens the reported path never sees a missing file.
         dup_waiters: Dict[int, List[Tuple[int, str]]] = {}
+        failed: set = set()  # indices whose decode failed (keep_going only)
         next_load = 0
 
         def pump_loads():
@@ -123,6 +131,17 @@ def solve_pairs(
             """Read back the oldest solved pair and hand it to a writer."""
             i, img_path, stem, depth_u8, art = inflight.popleft()
             if last_for_stem[stem] != i:
+                if last_for_stem[stem] in failed:
+                    # The stem's winning pair failed to decode (keep_going):
+                    # this earlier duplicate's encode was going to be skipped
+                    # in its favor — nothing will write the stem, so report
+                    # nothing (re-running without the broken pair recovers).
+                    print(
+                        f"warning: {img_path}: skipped (duplicate of failed "
+                        f"pair {pairs[last_for_stem[stem]][0]})",
+                        file=sys.stderr,
+                    )
+                    return
                 # A later pair writes this stem; skip the dead encode and
                 # report the path the winner will write (last-wins). Progress
                 # is deferred to the winner's write completion (drain order is
@@ -152,7 +171,17 @@ def solve_pairs(
         def drain_writes(block: bool, keep: int = 0):
             while len(writes) > keep and (block or writes[0][2].done()):
                 i, img_path, fut = writes.popleft()
-                written[i] = fut.result()
+                try:
+                    written[i] = fut.result()
+                except Exception as e:
+                    if not keep_going:
+                        raise
+                    print(f"warning: {img_path}: write failed: {e}",
+                          file=sys.stderr)
+                    written[i] = None
+                    for j, _p in dup_waiters.pop(i, ()):
+                        written[j] = None
+                    continue
                 if progress:
                     progress(img_path, written[i])
                     for _j, dup_path in dup_waiters.pop(i, ()):
@@ -161,7 +190,19 @@ def solve_pairs(
         pump_loads()
         while loads:
             i, fut = loads.popleft()
-            rgb, mask, value = fut.result()
+            try:
+                rgb, mask, value = fut.result()
+            except Exception as e:
+                if not keep_going:
+                    raise
+                print(f"warning: {pairs[i][0]}: skipped: {e}", file=sys.stderr)
+                failed.add(i)
+                # Duplicates that already deferred to this (now failed)
+                # winner were never encoded — nothing owns their stem.
+                for j, _p in dup_waiters.pop(i, ()):
+                    written[j] = None
+                pump_loads()
+                continue
             pump_loads()  # keep the decode window full while we dispatch
             h, w = rgb.shape[:2]
             if (h, w) not in pipes:
@@ -211,6 +252,7 @@ def solve_pairs_multichip(
     batch: Optional[int] = None,
     mesh=None,
     progress=None,
+    keep_going: bool = False,
 ) -> List[str]:
     """Multi-chip batch serving: shape-buckets the pairs, then drives the
     data-parallel + spatially-sharded batched step (parallel/sharded.py)
@@ -222,6 +264,8 @@ def solve_pairs_multichip(
     tests/test_serve_and_incremental.py).
 
     Returns the written depth-map paths in input order within each bucket.
+    ``keep_going=True`` drops pairs whose decode fails (stderr warning)
+    instead of aborting the run; a batch re-packs with the survivors.
     """
     import jax.numpy as jnp
 
@@ -247,7 +291,14 @@ def solve_pairs_multichip(
 
     buckets: Dict[Tuple[int, int], List[Tuple[str, str]]] = {}
     for img_path, ann_path in pairs:
-        buckets.setdefault(image_size(img_path), []).append((img_path, ann_path))
+        try:
+            size = image_size(img_path)
+        except Exception as e:
+            if not keep_going:
+                raise
+            print(f"warning: {img_path}: skipped: {e}", file=sys.stderr)
+            continue
+        buckets.setdefault(size, []).append((img_path, ann_path))
 
     written = []
     with ThreadPoolExecutor(max_workers=4) as pool:
@@ -257,15 +308,35 @@ def solve_pairs_multichip(
             starts = list(range(0, len(items), batch))
 
             def decode(chunk):
-                # Executor.map submits eagerly; the returned iterator is the
-                # batch's decode future (consumed on the main thread only).
-                return pool.map(
-                    lambda pr: (pr[0], *_load_pair(pr[0], pr[1], cfg)), chunk
-                )
+                # One future per pair (not pool.map: its iterator dies at the
+                # first decode error, taking the rest of the batch with it).
+                return [
+                    (pr, pool.submit(
+                        lambda p: (p[0], *_load_pair(p[0], p[1], cfg)), pr
+                    ))
+                    for pr in chunk
+                ]
+
+            def gather(futs):
+                out = []
+                for pr, f in futs:
+                    try:
+                        out.append(f.result())
+                    except Exception as e:
+                        if not keep_going:
+                            raise
+                        print(f"warning: {pr[0]}: skipped: {e}",
+                              file=sys.stderr)
+                return out
 
             pending = decode(items[starts[0] : starts[0] + batch])
             for bi, lo in enumerate(starts):
-                chunk = list(pending)  # block for this batch's decodes
+                chunk = gather(pending)  # block for this batch's decodes
+                if bi + 1 < len(starts):  # decode ahead (bounded: one batch)
+                    lo2 = starts[bi + 1]
+                    pending = decode(items[lo2 : lo2 + batch])
+                if not chunk:  # every pair in the batch failed (keep_going)
+                    continue
                 n = len(chunk)
                 fill = [chunk[-1]] * (batch - n)
                 rgbs = np.stack([it[1][..., :3] for it in chunk + fill])
@@ -277,17 +348,24 @@ def solve_pairs_multichip(
                 depth, _, art = fn(
                     jnp.asarray(rgbs), jnp.asarray(masks), jnp.asarray(values), state
                 )
-                if bi + 1 < len(starts):  # decode ahead while the device runs
-                    lo2 = starts[bi + 1]
-                    pending = decode(items[lo2 : lo2 + batch])
                 depth_np = np.asarray(depth)
                 art_np = np.asarray(art) if effect is not None else None
                 for i, (img_path, *_rest) in enumerate(chunk):
                     stem = os.path.splitext(os.path.basename(img_path))[0]
-                    if art_np is not None:
-                        imwrite(os.path.join(out_dir, f"{stem}_effect.png"), art_np[i])
-                    dp = os.path.join(out_dir, f"{stem}_depth.png")
-                    imwrite(dp, depth_to_u8(depth_np[i]))
+                    try:
+                        if art_np is not None:
+                            imwrite(
+                                os.path.join(out_dir, f"{stem}_effect.png"),
+                                art_np[i],
+                            )
+                        dp = os.path.join(out_dir, f"{stem}_depth.png")
+                        imwrite(dp, depth_to_u8(depth_np[i]))
+                    except Exception as e:
+                        if not keep_going:
+                            raise
+                        print(f"warning: {img_path}: write failed: {e}",
+                              file=sys.stderr)
+                        continue
                     written.append(dp)
                     if progress:
                         progress(img_path, dp)
@@ -320,6 +398,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--prefetch", type=int, default=2,
                    help="pairs decoded ahead of the device (single-chip "
                         "path; 0 = strictly sequential)")
+    p.add_argument("--keep-going", action="store_true",
+                   help="skip pairs whose decode/write fails (stderr "
+                        "warning; exit code 1 if any were skipped) instead "
+                        "of aborting the whole run")
     a = p.parse_args(argv)
 
     pairs: List[Tuple[str, str]] = []
@@ -350,10 +432,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     written = runner(
         pairs, a.out, cfg, eff,
         progress=lambda src, dst: print(f"{src} -> {dst}"),
+        keep_going=a.keep_going,
         **kwargs,
     )
-    print(f"solved {len(written)} pair(s)")
-    return 0
+    ok = [w for w in written if w]
+    print(f"solved {len(ok)} of {len(pairs)} pair(s)")
+    return 0 if len(ok) == len(pairs) else 1
 
 
 if __name__ == "__main__":

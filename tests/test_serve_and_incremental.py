@@ -285,6 +285,62 @@ def test_serve_multichip_bounded_decode(tmp_path, monkeypatch):
         assert decode_at[f"{names[k]}.png"] > dispatch_at[k - 2], events
 
 
+def test_serve_keep_going_skips_bad_pairs(tmp_path):
+    """--keep-going: a corrupt/mismatched pair becomes a warning + None entry
+    and the rest of the run completes; without it the run aborts (fail-fast
+    default). Covers both serving paths and the CLI exit code."""
+    from realtimedepthdiffusion_tpu.serve import solve_pairs
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "a", 48, 64, 1)
+    _write_pair(d, "b", 48, 64, 2)
+    # 'bad': annotation shape mismatches its image
+    rgb, mask, value = synthetic_pair(48, 64, 3)
+    imwrite(os.path.join(d, "images", "bad.png"), rgb)
+    m2, v2 = synthetic_pair(40, 56, 3)[1:]
+    save_annotation(os.path.join(d, "annotations", "bad.png"), m2, v2)
+    pairs = discover_pairs_local(d)
+    assert [os.path.basename(p) for p, _ in pairs] == ["a.png", "b.png", "bad.png"]
+
+    cfg = DiffusionConfig(backend="xla", max_iterations=16)
+    with pytest.raises(ValueError):
+        solve_pairs(pairs, os.path.join(d, "o0"), cfg)
+
+    got = solve_pairs(pairs, os.path.join(d, "o1"), cfg, keep_going=True)
+    assert got[2] is None
+    assert got[0] and got[1] and all(os.path.exists(p) for p in got[:2])
+
+    # CLI: --keep-going exits 1 when pairs were skipped, 0 when all solved.
+    rc = serve_main([
+        "--images", os.path.join(d, "images"),
+        "--annotations", os.path.join(d, "annotations"),
+        "--out", os.path.join(d, "o2"), "--backend", "xla",
+        "--iterations", "16", "--keep-going",
+    ])
+    assert rc == 1
+    assert os.path.exists(os.path.join(d, "o2", "a_depth.png"))
+    assert os.path.exists(os.path.join(d, "o2", "b_depth.png"))
+    assert not os.path.exists(os.path.join(d, "o2", "bad_depth.png"))
+
+    # Multichip path: survivors re-pack the batch; bad pair skipped.
+    rc = serve_main([
+        "--images", os.path.join(d, "images"),
+        "--annotations", os.path.join(d, "annotations"),
+        "--out", os.path.join(d, "o3"), "--backend", "xla",
+        "--iterations", "16", "--keep-going", "--multichip", "--batch", "2",
+    ])
+    assert rc == 1
+    assert os.path.exists(os.path.join(d, "o3", "a_depth.png"))
+    assert os.path.exists(os.path.join(d, "o3", "b_depth.png"))
+    assert not os.path.exists(os.path.join(d, "o3", "bad_depth.png"))
+
+
+def discover_pairs_local(d):
+    return discover_pairs(os.path.join(d, "images"), os.path.join(d, "annotations"))
+
+
 def test_image_size_header_probe(tmp_path):
     """io.image_size reads (H, W) from the header without decoding pixels,
     and agrees with imread_rgb's shape (multichip serving buckets by it)."""
