@@ -402,6 +402,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="skip pairs whose decode/write fails (stderr "
                         "warning; exit code 1 if any were skipped) instead "
                         "of aborting the whole run")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="skip pairs whose depth map already exists in --out "
+                        "(cheap resume after a partial/--keep-going run)")
     a = p.parse_args(argv)
 
     pairs: List[Tuple[str, str]] = []
@@ -413,6 +416,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not pairs:
         print("no input pairs", file=sys.stderr)
         return 2
+    if a.skip_existing:
+        def _done(pr):
+            stem = os.path.splitext(os.path.basename(pr[0]))[0]
+            return os.path.exists(os.path.join(a.out, f"{stem}_depth.png"))
+
+        skipped = sum(_done(pr) for pr in pairs)
+        pairs = [pr for pr in pairs if not _done(pr)]
+        if skipped:
+            print(f"skipping {skipped} already-solved pair(s)", file=sys.stderr)
+        if not pairs:
+            print("solved 0 of 0 pair(s)")
+            return 0
 
     from .utils.cache import enable_compilation_cache
 

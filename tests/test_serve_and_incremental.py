@@ -336,6 +336,18 @@ def test_serve_keep_going_skips_bad_pairs(tmp_path):
     assert os.path.exists(os.path.join(d, "o3", "b_depth.png"))
     assert not os.path.exists(os.path.join(d, "o3", "bad_depth.png"))
 
+    # --skip-existing: a re-run only attempts the still-missing pairs (here
+    # just the broken one), so resume-after-partial-failure is cheap.
+    a_mtime = os.path.getmtime(os.path.join(d, "o2", "a_depth.png"))
+    rc = serve_main([
+        "--images", os.path.join(d, "images"),
+        "--annotations", os.path.join(d, "annotations"),
+        "--out", os.path.join(d, "o2"), "--backend", "xla",
+        "--iterations", "16", "--keep-going", "--skip-existing",
+    ])
+    assert rc == 1  # the bad pair still fails
+    assert os.path.getmtime(os.path.join(d, "o2", "a_depth.png")) == a_mtime
+
 
 def discover_pairs_local(d):
     return discover_pairs(os.path.join(d, "images"), os.path.join(d, "annotations"))
