@@ -261,6 +261,12 @@ class DiffusionConfig:
                 f"unknown residual_metric {self.residual_metric!r}; "
                 f"expected one of {VALID_RESIDUAL_METRICS}"
             )
+        if self.pallas_defocus_variant not in ("corners", "stacked", "coldiff"):
+            raise ValueError(
+                f"unknown pallas_defocus_variant "
+                f"{self.pallas_defocus_variant!r}; expected 'corners', "
+                f"'stacked' or 'coldiff' (interpret-only)"
+            )
 
     def num_levels(self, rows: int, cols: int) -> int:
         """Pyramid depth: log2(max(min(W,H)/base,1))+1 (src/main.cpp:95).

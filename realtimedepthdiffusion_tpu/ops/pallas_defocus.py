@@ -371,6 +371,15 @@ def defocus_pallas(
 
 def _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret,
                   variant="corners"):
+    if variant == "coldiff" and not interpret:
+        # Mosaic (v5e, 2026-08) rejects the dynamic sublane-offset vector
+        # loads this variant's row reads need; fail with a clear message
+        # instead of a compiler traceback.
+        raise ValueError(
+            "pallas_defocus_variant='coldiff' is interpret-only (Mosaic "
+            "rejects its dynamic sublane-offset loads); use 'corners' or "
+            "'stacked' on hardware"
+        )
     hs, wp = half_p.shape
     slab_h = block_h + 2 * hr
     if variant == "stacked":

@@ -341,14 +341,25 @@ def test_defocus_variant_kernels_bitexact(rng, variant):
 
 def test_defocus_unknown_variant_rejected(rng):
     """A typo'd variant name must raise, not silently run the corners
-    kernel (an A/B 'measuring' the typo would measure the default)."""
-    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
+    kernel (an A/B 'measuring' the typo would measure the default) — at
+    config construction (every surface) and again at the kernel-call layer
+    (defense in depth for direct callers). 'coldiff' on the COMPILED path
+    must also fail with a clear message, not a Mosaic traceback."""
+    from realtimedepthdiffusion_tpu.ops import pallas_defocus as pd
+
+    with pytest.raises(ValueError, match="unknown pallas_defocus_variant"):
+        DiffusionConfig(pallas_defocus_variant="stackd")
 
     rgb = jnp.asarray(rng.integers(0, 256, (32, 40, 3), dtype=np.uint8))
     depth = jnp.asarray((rng.random((32, 40)) * 255).astype(np.float32))
-    cfg = DiffusionConfig(pallas_defocus_variant="stackd")
+    cfg = DiffusionConfig(pallas_defocus_variant="corners")
+    object.__setattr__(cfg, "pallas_defocus_variant", "stackd")  # bypass
     with pytest.raises(ValueError, match="unknown pallas defocus variant"):
-        defocus_pallas(rgb, depth, cfg, interpret=True)
+        pd.defocus_pallas(rgb, depth, cfg, interpret=True)
+
+    cfg_cd = DiffusionConfig(pallas_defocus_variant="coldiff")
+    with pytest.raises(ValueError, match="interpret-only"):
+        pd.defocus_pallas(rgb, depth, cfg_cd, interpret=False)
 
 
 @pytest.mark.parametrize("level,max_level", [(1, 3), (0, 3), (3, 3)])
