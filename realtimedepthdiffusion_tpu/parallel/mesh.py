@@ -43,8 +43,24 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """Build a ('batch','dy','dx') mesh over the first n devices."""
     if devices is None:
         devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            # The default platform is too small (e.g. one real TPU chip in a
+            # process whose boot hook out-prioritizes JAX_PLATFORMS=cpu). The
+            # host-platform device-count flag still applies to the CPU
+            # backend, so a virtual mesh can come from there.
+            try:
+                cpu = jax.devices("cpu")
+            except RuntimeError:
+                cpu = []
+            if len(cpu) >= n_devices:
+                devices = cpu
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"make_mesh: {n_devices} devices requested but only "
+            f"{len(devices)} available on any backend"
+        )
     b, dy, dx = factor3(n_devices)
     arr = np.array(devices[:n_devices]).reshape(b, dy, dx)
     return Mesh(arr, ("batch", "dy", "dx"))

@@ -27,6 +27,28 @@ def test_factor3():
     assert factor3(6) == (1, 2, 3)
 
 
+def test_make_mesh_falls_back_to_cpu_backend(monkeypatch):
+    """When the default platform exposes fewer devices than requested (one
+    real TPU chip in a process whose boot hook overrides JAX_PLATFORMS=cpu),
+    make_mesh must still build the virtual mesh from the CPU backend instead
+    of failing the reshape — the driver's dryrun can share a process with a
+    default-platform entry() compile."""
+    from realtimedepthdiffusion_tpu.parallel import mesh as mesh_mod
+
+    real_devices = jax.devices
+
+    def fake_devices(backend=None):
+        if backend is None:
+            return real_devices()[:1]
+        return real_devices(backend)
+
+    monkeypatch.setattr(mesh_mod.jax, "devices", fake_devices)
+    m = mesh_mod.make_mesh(8)
+    assert m.devices.size == 8
+    with pytest.raises(ValueError, match="only"):
+        mesh_mod.make_mesh(8, devices=real_devices()[:1])
+
+
 def test_halo_exchange_reassembles_global():
     """extend_with_halo must deliver the true global neighborhood: cropping
     an extended identity map equals a plain global pad-and-slice."""
