@@ -50,10 +50,18 @@ def imread_gray(path: str) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
-def imwrite(path: str, arr: np.ndarray) -> None:
-    """Write uint8 (H,W) gray or (H,W,3) RGB image."""
+def imwrite(path: str, arr: np.ndarray, png_level: int | None = None) -> None:
+    """Write uint8 (H,W) gray or (H,W,3) RGB image.
+
+    ``png_level`` (0-9, PNG outputs only) sets the zlib effort: the codec
+    default is 6; level 1 encodes ~3-5x faster at a modest size cost — the
+    serving-throughput knob, since PNG encode (~150 ms/pair at 1080p)
+    dominates a ~4 ms solve on a directly-attached TPU host."""
     arr = np.asarray(arr, dtype=np.uint8)
-    _pil().fromarray(arr).save(path)
+    kw = {}
+    if png_level is not None and path.lower().endswith(".png"):
+        kw["compress_level"] = int(png_level)
+    _pil().fromarray(arr).save(path, **kw)
 
 
 def load_annotation(

@@ -66,6 +66,7 @@ def solve_pairs(
     io_workers: int = 4,
     prefetch: int = 2,
     keep_going: bool = False,
+    png_level: Optional[int] = None,
 ) -> List[Optional[str]]:
     """Solve every pair; returns the written depth-map paths in input order.
     Pipelines are compiled once per distinct image shape (shape bucketing).
@@ -160,10 +161,11 @@ def solve_pairs(
             def write():
                 if art_np is not None:
                     imwrite(
-                        os.path.join(out_dir, f"{stem}_effect.png"), art_np
+                        os.path.join(out_dir, f"{stem}_effect.png"), art_np,
+                        png_level=png_level,
                     )
                 dp = os.path.join(out_dir, f"{stem}_depth.png")
-                imwrite(dp, depth_np)
+                imwrite(dp, depth_np, png_level=png_level)
                 return dp
 
             writes.append((i, img_path, pool.submit(write)))
@@ -253,6 +255,7 @@ def solve_pairs_multichip(
     mesh=None,
     progress=None,
     keep_going: bool = False,
+    png_level: Optional[int] = None,
 ) -> List[str]:
     """Multi-chip batch serving: shape-buckets the pairs, then drives the
     data-parallel + spatially-sharded batched step (parallel/sharded.py)
@@ -356,10 +359,11 @@ def solve_pairs_multichip(
                         if art_np is not None:
                             imwrite(
                                 os.path.join(out_dir, f"{stem}_effect.png"),
-                                art_np[i],
+                                art_np[i], png_level=png_level,
                             )
                         dp = os.path.join(out_dir, f"{stem}_depth.png")
-                        imwrite(dp, depth_to_u8(depth_np[i]))
+                        imwrite(dp, depth_to_u8(depth_np[i]),
+                                png_level=png_level)
                     except Exception as e:
                         if not keep_going:
                             raise
@@ -402,6 +406,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="skip pairs whose decode/write fails (stderr "
                         "warning; exit code 1 if any were skipped) instead "
                         "of aborting the whole run")
+    p.add_argument("--png-level", type=int, default=None, metavar="0-9",
+                   help="PNG zlib effort for outputs (codec default 6; "
+                        "1 encodes ~3-5x faster at a modest size cost — "
+                        "encode dominates serving throughput on a local "
+                        "TPU host)")
     p.add_argument("--skip-existing", action="store_true",
                    help="skip pairs whose depth map already exists in --out "
                         "(cheap resume after a partial/--keep-going run)")
@@ -439,6 +448,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = DiffusionConfig(**cfg_kw)
     eff = _EFFECT_BY_KEY.get(a.effect) if a.effect else None
     runner = solve_pairs_multichip if a.multichip else solve_pairs
+    if a.png_level is not None and not 0 <= a.png_level <= 9:
+        p.error("--png-level must be in 0..9")
     kwargs = (
         {"batch": a.batch}
         if a.multichip
@@ -448,6 +459,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         pairs, a.out, cfg, eff,
         progress=lambda src, dst: print(f"{src} -> {dst}"),
         keep_going=a.keep_going,
+        png_level=a.png_level,
         **kwargs,
     )
     ok = [w for w in written if w]

@@ -52,6 +52,33 @@ def test_serve_requires_input(capsys):
     assert serve_main(["--out", "/tmp/x"]) == 2
 
 
+def test_serve_png_level_same_pixels_smaller_effort(tmp_path):
+    """--png-level changes only the PNG zlib effort: pixel content must be
+    identical to the default-level run (PNG is lossless at every level), and
+    an out-of-range level is rejected at the CLI."""
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "a", 64, 80, 1)
+    args = [
+        "--images", os.path.join(d, "images"),
+        "--annotations", os.path.join(d, "annotations"),
+        "--effect", "h", "--backend", "xla",
+    ]
+    assert serve_main(args + ["--out", os.path.join(d, "o6")]) == 0
+    assert serve_main(
+        args + ["--out", os.path.join(d, "o1"), "--png-level", "1"]
+    ) == 0
+    for suffix in ("depth", "effect"):
+        ref = imread_gray(os.path.join(d, "o6", f"a_{suffix}.png"))
+        fast = imread_gray(os.path.join(d, "o1", f"a_{suffix}.png"))
+        np.testing.assert_array_equal(ref, fast)
+
+    with pytest.raises(SystemExit):
+        serve_main(args + ["--out", os.path.join(d, "bad"),
+                           "--png-level", "11"])
+
+
 def test_incremental_solve_converges_to_full():
     """With incremental_iterations set, warm re-solves after a small edit
     stay close to a full-budget solve."""
