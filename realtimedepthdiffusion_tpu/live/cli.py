@@ -175,7 +175,16 @@ def parse_args(argv: List[str]) -> CliArgs:
         elif arg == "--rb-plain":
             a.rb_plain = True
         elif arg == "--gray-pyramid":
-            a.gray_pyramid = val()
+            # Parse-time validation like --effect/--residual-metric: a typo
+            # would otherwise only fail at trace time inside
+            # core/multigrid.build_gray_pyramid with a raw traceback.
+            v = val().lower()
+            if v not in ("opencv", "floor"):
+                raise SystemExit(
+                    f"error: unknown --gray-pyramid {v!r} "
+                    f"(choose from ['floor', 'opencv'])\n{USAGE}"
+                )
+            a.gray_pyramid = v
         elif arg == "-h" or arg == "--help":
             a.help = True
         i += 1

@@ -53,6 +53,16 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
             except RuntimeError:
                 cpu = []
             if len(cpu) >= n_devices:
+                import warnings
+
+                warnings.warn(
+                    f"make_mesh: default platform "
+                    f"({devices[0].platform if devices else 'none'}) has "
+                    f"{len(devices)} device(s) < {n_devices} requested; "
+                    f"falling back to a {n_devices}-device CPU mesh",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 devices = cpu
     if n_devices is None:
         n_devices = len(devices)

@@ -308,6 +308,11 @@ def solve_pairs_multichip(
         for (h, w), items in buckets.items():
             fn, _ = batched_step(mesh, h, w, cfg, effect=eff)
             state0 = initial_depth_state(h, w, cfg)
+            # Invariant per bucket: broadcast the fresh multigrid state once,
+            # not once per batch dispatch.
+            state = tuple(
+                jnp.broadcast_to(s, (batch,) + s.shape) for s in state0
+            )
             starts = list(range(0, len(items), batch))
 
             def decode(chunk):
@@ -345,9 +350,6 @@ def solve_pairs_multichip(
                 rgbs = np.stack([it[1][..., :3] for it in chunk + fill])
                 masks = np.stack([it[2].astype(bool) for it in chunk + fill])
                 values = np.stack([it[3] for it in chunk + fill])
-                state = tuple(
-                    jnp.broadcast_to(s, (batch,) + s.shape) for s in state0
-                )
                 depth, _, art = fn(
                     jnp.asarray(rgbs), jnp.asarray(masks), jnp.asarray(values), state
                 )
@@ -427,11 +429,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 2
     if a.skip_existing:
         def _done(pr):
+            # A pair is done only when EVERY requested output exists — a
+            # resume that adds --effect must re-solve pairs whose effect
+            # image was never written, not skip them on the depth PNG alone.
             stem = os.path.splitext(os.path.basename(pr[0]))[0]
-            return os.path.exists(os.path.join(a.out, f"{stem}_depth.png"))
+            if not os.path.exists(os.path.join(a.out, f"{stem}_depth.png")):
+                return False
+            return not a.effect or os.path.exists(
+                os.path.join(a.out, f"{stem}_effect.png")
+            )
 
-        skipped = sum(_done(pr) for pr in pairs)
-        pairs = [pr for pr in pairs if not _done(pr)]
+        done = [_done(pr) for pr in pairs]
+        skipped = sum(done)
+        pairs = [pr for pr, d in zip(pairs, done) if not d]
         if skipped:
             print(f"skipping {skipped} already-solved pair(s)", file=sys.stderr)
         if not pairs:

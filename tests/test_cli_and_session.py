@@ -241,6 +241,12 @@ def test_cli_solver_flags_reach_config():
     with pytest.raises(SystemExit, match="residual-metric"):
         parse_args(["--residual-metric", "rsm"])
 
+    # --gray-pyramid validates at parse time too (a typo must not surface
+    # as a trace-time traceback) and is case-insensitive.
+    assert parse_args(["--gray-pyramid", "OpenCV"]).gray_pyramid == "opencv"
+    with pytest.raises(SystemExit, match="gray-pyramid"):
+        parse_args(["--gray-pyramid", "opencV2"])
+
     # Red-black SOR tuning is argv-reachable too.
     cfg4 = make_config(parse_args([
         "-i", "x.jpg", "--solver", "red_black", "--rb-rho", "0.995",

@@ -43,7 +43,8 @@ def test_make_mesh_falls_back_to_cpu_backend(monkeypatch):
         return real_devices(backend)
 
     monkeypatch.setattr(mesh_mod.jax, "devices", fake_devices)
-    m = mesh_mod.make_mesh(8)
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        m = mesh_mod.make_mesh(8)
     assert m.devices.size == 8
     with pytest.raises(ValueError, match="only"):
         mesh_mod.make_mesh(8, devices=real_devices()[:1])

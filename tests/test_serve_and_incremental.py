@@ -375,6 +375,33 @@ def test_serve_keep_going_skips_bad_pairs(tmp_path):
     assert rc == 1  # the bad pair still fails
     assert os.path.getmtime(os.path.join(d, "o2", "a_depth.png")) == a_mtime
 
+    # --skip-existing + --effect: a pair is done only when EVERY requested
+    # output exists. Depth PNGs from the effect-less run above must NOT
+    # cause the effect re-run to skip the pair (its effect image is missing).
+    rc = serve_main([
+        "--images", os.path.join(d, "images"),
+        "--annotations", os.path.join(d, "annotations"),
+        "--out", os.path.join(d, "o2"), "--backend", "xla",
+        "--iterations", "16", "--keep-going", "--skip-existing",
+        "--effect", "h",
+    ])
+    assert rc == 1  # the bad pair still fails
+    assert os.path.exists(os.path.join(d, "o2", "a_effect.png"))
+    assert os.path.exists(os.path.join(d, "o2", "b_effect.png"))
+    # ... and once both outputs exist the pair IS skipped (depth untouched).
+    a_mtime2 = os.path.getmtime(os.path.join(d, "o2", "a_depth.png"))
+    e_mtime = os.path.getmtime(os.path.join(d, "o2", "a_effect.png"))
+    rc = serve_main([
+        "--images", os.path.join(d, "images"),
+        "--annotations", os.path.join(d, "annotations"),
+        "--out", os.path.join(d, "o2"), "--backend", "xla",
+        "--iterations", "16", "--keep-going", "--skip-existing",
+        "--effect", "h",
+    ])
+    assert rc == 1
+    assert os.path.getmtime(os.path.join(d, "o2", "a_depth.png")) == a_mtime2
+    assert os.path.getmtime(os.path.join(d, "o2", "a_effect.png")) == e_mtime
+
 
 def discover_pairs_local(d):
     return discover_pairs(os.path.join(d, "images"), os.path.join(d, "annotations"))
