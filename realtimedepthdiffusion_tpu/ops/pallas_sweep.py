@@ -19,9 +19,12 @@ Two kernels replace the reference's one-CUDA-launch-per-sweep design
    src/GPUSolver.cu:239-245, scaled up ~100x); state ping-pongs between the
    halves of a (2, hp, wp) buffer by block parity. The four
    iteration-invariant planes load ONCE per strip into a persistent VMEM
-   weight arena (v5e has 128 MiB physical VMEM), and u/prev slabs rotate
-   through a 3-deep prefetch ring so no state DMA sits on the critical
-   path; per-step-DMA fallbacks cover levels whose arena exceeds VMEM.
+   weight arena (v5e has 128 MiB physical VMEM). Levels whose f32 arena
+   exceeds the VMEM cap (4K+) store u8 mask/gray/depth slabs instead and
+   re-derive the weight planes in-kernel per grid step (the "uarena"
+   kernel); a per-step-DMA kernel is the last fallback. A 3-deep state
+   prefetch ring exists behind ``cfg.pallas_state_prefetch`` (measured
+   slower than the plain arena on v5e — PERF.md).
 
 Weight layout: instead of the reference's int2-packed LUT indices gathered
 per sweep (src/GPUSolver.cu:222,250-254), weights are materialized once per
