@@ -189,6 +189,42 @@ def test_sharded_red_black_early_exit_matches_single_chip(rng):
 
 
 @pytest.mark.slow
+def test_sharded_red_black_early_exit_runs_truncated_tail(rng):
+    """When the tolerance can never fire, early-exit red-black must complete
+    EXACTLY the iteration cap — including the final chunk that
+    residual_check_every does not divide (20 = 3x6 + 2 here). The shard_map'd
+    while loop only runs full chunks; the GSPMD tail in solve_level_sharded
+    owns the remainder. Guarded tightly: the early-exit iterate must match
+    the fixed-count sharded solve (same rb_omegas indices, same halo
+    blocking), which an 18-vs-20-iteration shortfall visibly breaks."""
+    mesh = make_mesh(8)
+    cfg_ee = DiffusionConfig(solver="red_black", early_exit=True,
+                             residual_check_every=6, tolerance=1e-12)
+    cfg_fx = DiffusionConfig(solver="red_black")
+    h, w = 64, 96
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    mask = rng.random((h, w)) < 0.06
+    val = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    depth = oracle.seed_depth(np.full((h, w), 255.0, np.float32), mask, val)
+    args = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray))
+
+    got = np.asarray(
+        sharded.solve_level_sharded(*args, 1, 1, 20, mesh, cfg_ee, halo=4)
+    )
+    want = np.asarray(
+        sharded.solve_level_sharded(*args, 1, 1, 20, mesh, cfg_fx, halo=4)
+    )
+    # Sanity: 18 iterations are measurably different from 20 on this problem.
+    short = np.asarray(
+        sharded.solve_level_sharded(*args, 1, 1, 18, mesh, cfg_fx, halo=4)
+    )
+    gap = np.sqrt(np.mean(((short - want) / 255.0) ** 2))
+    assert gap > 1e-6, f"18-vs-20 gap {gap} too small to guard the tail"
+    err = np.sqrt(np.mean(((got - want) / 255.0) ** 2))
+    assert err < gap / 10, (err, gap)
+
+
+@pytest.mark.slow
 def test_sharded_cascade_red_black_parity():
     """solve_cascade_sharded with solver='red_black' (config #2 end-to-end,
     the round-1 NotImplementedError lifted)."""
