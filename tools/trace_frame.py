@@ -13,7 +13,7 @@ timeline directly. Round-3 reading (PERF.md): the two instruments agree,
 and the device timeline is GAP-FREE (0.004 ms of idle over a 33 ms K=8
 chain) — the frame's cost is kernel time, not scheduling.
 
-Usage:  python tools/trace_frame.py [K]
+Usage:  python tools/trace_frame.py [K] [--size 1080p|4k]
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(trace_dir: str, k: int) -> None:
+def capture(trace_dir: str, k: int, size: str = "1080p") -> None:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -42,7 +42,7 @@ def capture(trace_dir: str, k: int) -> None:
 
     enable_compilation_cache()
     cfg = DiffusionConfig()
-    h, w = 1080, 1920
+    h, w = (2160, 3840) if size == "4k" else (1080, 1920)
     try:
         from realtimedepthdiffusion_tpu.io import imread_rgb
 
@@ -137,9 +137,17 @@ def report(trace_dir: str, k: int) -> None:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    argv = sys.argv[1:]
+    size = "1080p"
+    if "--size" in argv:
+        at = argv.index("--size")
+        size = argv[at + 1].lower()
+        if size not in ("1080p", "4k"):
+            raise SystemExit(f"unknown --size {size!r} (1080p|4k)")
+        del argv[at : at + 2]
+    k = int(argv[0]) if argv else (4 if size == "4k" else 8)
     trace_dir = tempfile.mkdtemp(prefix="rtdd_trace_")
-    capture(trace_dir, k)
+    capture(trace_dir, k, size)
     report(trace_dir, k)
     print(f"(full trace kept at {trace_dir} — load in TensorBoard/Perfetto)")
 
