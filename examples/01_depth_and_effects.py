@@ -6,6 +6,11 @@ scribble — SURVEY.md C4), diffuses the scribbles into a dense depth map
 with the reference schedule, and renders refocus / desaturation / haze.
 """
 
+# Allow running from a source checkout without `pip install -e .`:
+# the script's own dir (examples/) is on sys.path, the repo root is not.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 

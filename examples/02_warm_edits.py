@@ -8,6 +8,11 @@ path (a deep solve in a window around the stroke plus a coarse far-field
 correction; ~0.2 ms on TPU vs ~4.4 ms for the full schedule, PERF.md).
 """
 
+# Allow running from a source checkout without `pip install -e .`:
+# the script's own dir (examples/) is on sys.path, the repo root is not.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -7,6 +7,11 @@ overlaps the device solves (docs/USAGE.md §3). Outputs are bit-identical
 to a sequential loop.
 """
 
+# Allow running from a source checkout without `pip install -e .`:
+# the script's own dir (examples/) is on sys.path, the repo root is not.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 from realtimedepthdiffusion_tpu.config import DiffusionConfig

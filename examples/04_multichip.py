@@ -12,9 +12,24 @@ Without real multi-chip hardware, run it on a virtual CPU mesh:
         python examples/04_multichip.py
 """
 
+# Allow running from a source checkout without `pip install -e .`:
+# the script's own dir (examples/) is on sys.path, the repo root is not.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import jax
+
+# Honor a JAX_PLATFORMS request from the environment explicitly: containers
+# whose boot hooks register an accelerator plugin can override the env var
+# after import, silently turning the documented 8-device virtual-CPU run
+# into a 1-device accelerator run (same workaround as __graft_entry__).
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 
 from realtimedepthdiffusion_tpu.config import DiffusionConfig
 from realtimedepthdiffusion_tpu.core import effects
