@@ -3,6 +3,7 @@ import PIL/OpenCV (BASELINE.json: imaging libraries confined to I/O)."""
 
 from .image import (
     depth_to_u8,
+    depth_to_u16,
     image_size,
     imread_gray,
     imread_rgb,
@@ -13,6 +14,7 @@ from .image import (
 
 __all__ = [
     "depth_to_u8",
+    "depth_to_u16",
     "image_size",
     "imread_gray",
     "imread_rgb",

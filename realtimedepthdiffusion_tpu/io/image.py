@@ -51,13 +51,16 @@ def imread_gray(path: str) -> np.ndarray:
 
 
 def imwrite(path: str, arr: np.ndarray, png_level: int | None = None) -> None:
-    """Write uint8 (H,W) gray or (H,W,3) RGB image.
+    """Write uint8 (H,W) gray / (H,W,3) RGB, or uint16 (H,W) gray (16-bit
+    PNG — the ``depth_to_u16`` export path).
 
     ``png_level`` (0-9, PNG outputs only) sets the zlib effort: the codec
     default is 6; level 1 encodes ~3-5x faster at a modest size cost — the
     serving-throughput knob, since PNG encode (~150 ms/pair at 1080p)
     dominates a ~4 ms solve on a directly-attached TPU host."""
-    arr = np.asarray(arr, dtype=np.uint8)
+    arr = np.asarray(arr)
+    if not (arr.dtype == np.uint16 and arr.ndim == 2):
+        arr = arr.astype(np.uint8)
     kw = {}
     if png_level is not None and path.lower().endswith(".png"):
         kw["compress_level"] = int(png_level)
@@ -95,3 +98,18 @@ def depth_to_u8(depth: np.ndarray) -> np.ndarray:
     """float32 depth -> uint8 with saturation + round-half-to-even, matching
     GpuMat::convertTo(CV_8UC1) (src/main.cpp:290)."""
     return np.clip(np.rint(depth), 0, 255).astype(np.uint8)
+
+
+def depth_to_u16(depth: np.ndarray) -> np.ndarray:
+    """float32 depth -> uint16 at full solver precision (u16 = depth * 257,
+    the standard 8-to-16-bit replication scale: 255 maps exactly to 65535
+    and u16 // 257 recovers depth_to_u8 up to rounding). The solve converges
+    well below one 8-bit gray level (post-solve RMS residual ~0.2, PERF.md),
+    so the 16-bit export preserves real signal the u8 display path
+    quantizes away — the reference has no such export (it saves the 8-bit
+    display map, src/main.cpp:303-310). The multiply runs in float32 so this
+    host form and DepthPipeline.depth_u16's on-device form are the same
+    IEEE operation (a float64 product can round a knife-edge value to the
+    other side of .5)."""
+    scaled = depth.astype(np.float32) * np.float32(257.0)
+    return np.clip(np.rint(scaled), 0, 65535).astype(np.uint16)

@@ -24,6 +24,9 @@ plus headless extensions for CI/scripting (the reference is GUI-only):
                        cyclic-Chebyshev omegas (default 0.9999)
     --rb-plain         plain Gauss-Seidel red-black (disable the SOR omegas)
     --gray-pyramid ... opencv | floor (gray-chain convention)
+    --depth16          also save DepthMap16.png (16-bit PNG at the solver's
+                       full precision; the 8-bit map quantizes away the
+                       converged sub-gray signal)
     --time             print the timing report after solving
 
 Run as ``python -m realtimedepthdiffusion_tpu.live.cli``. The whole behavior
@@ -57,7 +60,8 @@ USAGE = (
     " --early-exit residual-tolerance early exit (red_black only)\n --tolerance X residual tolerance (default 1e-5)\n"
     " --residual-metric rms|max early-exit residual functional (default rms)\n"
     " --rb-rho X red-black Chebyshev rho (default 0.9999)\n --rb-plain disable red-black SOR omegas\n"
-    " --gray-pyramid opencv|floor gray-chain convention\n --time print timing report\n"
+    " --gray-pyramid opencv|floor gray-chain convention\n"
+    " --depth16 also save a 16-bit DepthMap16.png\n --time print timing report\n"
     " --trace DIR dump a jax.profiler trace of the solve\n --verbose debug logging\n"
 )
 
@@ -86,6 +90,7 @@ class CliArgs:
     rb_rho: Optional[float] = None
     rb_plain: bool = False
     gray_pyramid: str = "opencv"
+    depth16: bool = False
     help: bool = False
 
 
@@ -185,6 +190,8 @@ def parse_args(argv: List[str]) -> CliArgs:
                     f"(choose from ['floor', 'opencv'])\n{USAGE}"
                 )
             a.gray_pyramid = v
+        elif arg == "--depth16":
+            a.depth16 = True
         elif arg == "-h" or arg == "--help":
             a.help = True
         i += 1
@@ -277,7 +284,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(session.timing_report())
                 print(session.residual_report())
         if a.save_dir:
-            paths = session.save(a.save_dir)
+            paths = session.save(a.save_dir, depth16=a.depth16)
             print("Saving images...")
             for p in paths:
                 print(f"  {p}")

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..config import DiffusionConfig
 from ..core import effects as fx
-from ..io import depth_to_u8, imwrite, load_annotation, save_annotation
+from ..io import depth_to_u8, depth_to_u16, imwrite, load_annotation, save_annotation
 from ..native.runtime import Arena, NativeRuntime
 from ..pipeline import DepthPipeline
 from ..utils.timing import StageTimer
@@ -250,10 +250,12 @@ class DepthSession:
         return np.asarray(self.pipe.depth_u8(self.depth0))
 
     # ------------------------------------------------------------------ save
-    def save(self, out_dir: str = ".") -> Tuple[str, str, str]:
+    def save(self, out_dir: str = ".", depth16: bool = False) -> Tuple[str, ...]:
         """'s' key: the reference's three PNGs (src/main.cpp:297-318) — the
         annotated image doubles as the resumable checkpoint via
-        save_annotation's sentinel encoding."""
+        save_annotation's sentinel encoding. ``depth16`` additionally writes
+        DepthMap16.png, a 16-bit PNG at the solver's full precision
+        (io.depth_to_u16) — an export the reference lacks."""
         with self.timer.stage("save"):
             os.makedirs(out_dir, exist_ok=True)
             mask_np = self.mask_np.astype(bool)
@@ -269,7 +271,12 @@ class DepthSession:
             p3 = os.path.join(out_dir, "ArtisticEffect.png")
             art = self.render_effect()
             imwrite(p3, art if art is not None else np.zeros_like(self.rgb_np))
-        return p1, p2, p3
+            paths = (p1, p2, p3)
+            if depth16:
+                p4 = os.path.join(out_dir, "DepthMap16.png")
+                imwrite(p4, depth_to_u16(np.asarray(self.depth0)))
+                paths = paths + (p4,)
+        return paths
 
     # ------------------------------------------------------------ checkpoint
     def save_checkpoint(self, path: str) -> None:

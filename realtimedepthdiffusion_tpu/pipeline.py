@@ -105,6 +105,13 @@ class DepthPipeline:
         self._to_u8 = jax.jit(
             lambda d: jnp.clip(jnp.rint(d), 0, 255).astype(jnp.uint8)
         )
+        # Same float32 multiply as io.depth_to_u16's host form, so device
+        # and host conversions agree bit-for-bit.
+        self._to_u16 = jax.jit(
+            lambda d: jnp.clip(jnp.rint(d * jnp.float32(257.0)), 0, 65535).astype(
+                jnp.uint16
+            )
+        )
 
         def _residuals(gray_pyr, mask0, value0, depth_state):
             # Per-level residuals of the current depth state, both norms
@@ -172,6 +179,12 @@ class DepthPipeline:
         """float32 depth -> uint8 display/export (convertTo(CV_8UC1),
         src/main.cpp:290)."""
         return self._to_u8(depth0)
+
+    def depth_u16(self, depth0) -> jnp.ndarray:
+        """float32 depth -> uint16 full-precision export (io.depth_to_u16
+        semantics), converted ON DEVICE so the 16-bit serving readback stays
+        2 bytes/px instead of fetching f32."""
+        return self._to_u16(depth0)
 
     def residuals(self, gray_pyr, mask0, value0, depth_state) -> jnp.ndarray:
         """Per-level residuals of a depth state, shape (2, levels): row 0

@@ -36,7 +36,14 @@ import numpy as np
 
 from .config import DiffusionConfig
 from .core import effects as fx
-from .io import depth_to_u8, image_size, imread_rgb, imwrite, load_annotation
+from .io import (
+    depth_to_u8,
+    depth_to_u16,
+    image_size,
+    imread_rgb,
+    imwrite,
+    load_annotation,
+)
 
 _EFFECT_BY_KEY = {"b": fx.EFFECT_DEFOCUS, "g": fx.EFFECT_DESATURATION, "h": fx.EFFECT_HAZE}
 
@@ -67,9 +74,14 @@ def solve_pairs(
     prefetch: int = 2,
     keep_going: bool = False,
     png_level: Optional[int] = None,
+    depth16: bool = False,
 ) -> List[Optional[str]]:
     """Solve every pair; returns the written depth-map paths in input order.
     Pipelines are compiled once per distinct image shape (shape bucketing).
+
+    ``depth16=True`` additionally writes ``{stem}_depth16.png`` — a 16-bit
+    PNG at the solver's full precision (io.depth_to_u16), converted on
+    device like the u8 map.
 
     ``keep_going=True`` turns per-pair host-IO failures (corrupt PNG,
     annotation/image shape mismatch, unwritable output) into a stderr
@@ -130,7 +142,7 @@ def solve_pairs(
 
         def drain_solve():
             """Read back the oldest solved pair and hand it to a writer."""
-            i, img_path, stem, depth_u8, art = inflight.popleft()
+            i, img_path, stem, depth_u8, d16, art = inflight.popleft()
             if last_for_stem[stem] != i:
                 if last_for_stem[stem] in failed:
                     # The stem's winning pair failed to decode (keep_going):
@@ -156,12 +168,18 @@ def solve_pairs(
             # to io.depth_to_u8): a 4x smaller readback than f32, which
             # matters on any host link (and dominates over a remote tunnel).
             depth_np = np.asarray(depth_u8)  # blocks until the device is done
+            d16_np = np.asarray(d16) if d16 is not None else None
             art_np = np.asarray(art) if art is not None else None
 
             def write():
                 if art_np is not None:
                     imwrite(
                         os.path.join(out_dir, f"{stem}_effect.png"), art_np,
+                        png_level=png_level,
+                    )
+                if d16_np is not None:
+                    imwrite(
+                        os.path.join(out_dir, f"{stem}_depth16.png"), d16_np,
                         png_level=png_level,
                     )
                 dp = os.path.join(out_dir, f"{stem}_depth.png")
@@ -221,7 +239,10 @@ def solve_pairs(
                 depth, _, art = pipe.solve_and_effect(
                     effect, gpyr, rgb_d, mask_d, value_d, state
                 )
-            inflight.append((i, pairs[i][0], stem, pipe.depth_u8(depth), art))
+            inflight.append((
+                i, pairs[i][0], stem, pipe.depth_u8(depth),
+                pipe.depth_u16(depth) if depth16 else None, art,
+            ))
             # Keep up to min(prefetch, 2) solves in flight beyond the one
             # just queued: their readback overlaps the device working on
             # this one. prefetch=0 drains immediately (strictly sequential).
@@ -256,6 +277,7 @@ def solve_pairs_multichip(
     progress=None,
     keep_going: bool = False,
     png_level: Optional[int] = None,
+    depth16: bool = False,
 ) -> List[str]:
     """Multi-chip batch serving: shape-buckets the pairs, then drives the
     data-parallel + spatially-sharded batched step (parallel/sharded.py)
@@ -363,6 +385,11 @@ def solve_pairs_multichip(
                                 os.path.join(out_dir, f"{stem}_effect.png"),
                                 art_np[i], png_level=png_level,
                             )
+                        if depth16:
+                            imwrite(
+                                os.path.join(out_dir, f"{stem}_depth16.png"),
+                                depth_to_u16(depth_np[i]), png_level=png_level,
+                            )
                         dp = os.path.join(out_dir, f"{stem}_depth.png")
                         imwrite(dp, depth_to_u8(depth_np[i]),
                                 png_level=png_level)
@@ -408,6 +435,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="skip pairs whose decode/write fails (stderr "
                         "warning; exit code 1 if any were skipped) instead "
                         "of aborting the whole run")
+    p.add_argument("--depth16", action="store_true",
+                   help="also write {stem}_depth16.png: a 16-bit PNG at the "
+                        "solver's full precision (u16 = depth x 257; the "
+                        "8-bit map quantizes away the converged sub-gray "
+                        "signal)")
     p.add_argument("--png-level", type=int, default=None, metavar="0-9",
                    help="PNG zlib effort for outputs (codec default 6; "
                         "1 encodes ~3-5x faster at a modest size cost — "
@@ -430,10 +462,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     if a.skip_existing:
         def _done(pr):
             # A pair is done only when EVERY requested output exists — a
-            # resume that adds --effect must re-solve pairs whose effect
-            # image was never written, not skip them on the depth PNG alone.
+            # resume that adds --effect (or --depth16) must re-solve pairs
+            # missing that output, not skip them on the depth PNG alone.
             stem = os.path.splitext(os.path.basename(pr[0]))[0]
             if not os.path.exists(os.path.join(a.out, f"{stem}_depth.png")):
+                return False
+            if a.depth16 and not os.path.exists(
+                os.path.join(a.out, f"{stem}_depth16.png")
+            ):
                 return False
             return not a.effect or os.path.exists(
                 os.path.join(a.out, f"{stem}_effect.png")
@@ -470,6 +506,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         progress=lambda src, dst: print(f"{src} -> {dst}"),
         keep_going=a.keep_going,
         png_level=a.png_level,
+        depth16=a.depth16,
         **kwargs,
     )
     ok = [w for w in written if w]

@@ -78,6 +78,41 @@ def test_cli_headless_end_to_end(tmp_path):
     assert abs(int(dm[ys[0], xs[0]]) - int(value[ys[0], xs[0]])) <= 1
 
 
+def test_cli_depth16_writes_16bit_map(tmp_path):
+    """--depth16 adds DepthMap16.png: 16-bit PNG, consistent with the 8-bit
+    map up to rounding, carrying sub-u8 precision; the flag parses and the
+    default save still writes exactly the reference's files."""
+    from PIL import Image
+
+    rgb, mask, value = synthetic_pair(70, 90, 6)
+    img = str(tmp_path / "img.png")
+    imwrite(img, rgb)
+    annp = str(tmp_path / "ann.png")
+    imwrite(annp, np.where(mask, value, 32).astype(np.uint8))
+
+    out = str(tmp_path / "out")
+    rc = main([
+        "-i", img, "-a", annp, "--headless", "--solve",
+        "--save-dir", out, "--depth16", "--backend", "xla",
+    ])
+    assert rc == 0
+    p16 = os.path.join(out, "DepthMap16.png")
+    assert os.path.exists(p16)
+    d16 = np.asarray(Image.open(p16)).astype(np.uint16)
+    d8 = imread_gray(os.path.join(out, "DepthMap.png"))
+    assert d16.dtype == np.uint16
+    assert np.abs((d16 // 257).astype(int) - d8.astype(int)).max() <= 1
+    assert np.any(d16 % 257 != 0)  # real sub-u8 signal, not u8 * 257
+
+    out2 = str(tmp_path / "out2")
+    rc = main([
+        "-i", img, "-a", annp, "--headless", "--solve",
+        "--save-dir", out2, "--backend", "xla",
+    ])
+    assert rc == 0
+    assert not os.path.exists(os.path.join(out2, "DepthMap16.png"))
+
+
 def test_session_timing_report():
     rgb, _, _ = synthetic_pair(64, 64, 7)
     s = DepthSession(rgb, DiffusionConfig(max_iterations=30))

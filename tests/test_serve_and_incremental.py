@@ -196,8 +196,10 @@ def test_serve_multichip_matches_sequential(tmp_path):
     assert serve_main([
         "--images", img_dir, "--annotations", ann_dir,
         "--out", out_mc, "--backend", "xla", "--effect", "h",
-        "--multichip", "--batch", "2", "--iterations", "64",
+        "--multichip", "--batch", "2", "--iterations", "64", "--depth16",
     ]) == 0
+
+    from PIL import Image
 
     for name in ("a", "b", "c", "dd", "ee"):
         seq = imread_gray(os.path.join(out_seq, f"{name}_depth.png")).astype(np.int32)
@@ -206,6 +208,12 @@ def test_serve_multichip_matches_sequential(tmp_path):
         # step after the round-trip through the display quantization)
         assert np.abs(seq - mc).max() <= 1, name
         assert os.path.exists(os.path.join(out_mc, f"{name}_effect.png"))
+        # --depth16 writes the 16-bit map on the multichip path too,
+        # consistent with the 8-bit map up to rounding.
+        d16 = np.asarray(
+            Image.open(os.path.join(out_mc, f"{name}_depth16.png"))
+        ).astype(np.int32)
+        assert np.abs(d16 // 257 - mc).max() <= 1, name
 
 
 def test_serve_async_pipeline_matches_sequential(tmp_path):
@@ -483,3 +491,53 @@ def test_serve_duplicate_stems_last_wins(tmp_path):
     solo = solve_pairs([(img, ann2)], out2, cfg, io_workers=1, prefetch=0)
     with open(got[1], "rb") as f1, open(solo[0], "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_serve_depth16_full_precision(tmp_path):
+    """--depth16 writes a 16-bit PNG carrying the solver's sub-u8 signal:
+    u16 // 257 must agree with the 8-bit map up to the two paths' rounding,
+    the PNG must round-trip as uint16, and --skip-existing must treat a pair
+    without its depth16 output as NOT done (resume adds the missing file)."""
+    from PIL import Image
+
+    from realtimedepthdiffusion_tpu.io import depth_to_u16
+    from realtimedepthdiffusion_tpu.pipeline import DepthPipeline
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "a", 64, 80, 1)
+    out = os.path.join(d, "out")
+    base = [
+        "--images", os.path.join(d, "images"),
+        "--annotations", os.path.join(d, "annotations"),
+        "--out", out, "--backend", "xla",
+    ]
+    assert serve_main(base + ["--depth16"]) == 0
+    p16 = os.path.join(out, "a_depth16.png")
+    assert os.path.exists(p16)
+    d16 = np.asarray(Image.open(p16)).astype(np.uint16)
+    d8 = imread_gray(os.path.join(out, "a_depth.png"))
+    assert d16.dtype == np.uint16 and d16.shape == d8.shape
+    # u16 = rint(depth*257), u8 = rint(depth): integer-divided they agree
+    # up to the 1-level rounding skew near .5 boundaries.
+    assert np.abs((d16 // 257).astype(int) - d8.astype(int)).max() <= 1
+    # The 16-bit map must carry sub-u8 precision (not just u8 * 257).
+    assert np.any(d16 % 257 != 0)
+
+    # Host and device conversions are the same float32 operation.
+    rng_depth = np.random.default_rng(0).uniform(0, 255, (16, 24)).astype(np.float32)
+    pipe = DepthPipeline(16, 24, DiffusionConfig(backend="xla"))
+    np.testing.assert_array_equal(
+        np.asarray(pipe.depth_u16(jnp.asarray(rng_depth))),
+        depth_to_u16(rng_depth),
+    )
+
+    # skip-existing: depth+effect present but depth16 missing -> re-solves.
+    os.remove(p16)
+    rc = serve_main(base + ["--depth16", "--skip-existing"])
+    assert rc == 0
+    assert os.path.exists(p16)
+    # And with every output present the pair is skipped (0 solved of 0).
+    rc = serve_main(base + ["--depth16", "--skip-existing"])
+    assert rc == 0
