@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -448,7 +449,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--skip-existing", action="store_true",
                    help="skip pairs whose depth map already exists in --out "
                         "(cheap resume after a partial/--keep-going run)")
+    p.add_argument("--report", metavar="FILE",
+                   help="write a JSON run manifest: per-pair status "
+                        "(solved path / skipped_existing / failed), counts, "
+                        "wall time and the run configuration — the "
+                        "machine-readable record a pipeline around "
+                        "rtdd-serve consumes")
     a = p.parse_args(argv)
+    t_run0 = time.perf_counter()
 
     pairs: List[Tuple[str, str]] = []
     for pr in a.pairs:
@@ -459,6 +467,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not pairs:
         print("no input pairs", file=sys.stderr)
         return 2
+    all_pairs = list(pairs)
+    skipped_existing: set = set()
     if a.skip_existing:
         def _done(pr):
             # A pair is done only when EVERY requested output exists — a
@@ -476,12 +486,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
 
         done = [_done(pr) for pr in pairs]
-        skipped = sum(done)
+        skipped_existing = {pr[0] for pr, d in zip(pairs, done) if d}
         pairs = [pr for pr, d in zip(pairs, done) if not d]
-        if skipped:
-            print(f"skipping {skipped} already-solved pair(s)", file=sys.stderr)
+        if skipped_existing:
+            print(f"skipping {len(skipped_existing)} already-solved pair(s)",
+                  file=sys.stderr)
         if not pairs:
             print("solved 0 of 0 pair(s)")
+            if a.report:
+                _write_report(a, all_pairs, {}, skipped_existing, t_run0)
             return 0
 
     from .utils.cache import enable_compilation_cache
@@ -501,9 +514,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         if a.multichip
         else {"io_workers": a.io_workers, "prefetch": a.prefetch}
     )
+    outputs: Dict[str, str] = {}
+
+    def progress(src, dst):
+        outputs[src] = dst
+        print(f"{src} -> {dst}")
+
     written = runner(
         pairs, a.out, cfg, eff,
-        progress=lambda src, dst: print(f"{src} -> {dst}"),
+        progress=progress,
         keep_going=a.keep_going,
         png_level=a.png_level,
         depth16=a.depth16,
@@ -511,7 +530,58 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     ok = [w for w in written if w]
     print(f"solved {len(ok)} of {len(pairs)} pair(s)")
+    if a.report:
+        _write_report(a, all_pairs, outputs, skipped_existing, t_run0)
     return 0 if len(ok) == len(pairs) else 1
+
+
+def _write_report(a, all_pairs, outputs, skipped_existing, t_run0) -> None:
+    """JSON run manifest (--report): one entry per INPUT pair in input
+    order — status 'solved' (with the written depth path), 'skipped_existing'
+    (resume found every requested output), or 'failed' (decode/write error
+    under --keep-going, or aborted before this pair) — plus counts, wall
+    time, throughput over the solved set, and the knobs that shaped the run."""
+    import json
+
+    wall_s = time.perf_counter() - t_run0
+    entries = []
+    for img, ann in all_pairs:
+        if img in skipped_existing:
+            stem = os.path.splitext(os.path.basename(img))[0]
+            entries.append({
+                "image": img, "annotation": ann, "status": "skipped_existing",
+                "depth": os.path.join(a.out, f"{stem}_depth.png"),
+            })
+        elif img in outputs:
+            entries.append({
+                "image": img, "annotation": ann, "status": "solved",
+                "depth": outputs[img],
+            })
+        else:
+            entries.append({"image": img, "annotation": ann,
+                            "status": "failed", "depth": None})
+    n_solved = sum(e["status"] == "solved" for e in entries)
+    report = {
+        "out_dir": a.out,
+        "pairs": entries,
+        "counts": {
+            "total": len(entries),
+            "solved": n_solved,
+            "skipped_existing": len(skipped_existing),
+            "failed": len(entries) - n_solved - len(skipped_existing),
+        },
+        "wall_s": round(wall_s, 3),
+        "images_per_s": round(n_solved / wall_s, 3) if wall_s > 0 else None,
+        "config": {
+            "backend": a.backend, "solver": a.solver,
+            "iterations": a.iterations, "effect": a.effect,
+            "multichip": a.multichip, "batch": a.batch,
+            "depth16": a.depth16, "png_level": a.png_level,
+        },
+    }
+    with open(a.report, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"report written: {a.report}", file=sys.stderr)
 
 
 if __name__ == "__main__":

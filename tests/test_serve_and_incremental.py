@@ -541,3 +541,53 @@ def test_serve_depth16_full_precision(tmp_path):
     # And with every output present the pair is skipped (0 solved of 0).
     rc = serve_main(base + ["--depth16", "--skip-existing"])
     assert rc == 0
+
+
+def test_serve_report_manifest(tmp_path):
+    """--report writes a JSON manifest with one entry per INPUT pair in
+    input order: solved pairs carry their depth path, --keep-going failures
+    are 'failed', and a resumed run marks prior outputs 'skipped_existing'."""
+    import json
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "a", 64, 80, 1)
+    _write_pair(d, "b", 64, 80, 2)
+    with open(os.path.join(d, "images", "broken.png"), "wb") as f:
+        f.write(b"not a png")
+    save_annotation(
+        os.path.join(d, "annotations", "broken.png"),
+        np.zeros((8, 8), bool), np.zeros((8, 8), np.uint8),
+    )
+    out = os.path.join(d, "out")
+    rep1 = os.path.join(d, "run1.json")
+    base = [
+        "--images", os.path.join(d, "images"),
+        "--annotations", os.path.join(d, "annotations"),
+        "--out", out, "--backend", "xla", "--keep-going",
+    ]
+    assert serve_main(base + ["--report", rep1]) == 1  # broken pair skipped
+    r = json.load(open(rep1))
+    by_name = {os.path.basename(e["image"]): e for e in r["pairs"]}
+    assert r["counts"] == {"total": 3, "solved": 2,
+                           "skipped_existing": 0, "failed": 1}
+    assert by_name["a.png"]["status"] == "solved"
+    assert os.path.exists(by_name["a.png"]["depth"])
+    assert by_name["broken.png"] == {
+        "image": os.path.join(d, "images", "broken.png"),
+        "annotation": os.path.join(d, "annotations", "broken.png"),
+        "status": "failed", "depth": None,
+    }
+    assert r["wall_s"] > 0 and r["config"]["backend"] == "xla"
+
+    # Resume: a/b become skipped_existing, broken stays failed.
+    rep2 = os.path.join(d, "run2.json")
+    assert serve_main(base + ["--skip-existing", "--report", rep2]) == 1
+    r2 = json.load(open(rep2))
+    assert r2["counts"] == {"total": 3, "solved": 0,
+                            "skipped_existing": 2, "failed": 1}
+    assert {os.path.basename(e["image"]): e["status"] for e in r2["pairs"]} == {
+        "a.png": "skipped_existing", "b.png": "skipped_existing",
+        "broken.png": "failed",
+    }
