@@ -263,6 +263,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     rgb = imread_rgb(a.image)
     session = DepthSession(rgb, make_config(a))
+    session.save_depth16 = a.depth16
     if a.annotation:
         session.load_annotation_file(a.annotation)
     if a.resume:

@@ -68,6 +68,10 @@ class DepthSession:
         self.effect = fx.EFFECT_NONE
         self.scribble_color = 0
         self.scribble_radius = cfg.brush_radius(self.rows, self.cols)
+        # Export preference (--depth16): consulted by save() when the caller
+        # does not pass depth16 explicitly, so the GUI 's' key honors the
+        # flag the session was launched with.
+        self.save_depth16 = False
         self.timer = StageTimer()
         self.last_solve_ms = 0.0
         self.solve_count = 0
@@ -250,12 +254,16 @@ class DepthSession:
         return np.asarray(self.pipe.depth_u8(self.depth0))
 
     # ------------------------------------------------------------------ save
-    def save(self, out_dir: str = ".", depth16: bool = False) -> Tuple[str, ...]:
+    def save(self, out_dir: str = ".",
+             depth16: Optional[bool] = None) -> Tuple[str, ...]:
         """'s' key: the reference's three PNGs (src/main.cpp:297-318) — the
         annotated image doubles as the resumable checkpoint via
         save_annotation's sentinel encoding. ``depth16`` additionally writes
         DepthMap16.png, a 16-bit PNG at the solver's full precision
-        (io.depth_to_u16) — an export the reference lacks."""
+        (io.depth_to_u16) — an export the reference lacks; None defers to
+        the session's ``save_depth16`` preference (the --depth16 flag)."""
+        if depth16 is None:
+            depth16 = self.save_depth16
         with self.timer.stage("save"):
             os.makedirs(out_dir, exist_ok=True)
             mask_np = self.mask_np.astype(bool)

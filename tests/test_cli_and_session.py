@@ -112,6 +112,20 @@ def test_cli_depth16_writes_16bit_map(tmp_path):
     assert rc == 0
     assert not os.path.exists(os.path.join(out2, "DepthMap16.png"))
 
+    # The GUI 's' key defers to the session's save_depth16 preference
+    # (set by the --depth16 flag), so both surfaces agree.
+    from realtimedepthdiffusion_tpu.live.session import DepthSession
+    s = DepthSession(rgb, DiffusionConfig(max_iterations=20, backend="xla"))
+    s.paint(35, 35)
+    s.solve()
+    out3 = str(tmp_path / "out3")
+    assert len(s.save(out3)) == 3  # preference off: reference's 3 PNGs
+    s.save_depth16 = True
+    out4 = str(tmp_path / "out4")
+    paths = s.save(out4)
+    assert len(paths) == 4 and paths[3].endswith("DepthMap16.png")
+    assert os.path.exists(paths[3])
+
 
 def test_session_timing_report():
     rgb, _, _ = synthetic_pair(64, 64, 7)
