@@ -28,8 +28,15 @@ import jax
 if _os.environ.get("JAX_PLATFORMS"):
     try:
         jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass
+    except Exception as _e:
+        # A failed override must be visible: silently proceeding on whatever
+        # backend the container picked is the exact surprise this re-apply
+        # exists to prevent.
+        print(
+            f"warning: could not apply JAX_PLATFORMS="
+            f"{_os.environ['JAX_PLATFORMS']!r}: {_e}",
+            file=_sys.stderr,
+        )
 
 from realtimedepthdiffusion_tpu.config import DiffusionConfig
 from realtimedepthdiffusion_tpu.core import effects

@@ -267,6 +267,20 @@ class DiffusionConfig:
                 f"{self.pallas_defocus_variant!r}; expected 'corners', "
                 f"'stacked' or 'coldiff' (interpret-only)"
             )
+        if (
+            self.pallas_defocus_variant == "coldiff"
+            and self.backend != "pallas_interpret"
+        ):
+            # Mosaic rejects coldiff's dynamic sublane-offset loads, so the
+            # kernel cannot compile on TPU hardware (ops/pallas_defocus.py
+            # docstring; measured record in PERF.md). Fencing it to the
+            # interpreter at CONSTRUCTION keeps every product surface free
+            # of a selectable variant that cannot run where it matters.
+            raise ValueError(
+                "pallas_defocus_variant='coldiff' is interpret-only (Mosaic "
+                "rejects its dynamic sublane loads on TPU); select it with "
+                "backend='pallas_interpret'"
+            )
 
     def num_levels(self, rows: int, cols: int) -> int:
         """Pyramid depth: log2(max(min(W,H)/base,1))+1 (src/main.cpp:95).

@@ -123,7 +123,7 @@ def solve_pairs(
 
     with ThreadPoolExecutor(max_workers=io_workers) as pool:
         loads: deque = deque()  # (index, decode future)
-        inflight: deque = deque()  # (index, img_path, stem, depth, art)
+        inflight: deque = deque()  # (index, img_path, stem, depth_u8, d16, art)
         writes: deque = deque()  # (index, img_path, write future)
         # Duplicate-stem pairs don't encode (last-wins); their progress
         # callbacks fire only once the WINNING pair's PNG is on disk, so a
@@ -520,14 +520,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         outputs[src] = dst
         print(f"{src} -> {dst}")
 
-    written = runner(
-        pairs, a.out, cfg, eff,
-        progress=progress,
-        keep_going=a.keep_going,
-        png_level=a.png_level,
-        depth16=a.depth16,
-        **kwargs,
-    )
+    try:
+        written = runner(
+            pairs, a.out, cfg, eff,
+            progress=progress,
+            keep_going=a.keep_going,
+            png_level=a.png_level,
+            depth16=a.depth16,
+            **kwargs,
+        )
+    except BaseException:
+        # A run aborted mid-way (decode/write/device error without
+        # --keep-going, or Ctrl-C) still writes the manifest: pairs not yet
+        # solved report status 'failed', honoring _write_report's contract.
+        if a.report:
+            _write_report(a, all_pairs, outputs, skipped_existing, t_run0)
+        raise
     ok = [w for w in written if w]
     print(f"solved {len(ok)} of {len(pairs)} pair(s)")
     if a.report:

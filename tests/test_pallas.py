@@ -332,7 +332,12 @@ def test_defocus_variant_kernels_bitexact(rng, variant):
     rgb = rng.integers(0, 256, (97, 203, 3), dtype=np.uint8)
     depth = (rng.random((97, 203)) * 255).astype(np.float32)
     want = np.asarray(fx.defocus_xla(jnp.asarray(rgb), jnp.asarray(depth), CFG))
-    cfg = DiffusionConfig(pallas_defocus_variant=variant)
+    # coldiff is fenced to the interpret backend at config construction
+    # (it cannot compile on hardware); select it the only legal way.
+    cfg = DiffusionConfig(
+        pallas_defocus_variant=variant,
+        backend="pallas_interpret" if variant == "coldiff" else "auto",
+    )
     got = np.asarray(
         defocus_pallas(jnp.asarray(rgb), jnp.asarray(depth), cfg, interpret=True)
     )
@@ -357,7 +362,15 @@ def test_defocus_unknown_variant_rejected(rng):
     with pytest.raises(ValueError, match="unknown pallas defocus variant"):
         pd.defocus_pallas(rgb, depth, cfg, interpret=True)
 
-    cfg_cd = DiffusionConfig(pallas_defocus_variant="coldiff")
+    # coldiff is fenced at construction unless the interpret backend is
+    # selected (it cannot compile on TPU hardware) ...
+    with pytest.raises(ValueError, match="interpret-only"):
+        DiffusionConfig(pallas_defocus_variant="coldiff")
+    # ... and the kernel-call layer still refuses a compiled run (defense in
+    # depth for direct callers passing interpret=False themselves).
+    cfg_cd = DiffusionConfig(
+        pallas_defocus_variant="coldiff", backend="pallas_interpret"
+    )
     with pytest.raises(ValueError, match="interpret-only"):
         pd.defocus_pallas(rgb, depth, cfg_cd, interpret=False)
 

@@ -43,14 +43,24 @@ def capture(trace_dir: str, k: int, size: str = "1080p") -> None:
     enable_compilation_cache()
     cfg = DiffusionConfig()
     h, w = (2160, 3840) if size == "4k" else (1080, 1920)
+    # Input image: RTDD_TRACE_IMAGE env var, falling back to the reference
+    # dataset when present. The traced workload is branch-free but its
+    # data-dependent characteristics differ between a real photo and random
+    # pixels, so ALWAYS say which one was used.
+    img_path = os.environ.get(
+        "RTDD_TRACE_IMAGE", "/root/reference/dataset/images/Dog.jpg"
+    )
     try:
         from realtimedepthdiffusion_tpu.io import imread_rgb
 
-        base = imread_rgb("/root/reference/dataset/images/Dog.jpg")
+        base = imread_rgb(img_path)
         reps = (h // base.shape[0] + 1, w // base.shape[1] + 1, 1)
         rgb = np.tile(base, reps)[:h, :w]
-    except Exception:
+        print(f"input: {img_path} (tiled to {h}x{w})")
+    except Exception as e:
         rgb = np.random.default_rng(0).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        print(f"input: RANDOM pixels ({img_path}: {e}); "
+              "set RTDD_TRACE_IMAGE to trace a real image")
     mask = np.zeros((h, w), bool)
     value = np.zeros((h, w), np.uint8)
     for i, d in enumerate((0, 64, 128, 192, 254)):
