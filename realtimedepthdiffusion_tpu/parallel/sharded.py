@@ -403,13 +403,20 @@ def solve_level_sharded(
     mesh: Mesh,
     cfg: DiffusionConfig = DiffusionConfig(),
     halo: int = DEFAULT_HALO,
+    return_info: bool = False,
 ) -> jnp.ndarray:
     """Sharded equivalent of core.solver.solve_level: weights from the
     incoming depth, pad to the mesh grid, iterate with halo exchange, crop.
 
     Accepts (H, W) arrays or (B, H, W) batches (the batched step's in-shard
     path). Solvers: jacobi_chebyshev (reference) and red_black (+ early
-    exit with a globally agreed pmax residual)."""
+    exit with a globally agreed pmax residual).
+
+    ``return_info=True`` returns ``(out, iters_done, residual)`` instead of
+    ``out`` — the early-exit observability probe (iters_done < iters proves
+    the globally-agreed exit actually fired; the driver dryrun asserts
+    exactly this). For non-red-black solvers iters_done == iters and the
+    residual is +inf (no residual loop exists to exit from)."""
     if cfg.solver not in _SHARDED_SOLVERS:
         raise NotImplementedError(
             f"multi-chip path implements solvers {_SHARDED_SOLVERS}, got "
@@ -435,7 +442,7 @@ def solve_level_sharded(
         out, done, res = fn(u, *planes, m)
         out = out[..., :h, :w]
         if not cfg.early_exit:
-            return out
+            return (out, done, res) if return_info else out
         # Truncated final chunk (iters not divisible by the check cadence):
         # identical tail to the single-chip path, as plain (GSPMD-sharded)
         # XLA ops with a dynamic trip count, omegas indexed by the global
@@ -460,12 +467,16 @@ def solve_level_sharded(
             done, jnp.int32(iters), lambda j, x: step(x, j), v
         )
         tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
-        return lax.cond((res >= tol) & (rem > 0), tail, lambda v: v, out)
+        out = lax.cond((res >= tol) & (rem > 0), tail, lambda v: v, out)
+        return (out, done, res) if return_info else out
 
     prev = jnp.zeros_like(u)
     fn = _sharded_level_fn(mesh, halo, iters, cfg, batched)
     out = fn(u, prev, *planes, m)
-    return out[..., :h, :w]
+    out = out[..., :h, :w]
+    if return_info:
+        return out, jnp.int32(iters), jnp.float32(jnp.inf)
+    return out
 
 
 def solve_cascade_sharded(
