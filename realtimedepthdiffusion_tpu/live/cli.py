@@ -10,6 +10,9 @@ plus headless extensions for CI/scripting (the reference is GUI-only):
                        long names refocus/desaturation/haze also accepted
     --save-dir DIR     write AnnotatedImage/DepthMap/ArtisticEffect PNGs
     --backend ...      xla | pallas | auto (default auto)
+    --profile ...      faithful | fast — named solver profile (fast =
+                       red_black + RMS early exit @1e-3 + incremental live
+                       path; explicit flags override the profile)
     --solver ...       jacobi_chebyshev | jacobi | red_black
     --multigrid ...    cascadic | vcycle
     --incremental N    windowed warm re-solve with N iterations after small
@@ -55,7 +58,7 @@ USAGE = (
     "Usage:\n -i input image\n -a annotated image\n --live solve every frame\n"
     " --headless run without GUI\n --solve run one solve (headless)\n"
     " --effect b|g|h (refocus|desaturation|haze) artistic effect\n --save-dir DIR output directory\n"
-    " --checkpoint F save full session state\n --resume F restore session state\n --backend xla|pallas|auto\n --solver jacobi_chebyshev|jacobi|red_black\n"
+    " --checkpoint F save full session state\n --resume F restore session state\n --backend xla|pallas|auto\n --profile faithful|fast named solver profile\n --solver jacobi_chebyshev|jacobi|red_black\n"
     " --multigrid cascadic|vcycle\n --incremental N windowed live re-solve budget\n"
     " --early-exit residual-tolerance early exit (red_black only)\n --tolerance X residual tolerance (default 1e-5)\n"
     " --residual-metric rms|max early-exit residual functional (default rms)\n"
@@ -81,9 +84,10 @@ class CliArgs:
     trace_dir: Optional[str] = None
     verbose: bool = False
     backend: str = "auto"
-    solver: str = "jacobi_chebyshev"
+    profile: Optional[str] = None
+    solver: Optional[str] = None  # None -> profile choice or jacobi_chebyshev
     multigrid: str = "cascadic"
-    incremental: int = 0
+    incremental: Optional[int] = None  # None -> profile choice or 0
     early_exit: bool = False
     tolerance: Optional[float] = None
     residual_metric: Optional[str] = None
@@ -145,6 +149,14 @@ def parse_args(argv: List[str]) -> CliArgs:
             a.verbose = True
         elif arg == "--backend":
             a.backend = val()
+        elif arg == "--profile":
+            v = val().lower()
+            if v not in ("faithful", "fast"):
+                raise SystemExit(
+                    f"error: unknown --profile {v!r} "
+                    f"(choose from ['faithful', 'fast'])\n{USAGE}"
+                )
+            a.profile = v
         elif arg == "--solver":
             a.solver = val()
         elif arg == "--multigrid":
@@ -201,15 +213,30 @@ def parse_args(argv: List[str]) -> CliArgs:
 def make_config(a: CliArgs) -> DiffusionConfig:
     """Every solver-facing flag lands in the config — the whole behavior
     surface (incremental live path, early exit, gray-chain convention) is
-    reachable from argv, not only programmatically."""
+    reachable from argv, not only programmatically.
+
+    ``--profile fast`` sets a base (red_black + RMS early exit at 1e-3 +
+    the 120-iteration incremental live path — the framework's fastest
+    measured configuration, PERF.md round-3 table); explicit flags override
+    the profile's choices. ``--profile faithful`` (and no profile) keeps
+    the reference-faithful defaults."""
+    fast = a.profile == "fast"
+    solver = a.solver if a.solver is not None else (
+        "red_black" if fast else "jacobi_chebyshev"
+    )
+    incremental = a.incremental if a.incremental is not None else (
+        120 if fast else 0
+    )
     kw = dict(
         backend=a.backend,
-        solver=a.solver,
+        solver=solver,
         multigrid=a.multigrid,
-        incremental_iterations=max(int(a.incremental), 0),
-        early_exit=a.early_exit,
+        incremental_iterations=max(int(incremental), 0),
+        early_exit=a.early_exit or (fast and solver == "red_black"),
         gray_pyramid=a.gray_pyramid,
     )
+    if fast:
+        kw.update(tolerance=1e-3, residual_metric="rms")
     if a.rb_rho is not None:
         kw["rb_rho"] = a.rb_rho
     if a.rb_plain:
@@ -222,13 +249,13 @@ def make_config(a: CliArgs) -> DiffusionConfig:
         # reference accepts a tolerance it never honors (src/main.cpp:264);
         # this framework honors it when asked.
         kw["early_exit"] = True
-    if kw["early_exit"] and a.solver != "red_black":
+    if kw["early_exit"] and solver != "red_black":
         # Only the red-black solver has a residual loop; silently dropping
         # the tolerance would reproduce the reference bug this flag exists
         # to fix, so reject the combination loudly.
         raise SystemExit(
             "error: --early-exit/--tolerance require --solver red_black "
-            f"(the only solver with a residual loop); got {a.solver!r}\n"
+            f"(the only solver with a residual loop); got {solver!r}\n"
             f"{USAGE}"
         )
     return DiffusionConfig(**kw)

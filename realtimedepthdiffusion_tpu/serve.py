@@ -35,7 +35,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .config import DiffusionConfig
+from .config import VALID_RESIDUAL_METRICS, DiffusionConfig
 from .core import effects as fx
 from .io import (
     depth_to_u8,
@@ -406,6 +406,62 @@ def solve_pairs_multichip(
     return written
 
 
+def config_from_args(a, error=None) -> DiffusionConfig:
+    """Resolve the CLI namespace into a DiffusionConfig.
+
+    Profiles set a base (``fast`` = red_black + RMS early exit at 1e-3, the
+    framework's fastest measured solver configuration — PERF.md round-3
+    table; ``faithful`` = the construction defaults, i.e. the reference
+    schedule); explicit flags override the profile's choices. Factored out
+    of main() so tests can assert a flag set resolves to the intended
+    config without running a solve.
+    """
+    def fail(msg: str):
+        if error is not None:
+            error(msg)  # argparse .error: prints usage + exits 2
+        raise ValueError(msg)
+
+    kw = dict(backend=a.backend)
+    fast = a.profile == "fast"
+    solver = a.solver if a.solver is not None else (
+        "red_black" if fast else "jacobi_chebyshev"
+    )
+    kw["solver"] = solver
+    if fast:
+        kw["tolerance"] = 1e-3
+        kw["residual_metric"] = "rms"
+        # The profile's early exit rides its solver: an explicit --solver
+        # override keeps the override's semantics (same rule as the live
+        # CLI's make_config).
+        if solver == "red_black":
+            kw["early_exit"] = True
+    if a.multigrid is not None:
+        kw["multigrid"] = a.multigrid
+    if a.iterations is not None:
+        kw["max_iterations"] = max(int(a.iterations), 1)
+    if a.early_exit:
+        kw["early_exit"] = True
+    if a.tolerance is not None:
+        # A tolerance given without --early-exit means "use it": the
+        # reference accepts a tolerance it never honors (src/main.cpp:264);
+        # this framework honors it when asked (same rule as the live CLI).
+        kw["tolerance"] = a.tolerance
+        kw["early_exit"] = True
+    if a.residual_metric is not None:
+        kw["residual_metric"] = a.residual_metric
+    if a.rb_rho is not None:
+        kw["rb_rho"] = a.rb_rho
+    if a.rb_plain:
+        kw["rb_chebyshev"] = False
+    if kw.get("early_exit") and kw["solver"] != "red_black":
+        fail(
+            "--early-exit/--tolerance (and --profile fast) require "
+            "--solver red_black, the only solver with a residual loop; "
+            f"got {kw['solver']!r}"
+        )
+    return DiffusionConfig(**kw)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="rtdd-serve", description=__doc__)
     p.add_argument("--pairs", nargs="*", default=[],
@@ -415,11 +471,43 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--effect", choices=list(_EFFECT_BY_KEY), default=None)
     p.add_argument("--backend", default="auto")
-    p.add_argument("--solver", default="jacobi_chebyshev",
-                   choices=["jacobi_chebyshev", "jacobi", "red_black"])
+    p.add_argument("--solver", default=None,
+                   choices=["jacobi_chebyshev", "jacobi", "red_black"],
+                   help="solver variant (default jacobi_chebyshev, the "
+                        "reference algorithm; a --profile may change it)")
     p.add_argument("--iterations", type=int, default=None,
                    help="coarsest-level iteration budget (default 1000, the "
                         "reference schedule); a quality/latency knob")
+    p.add_argument("--profile", choices=["faithful", "fast"], default=None,
+                   help="named solver profile: 'faithful' = the reference "
+                        "schedule (today's defaults); 'fast' = red_black + "
+                        "RMS residual early exit at tolerance 1e-3 — the "
+                        "framework's fastest measured configuration "
+                        "(0.45-1.9 ms/pair vs 4.7 for the fixed schedule, "
+                        "PERF.md). Explicit solver flags override the "
+                        "profile's choices")
+    p.add_argument("--multigrid", choices=["cascadic", "vcycle"],
+                   default=None,
+                   help="multigrid scheme (default cascadic, the reference "
+                        "coarse-to-fine pass; vcycle adds polishing cycles)")
+    p.add_argument("--early-exit", action="store_true",
+                   help="stop a level once the residual drops below the "
+                        "tolerance (requires --solver red_black, the "
+                        "residual-loop solver)")
+    p.add_argument("--tolerance", type=float, default=None,
+                   help="residual tolerance; implies --early-exit (default "
+                        "1e-5, the value the reference declares but never "
+                        "uses)")
+    p.add_argument("--residual-metric", choices=list(VALID_RESIDUAL_METRICS),
+                   default=None,
+                   help="early-exit residual functional (default rms; the "
+                        "max-norm cannot fire at fine levels, PERF.md)")
+    p.add_argument("--rb-rho", type=float, default=None,
+                   help="spectral-radius estimate for the red-black "
+                        "cyclic-Chebyshev omegas (default 0.9999)")
+    p.add_argument("--rb-plain", action="store_true",
+                   help="plain Gauss-Seidel red-black (disable the SOR "
+                        "omegas)")
     p.add_argument("--multichip", action="store_true",
                    help="batched serving over the full device mesh "
                         "(data parallel x 2-D spatial sharding)")
@@ -457,6 +545,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "rtdd-serve consumes")
     a = p.parse_args(argv)
     t_run0 = time.perf_counter()
+    cfg = config_from_args(a, p.error)  # resolve/validate flags up front
 
     pairs: List[Tuple[str, str]] = []
     for pr in a.pairs:
@@ -494,17 +583,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not pairs:
             print("solved 0 of 0 pair(s)")
             if a.report:
-                _write_report(a, all_pairs, {}, skipped_existing, t_run0)
+                _write_report(a, cfg, all_pairs, {}, skipped_existing, t_run0)
             return 0
 
     from .utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-
-    cfg_kw = dict(backend=a.backend, solver=a.solver)
-    if a.iterations is not None:
-        cfg_kw["max_iterations"] = max(int(a.iterations), 1)
-    cfg = DiffusionConfig(**cfg_kw)
     eff = _EFFECT_BY_KEY.get(a.effect) if a.effect else None
     runner = solve_pairs_multichip if a.multichip else solve_pairs
     if a.png_level is not None and not 0 <= a.png_level <= 9:
@@ -534,16 +618,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         # --keep-going, or Ctrl-C) still writes the manifest: pairs not yet
         # solved report status 'failed', honoring _write_report's contract.
         if a.report:
-            _write_report(a, all_pairs, outputs, skipped_existing, t_run0)
+            _write_report(a, cfg, all_pairs, outputs, skipped_existing, t_run0)
         raise
     ok = [w for w in written if w]
     print(f"solved {len(ok)} of {len(pairs)} pair(s)")
     if a.report:
-        _write_report(a, all_pairs, outputs, skipped_existing, t_run0)
+        _write_report(a, cfg, all_pairs, outputs, skipped_existing, t_run0)
     return 0 if len(ok) == len(pairs) else 1
 
 
-def _write_report(a, all_pairs, outputs, skipped_existing, t_run0) -> None:
+def _write_report(a, cfg, all_pairs, outputs, skipped_existing, t_run0) -> None:
     """JSON run manifest (--report): one entry per INPUT pair in input
     order — status 'solved' (with the written depth path), 'skipped_existing'
     (resume found every requested output), or 'failed' (decode/write error
@@ -580,10 +664,16 @@ def _write_report(a, all_pairs, outputs, skipped_existing, t_run0) -> None:
         },
         "wall_s": round(wall_s, 3),
         "images_per_s": round(n_solved / wall_s, 3) if wall_s > 0 else None,
+        # RESOLVED solver knobs (profile already applied), not the raw argv:
+        # the manifest must say what actually ran.
         "config": {
-            "backend": a.backend, "solver": a.solver,
-            "iterations": a.iterations, "effect": a.effect,
-            "multichip": a.multichip, "batch": a.batch,
+            "profile": a.profile, "backend": cfg.backend,
+            "solver": cfg.solver, "iterations": cfg.max_iterations,
+            "multigrid": cfg.multigrid, "early_exit": cfg.early_exit,
+            "tolerance": cfg.tolerance,
+            "residual_metric": cfg.residual_metric,
+            "rb_chebyshev": cfg.rb_chebyshev, "rb_rho": cfg.rb_rho,
+            "effect": a.effect, "multichip": a.multichip, "batch": a.batch,
             "depth16": a.depth16, "png_level": a.png_level,
         },
     }

@@ -308,6 +308,39 @@ def test_cli_solver_flags_reach_config():
         parse_args(["--rb-rho", "abc"])
 
 
+def test_cli_profile_flag():
+    """--profile fast = red_black + RMS early exit @1e-3 + the incremental
+    live path; faithful = the defaults; explicit flags override."""
+    from realtimedepthdiffusion_tpu.live.cli import make_config
+
+    cfg = make_config(parse_args(["-i", "x.jpg", "--profile", "fast"]))
+    assert cfg.solver == "red_black" and cfg.early_exit
+    assert cfg.tolerance == pytest.approx(1e-3)
+    assert cfg.residual_metric == "rms"
+    assert cfg.incremental_iterations == 120
+
+    assert make_config(
+        parse_args(["-i", "x.jpg", "--profile", "faithful"])
+    ) == DiffusionConfig()
+
+    # explicit flags override the profile's choices
+    cfg = make_config(parse_args(
+        ["-i", "x.jpg", "--profile", "fast", "--tolerance", "1e-4",
+         "--incremental", "0"]
+    ))
+    assert cfg.tolerance == pytest.approx(1e-4)
+    assert cfg.incremental_iterations == 0
+    # overriding the solver away from red_black drops the profile's early
+    # exit (no residual loop to exit from) instead of erroring
+    cfg = make_config(parse_args(
+        ["-i", "x.jpg", "--profile", "fast", "--solver", "jacobi_chebyshev"]
+    ))
+    assert cfg.solver == "jacobi_chebyshev" and not cfg.early_exit
+
+    with pytest.raises(SystemExit, match="profile"):
+        parse_args(["--profile", "turbo"])
+
+
 def test_gui_live_incremental_hits_windowed_path(monkeypatch):
     """--live --incremental: after the first full solve, a small paint stroke
     must take the windowed incremental re-solve (pipe.solve_incremental), and

@@ -79,6 +79,91 @@ def test_serve_png_level_same_pixels_smaller_effort(tmp_path):
                            "--png-level", "11"])
 
 
+def test_serve_profile_fast_config_resolution():
+    """--profile fast resolves to the framework's fastest measured solver
+    configuration (red_black + RMS early exit @1e-3, PERF.md round-3);
+    explicit flags override the profile; invalid combinations exit loudly."""
+    import contextlib
+    import io
+
+    import realtimedepthdiffusion_tpu.serve as serve_mod
+
+    def parse(extra):
+        """Run main() through argument parsing + config resolution only
+        (no input pairs -> it returns 2 right after building the config),
+        capturing the DiffusionConfig it resolved. Flag errors propagate
+        as the parser's SystemExit."""
+        holder = {}
+        real = serve_mod.config_from_args
+
+        def capture(a, error=None):
+            holder["cfg"] = real(a, error)
+            return holder["cfg"]
+
+        serve_mod.config_from_args = capture
+        try:
+            with contextlib.redirect_stderr(io.StringIO()), \
+                 contextlib.redirect_stdout(io.StringIO()):
+                serve_mod.main(["--out", "/tmp/x"] + extra)
+        finally:
+            serve_mod.config_from_args = real
+        return holder["cfg"]
+
+    cfg = parse(["--profile", "fast"])
+    assert cfg.solver == "red_black" and cfg.early_exit
+    assert cfg.tolerance == 1e-3 and cfg.residual_metric == "rms"
+
+    cfg = parse(["--profile", "faithful"])
+    assert cfg.solver == "jacobi_chebyshev" and not cfg.early_exit
+    assert cfg == DiffusionConfig()  # today's defaults, exactly
+
+    # explicit flags override the profile (and drop its early exit when the
+    # overridden solver has no residual loop)
+    cfg = parse(["--profile", "fast", "--solver", "jacobi_chebyshev"])
+    assert cfg.solver == "jacobi_chebyshev" and not cfg.early_exit
+    cfg = parse(["--profile", "fast", "--tolerance", "1e-4",
+                 "--residual-metric", "max", "--rb-plain"])
+    assert cfg.tolerance == 1e-4 and cfg.residual_metric == "max"
+    assert not cfg.rb_chebyshev
+
+    # --early-exit without a residual-loop solver exits via parser.error
+    with pytest.raises(SystemExit):
+        parse(["--early-exit"])
+
+
+def test_serve_profile_fast_takes_early_exit_path(tmp_path, monkeypatch):
+    """rtdd-serve --profile fast must actually ROUTE through the red-black
+    early-exit solver (the round-3 verdict's gap: the fastest measured
+    configuration was unreachable from the serving surface)."""
+    from realtimedepthdiffusion_tpu.core import solver as core_solver
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "a", 64, 80, 1)
+
+    calls = []
+    real = core_solver.solve_red_black
+
+    def spy(depth, mask, wts, iters, cfg=DiffusionConfig(), early_exit=None):
+        calls.append(cfg.early_exit if early_exit is None else early_exit)
+        return real(depth, mask, wts, iters, cfg, early_exit)
+
+    monkeypatch.setitem(core_solver._SOLVERS, "red_black", spy)
+    out = os.path.join(d, "out")
+    rc = serve_main([
+        "--images", os.path.join(d, "images"),
+        "--annotations", os.path.join(d, "annotations"),
+        "--out", out, "--backend", "xla", "--profile", "fast",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "a_depth.png"))
+    assert calls and all(calls), (
+        "profile fast did not route every level through the early-exit "
+        f"red-black solver: {calls}"
+    )
+
+
 def test_incremental_solve_converges_to_full():
     """With incremental_iterations set, warm re-solves after a small edit
     stay close to a full-budget solve."""
