@@ -279,6 +279,7 @@ def solve_pairs_multichip(
     keep_going: bool = False,
     png_level: Optional[int] = None,
     depth16: bool = False,
+    io_workers: int = 4,
 ) -> List[str]:
     """Multi-chip batch serving: shape-buckets the pairs, then drives the
     data-parallel + spatially-sharded batched step (parallel/sharded.py)
@@ -289,10 +290,25 @@ def solve_pairs_multichip(
     sequential path up to the sharded solver's fp rounding (CPU-mesh test:
     tests/test_serve_and_incremental.py).
 
-    Returns the written depth-map paths in input order within each bucket.
+    Host IO is fully async like the single-chip path: ``io_workers`` pool
+    threads decode the NEXT batch while the device runs the current one,
+    and PNG encodes (~150 ms each at 1080p) are submitted to the same pool
+    instead of serializing on the dispatch thread — batch B+1's dispatch
+    overlaps batch B's encodes, with the write backlog bounded so host
+    memory stays ~two batches. Pixels are untouched by the pipelining
+    (bit-identical outputs; only host scheduling changes).
+
+    Duplicate stems keep the single-chip last-wins contract: only the final
+    occurrence of a stem (in input order) encodes; earlier duplicates
+    report the winner's path once it is on disk.
+
+    Returns the written depth-map paths in global input order.
     ``keep_going=True`` drops pairs whose decode fails (stderr warning)
     instead of aborting the run; a batch re-packs with the survivors.
     """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax.numpy as jnp
 
     from .core.multigrid import initial_depth_state
@@ -307,27 +323,57 @@ def solve_pairs_multichip(
         batch = max(b_mesh, 1)
     batch = -(-max(batch, 1) // b_mesh) * b_mesh  # divisible by the mesh axis
     eff = fx.EFFECT_NONE if effect is None else effect
+    io_workers = max(int(io_workers), 1)
+
+    stems = [os.path.splitext(os.path.basename(p))[0] for p, _ in pairs]
+    last_for_stem = {s: i for i, s in enumerate(stems)}
 
     # Shape-bucket by the image HEADER alone (io.image_size — no pixel
     # decode): host RAM is bounded at ~two decoded batches regardless of how
     # many thousand pairs are queued, mirroring the single-chip path's
-    # prefetch window. Pixels for a batch are decoded (4-way parallel) while
-    # the device runs the PREVIOUS batch's dispatch.
-    from concurrent.futures import ThreadPoolExecutor
-
-    buckets: Dict[Tuple[int, int], List[Tuple[str, str]]] = {}
-    for img_path, ann_path in pairs:
+    # prefetch window. Items carry their global input index for the
+    # last-wins bookkeeping (a stem's winner may sit in another bucket).
+    buckets: Dict[Tuple[int, int], List[Tuple[int, str, str]]] = {}
+    failed: set = set()  # global indices whose decode failed (keep_going)
+    for i, (img_path, ann_path) in enumerate(pairs):
         try:
             size = image_size(img_path)
         except Exception as e:
             if not keep_going:
                 raise
             print(f"warning: {img_path}: skipped: {e}", file=sys.stderr)
+            failed.add(i)
             continue
-        buckets.setdefault(size, []).append((img_path, ann_path))
+        buckets.setdefault(size, []).append((i, img_path, ann_path))
 
-    written = []
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    results: Dict[int, str] = {}
+    writes: deque = deque()  # (global index, img_path, write future)
+    # Non-winning duplicates waiting on the winner's write: winner index ->
+    # [(dup index, dup img_path)]. Their progress fires only once the
+    # winner's PNG is on disk (same contract as the single-chip path).
+    dup_waiters: Dict[int, List[Tuple[int, str]]] = {}
+
+    def drain_writes(block: bool, keep: int = 0):
+        while len(writes) > keep and (block or writes[0][2].done()):
+            i, img_path, fut = writes.popleft()
+            try:
+                dp = fut.result()
+            except Exception as e:
+                if not keep_going:
+                    raise
+                print(f"warning: {img_path}: write failed: {e}",
+                      file=sys.stderr)
+                dup_waiters.pop(i, None)  # waiters report nothing
+                continue
+            results[i] = dp
+            if progress:
+                progress(img_path, dp)
+            for j, dup_path in dup_waiters.pop(i, ()):
+                results[j] = dp
+                if progress:
+                    progress(dup_path, dp)
+
+    with ThreadPoolExecutor(max_workers=io_workers) as pool:
         for (h, w), items in buckets.items():
             fn, _ = batched_step(mesh, h, w, cfg, effect=eff)
             state0 = initial_depth_state(h, w, cfg)
@@ -342,22 +388,23 @@ def solve_pairs_multichip(
                 # One future per pair (not pool.map: its iterator dies at the
                 # first decode error, taking the rest of the batch with it).
                 return [
-                    (pr, pool.submit(
-                        lambda p: (p[0], *_load_pair(p[0], p[1], cfg)), pr
+                    (it, pool.submit(
+                        lambda p: _load_pair(p[1], p[2], cfg), it
                     ))
-                    for pr in chunk
+                    for it in chunk
                 ]
 
             def gather(futs):
                 out = []
-                for pr, f in futs:
+                for it, f in futs:
                     try:
-                        out.append(f.result())
+                        out.append((it, f.result()))
                     except Exception as e:
                         if not keep_going:
                             raise
-                        print(f"warning: {pr[0]}: skipped: {e}",
+                        print(f"warning: {it[1]}: skipped: {e}",
                               file=sys.stderr)
+                        failed.add(it[0])
                 return out
 
             pending = decode(items[starts[0] : starts[0] + batch])
@@ -370,40 +417,71 @@ def solve_pairs_multichip(
                     continue
                 n = len(chunk)
                 fill = [chunk[-1]] * (batch - n)
-                rgbs = np.stack([it[1][..., :3] for it in chunk + fill])
-                masks = np.stack([it[2].astype(bool) for it in chunk + fill])
-                values = np.stack([it[3] for it in chunk + fill])
+                rgbs = np.stack([it[1][0][..., :3] for it in chunk + fill])
+                masks = np.stack([it[1][1].astype(bool) for it in chunk + fill])
+                values = np.stack([it[1][2] for it in chunk + fill])
                 depth, _, art = fn(
                     jnp.asarray(rgbs), jnp.asarray(masks), jnp.asarray(values), state
                 )
                 depth_np = np.asarray(depth)
                 art_np = np.asarray(art) if effect is not None else None
-                for i, (img_path, *_rest) in enumerate(chunk):
-                    stem = os.path.splitext(os.path.basename(img_path))[0]
-                    try:
-                        if art_np is not None:
+                for k, ((i, img_path, _ann), _data) in enumerate(chunk):
+                    stem = stems[i]
+                    win = last_for_stem[stem]
+                    if win != i:
+                        # A later pair owns this stem (last-wins): skip the
+                        # dead encode. Report the winner's path — now if its
+                        # write already landed (its bucket may have run
+                        # first), otherwise when it does.
+                        if win in failed:
+                            print(
+                                f"warning: {img_path}: skipped (duplicate "
+                                f"of failed pair {pairs[win][0]})",
+                                file=sys.stderr,
+                            )
+                        elif win in results:
+                            results[i] = results[win]
+                            if progress:
+                                progress(img_path, results[win])
+                        else:
+                            dup_waiters.setdefault(win, []).append(
+                                (i, img_path)
+                            )
+                        continue
+                    d_np = depth_np[k]
+                    a_np = art_np[k] if art_np is not None else None
+
+                    def write(d_np=d_np, a_np=a_np, stem=stem):
+                        if a_np is not None:
                             imwrite(
                                 os.path.join(out_dir, f"{stem}_effect.png"),
-                                art_np[i], png_level=png_level,
+                                a_np, png_level=png_level,
                             )
                         if depth16:
                             imwrite(
                                 os.path.join(out_dir, f"{stem}_depth16.png"),
-                                depth_to_u16(depth_np[i]), png_level=png_level,
+                                depth_to_u16(d_np), png_level=png_level,
                             )
                         dp = os.path.join(out_dir, f"{stem}_depth.png")
-                        imwrite(dp, depth_to_u8(depth_np[i]),
-                                png_level=png_level)
-                    except Exception as e:
-                        if not keep_going:
-                            raise
-                        print(f"warning: {img_path}: write failed: {e}",
-                              file=sys.stderr)
-                        continue
-                    written.append(dp)
-                    if progress:
-                        progress(img_path, dp)
-    return written
+                        imwrite(dp, depth_to_u8(d_np), png_level=png_level)
+                        return dp
+
+                    writes.append((i, img_path, pool.submit(write)))
+                drain_writes(block=False)
+                # Bound host memory: if PNG encode is the bottleneck, block
+                # on the oldest writes instead of accumulating batches.
+                drain_writes(block=True, keep=2 * io_workers + 4)
+        drain_writes(block=True)
+    for win, waiters in dup_waiters.items():
+        # The stem's winner never produced a file (its decode failed under
+        # keep_going after the duplicate had already deferred to it).
+        for _j, dup_path in waiters:
+            print(
+                f"warning: {dup_path}: skipped (duplicate of failed pair "
+                f"{pairs[win][0]})",
+                file=sys.stderr,
+            )
+    return [results[i] for i in sorted(results)]
 
 
 def config_from_args(a, error=None) -> DiffusionConfig:
@@ -515,8 +593,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="images per multi-chip dispatch (rounded up to the "
                         "mesh batch axis; default = the mesh batch axis)")
     p.add_argument("--io-workers", type=int, default=4,
-                   help="host threads for PNG decode/encode (single-chip "
-                        "path; 1 disables IO parallelism)")
+                   help="host threads for PNG decode/encode (both paths; "
+                        "1 disables IO parallelism)")
     p.add_argument("--prefetch", type=int, default=2,
                    help="pairs decoded ahead of the device (single-chip "
                         "path; 0 = strictly sequential)")
@@ -594,7 +672,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if a.png_level is not None and not 0 <= a.png_level <= 9:
         p.error("--png-level must be in 0..9")
     kwargs = (
-        {"batch": a.batch}
+        {"batch": a.batch, "io_workers": a.io_workers}
         if a.multichip
         else {"io_workers": a.io_workers, "prefetch": a.prefetch}
     )

@@ -534,6 +534,66 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", None)
 
 
+def test_serve_multichip_async_writes_identical_and_last_wins(tmp_path):
+    """The multichip encode pool (round 4: PNG encodes no longer serialize
+    against the dispatch thread) reorders host work only — outputs must be
+    byte-identical across io_workers settings — and duplicate stems keep
+    the single-chip last-wins contract: only the winner encodes, the
+    duplicate reports the winner's path only once it is on disk."""
+    from realtimedepthdiffusion_tpu.parallel.mesh import make_mesh
+    from realtimedepthdiffusion_tpu.serve import solve_pairs_multichip
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "x", 48, 64, 1)
+    rgb2, mask2, value2 = synthetic_pair(48, 64, 7)
+    imwrite(os.path.join(d, "images", "x2.png"), rgb2)
+    save_annotation(os.path.join(d, "annotations", "x2.png"), mask2, value2)
+    _write_pair(d, "y", 48, 64, 3)
+    _write_pair(d, "z", 56, 72, 4)  # second shape bucket
+
+    img = os.path.join(d, "images", "x.png")
+    ann = os.path.join(d, "annotations", "x.png")
+    ann2 = os.path.join(d, "annotations", "x2.png")
+    py = (os.path.join(d, "images", "y.png"),
+          os.path.join(d, "annotations", "y.png"))
+    pz = (os.path.join(d, "images", "z.png"),
+          os.path.join(d, "annotations", "z.png"))
+    # Duplicate stem 'x': same image with two annotations (last wins).
+    pairs = [(img, ann), py, (img, ann2), pz]
+    cfg = DiffusionConfig(backend="xla", max_iterations=16)
+    mesh = make_mesh(1)
+
+    seen = []
+
+    def progress(src, dst):
+        seen.append((src, dst, os.path.exists(dst)))
+
+    out1 = os.path.join(d, "o1")
+    got1 = solve_pairs_multichip(pairs, out1, cfg, batch=2, mesh=mesh,
+                                 io_workers=4, progress=progress)
+    # Global input order; the duplicate reports the winner's path.
+    assert [os.path.basename(p) for p in got1] == [
+        "x_depth.png", "y_depth.png", "x_depth.png", "z_depth.png"
+    ]
+    assert len(seen) == 4 and all(existed for _, _, existed in seen), seen
+
+    out2 = os.path.join(d, "o2")
+    got2 = solve_pairs_multichip(pairs, out2, cfg, batch=2, mesh=mesh,
+                                 io_workers=1)
+    for p1, p2 in zip(got1, got2):
+        with open(p1, "rb") as f1, open(p2, "rb") as f2:
+            assert f1.read() == f2.read(), p1
+
+    # Last-wins content: stem x equals a solo run of the LAST x pair.
+    out3 = os.path.join(d, "o3")
+    solo = solve_pairs_multichip([(img, ann2)], out3, cfg, batch=2,
+                                 mesh=mesh, io_workers=1)
+    with open(got1[2], "rb") as f1, open(solo[0], "rb") as f2:
+        assert f1.read() == f2.read()
+
+
 def test_serve_duplicate_stems_last_wins(tmp_path):
     """Two pairs sharing an output stem must not race their threaded PNG
     writes: only the final occurrence encodes (the sequential loop's
