@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Tuple
 
 
@@ -141,6 +142,22 @@ class DiffusionConfig:
 
     # --- Backend selection: "auto" picks Pallas on TPU, pure-XLA elsewhere ---
     backend: str = "auto"
+    # Cold-start strategy: serve the FIRST solve(s) from per-level staged
+    # programs (6 small XLA modules that compile in parallel, wall ~2-3 s at
+    # 1080p) while the fused whole-cascade program — numerically identical,
+    # tests/test_fast_start.py — compiles on a background thread (30-160 s
+    # over this TPU tunnel, weather-dependent; PERF.md "Startup"). Once the
+    # fused executable lands, solves switch to it (one dispatch per frame).
+    # Off: the first solve blocks on the fused compile (round-3 behavior).
+    # The V-cycle scheme has no staged form and always takes the fused path.
+    # Default: on, overridable process-wide with RTDD_FAST_START=0 (the test
+    # suite pins it off so routing is deterministic and no background
+    # compile competes with the single test CPU).
+    fast_start: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "RTDD_FAST_START", "1"
+        ).lower() not in ("0", "false")
+    )
     # Sweeps fused per grid step (iteration block k) for the Jacobi strip
     # megakernel. k=12 shares k=8's pad_rows (ceil(13/8)*8 == 16), so the
     # deeper block costs zero extra halo; with 272-row strips the round-3
@@ -245,6 +262,22 @@ class DiffusionConfig:
     # back to the u8 derived-weights arena (weights materialized in-kernel
     # from gray/d8 slabs), then to per-step DMA.
     pallas_arena_vmem_cap: int = 112 * 1024 * 1024
+    # --- Defocus quality/latency tradeoff (the 4K lever). The exact kernel
+    #     marches every window-half candidate 1..max_half (110 at 4K) and is
+    #     structurally roll-bound (PERF.md); "approx" SNAPS each pixel's
+    #     half-width to a subsampled candidate set — every half up to
+    #     pallas_defocus_exact_upto stays exact, larger halves round to the
+    #     nearest multiple of pallas_defocus_stride above it — and the
+    #     marching loop skips the non-candidates with static stride rolls.
+    #     The output is EXACTLY the defocus of the snapped half field, so
+    #     the error is bounded by half a stride of window growth on already
+    #     -large (>= exact_upto) blur windows; near-focus detail is
+    #     untouched. All defocus paths (XLA, Pallas, sharded) snap
+    #     identically, so cross-path parity is preserved. Error ledger:
+    #     tools/defocus_quality_report.py + PERF.md. ---
+    pallas_defocus_quality: str = "exact"
+    pallas_defocus_exact_upto: int = 16
+    pallas_defocus_stride: int = 4
 
     def __post_init__(self):
         # Validate at construction so EVERY surface (library, serving, CLI)
@@ -267,6 +300,23 @@ class DiffusionConfig:
                 f"{self.pallas_defocus_variant!r}; expected 'corners', "
                 f"'stacked' or 'coldiff' (interpret-only)"
             )
+        if self.pallas_defocus_quality not in ("exact", "approx"):
+            raise ValueError(
+                f"unknown pallas_defocus_quality "
+                f"{self.pallas_defocus_quality!r}; expected 'exact' or "
+                f"'approx'"
+            )
+        if self.pallas_defocus_quality == "approx":
+            if self.pallas_defocus_exact_upto < 1:
+                raise ValueError(
+                    "pallas_defocus_exact_upto must be >= 1 (half-widths up "
+                    f"to it stay exact); got {self.pallas_defocus_exact_upto}"
+                )
+            if self.pallas_defocus_stride < 2:
+                raise ValueError(
+                    "pallas_defocus_stride must be >= 2 (1 is the exact "
+                    f"kernel); got {self.pallas_defocus_stride}"
+                )
         if (
             self.pallas_defocus_variant == "coldiff"
             and self.backend != "pallas_interpret"

@@ -69,6 +69,44 @@ def _effects_on_tpu() -> bool:
     return _is_tpu()
 
 
+def defocus_candidates(max_half: int, cfg: DiffusionConfig) -> list:
+    """The static window-half candidate set every defocus path iterates.
+
+    'exact' (default): every half-width 1..max_half — the reference
+    semantics (src/GPUDepthEffect.cu:42-43 picks any integer window).
+    'approx': every half up to ``pallas_defocus_exact_upto`` plus an
+    arithmetic progression of ``pallas_defocus_stride`` above it — the
+    subsampled set the approx Pallas kernel marches with stride rolls (the
+    4K lever; candidate count 110 -> ~39 at stride 4)."""
+    if cfg.pallas_defocus_quality != "approx":
+        return list(range(1, max_half + 1))
+    t = min(cfg.pallas_defocus_exact_upto, max_half)
+    q = cfg.pallas_defocus_stride
+    return list(range(1, t + 1)) + list(range(t + q, max_half + 1, q))
+
+
+def snap_half_widths(
+    half: jnp.ndarray, max_half: int, cfg: DiffusionConfig
+) -> jnp.ndarray:
+    """Snap per-pixel half-widths onto ``defocus_candidates`` (identity for
+    'exact'): halves <= exact_upto pass through, larger ones round to the
+    nearest stride step (ties upward), clamped to the largest candidate.
+
+    The approx output is EXACTLY the defocus of the snapped field, so the
+    approximation error is bounded by half a stride of window growth on
+    already-large blur windows (relative area change <= stride/(2*half)).
+    Idempotent, and applied identically by the XLA, Pallas and sharded
+    paths, so cross-path bit-parity is preserved per quality setting."""
+    if cfg.pallas_defocus_quality != "approx":
+        return half
+    t = min(cfg.pallas_defocus_exact_upto, max_half)
+    q = cfg.pallas_defocus_stride
+    hi = half.astype(jnp.int32)
+    cmax = t + (max_half - t) // q * q
+    snapped = jnp.clip(t + ((hi - t + q // 2) // q) * q, t, cmax)
+    return jnp.where(hi <= t, hi, snapped).astype(half.dtype)
+
+
 def defocus_xla(
     rgb: jnp.ndarray, depth: jnp.ndarray, cfg: DiffusionConfig = DiffusionConfig()
 ) -> jnp.ndarray:
@@ -99,6 +137,7 @@ def defocus_xla(
     # Out-of-range depth (>255, possible on unclipped solver output) maps to
     # the maximal window rather than silently matching no candidate.
     half = jnp.minimum(ka // 2, max_half)
+    half = snap_half_widths(half, max_half, cfg)  # identity for 'exact'
 
     chw = jnp.moveaxis(rgb, -1, 0).astype(jnp.int32)  # (3, h, w)
     sat = jnp.cumsum(jnp.cumsum(chw, axis=1), axis=2)
@@ -116,7 +155,7 @@ def defocus_xla(
         return sat_e[:, m + dy : m + dy + h, m + dx : m + dx + w]
 
     out = jnp.moveaxis(rgb, -1, 0).astype(jnp.float32)  # half == 0 -> passthrough
-    for hv in range(1, max_half + 1):
+    for hv in defocus_candidates(max_half, cfg):
         # Window rows [y-hv, y+hv-1] clipped: SAT corners at row indices
         # clip(y+hv, 0, h) and clip(y-hv, 0, h). The select takes the RAW box
         # sum; the clip count + division are hoisted below the loop (they

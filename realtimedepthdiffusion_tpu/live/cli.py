@@ -299,6 +299,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         session.set_effect_key(a.effect)
 
     if a.headless:
+        if not a.live:
+            # One-shot process: it exits right after the solve, so a
+            # background fused compile could never serve a frame — don't
+            # start one (the staged fast-start path does the work; an
+            # orphaned compile would only load the compile service).
+            session.pipe.background_compile = False
+            if session._inc_pipe is not None:
+                session._inc_pipe.background_compile = False
         if a.solve or a.live or a.effect:
             if a.trace_dir:
                 from ..utils.timing import device_trace

@@ -86,6 +86,10 @@ class DepthSession:
                 cfg, max_iterations=cfg.incremental_iterations
             )
             self._inc_pipe = DepthPipeline(self.rows, self.cols, inc_cfg)
+        # fast_start: the fused/incremental background compiles are kicked
+        # by the pipeline AFTER the staged path is ready (pipeline.solve) —
+        # kicking them first would queue the small staged compiles behind a
+        # minutes-long fused compile when the compile service serializes.
 
     # ------------------------------------------------------------ annotation
     def load_annotation_file(self, path: str) -> None:
@@ -159,6 +163,13 @@ class DepthSession:
             use_local = (
                 rect[2] - rect[0] + 1 <= s_win and rect[3] - rect[1] + 1 <= s_win
             )
+            # fast_start: never block a live frame on the incremental
+            # program's compile — fall back to the (already compiled) full
+            # warm re-solve until its background compile lands.
+            if use_local and not self.pipe.incremental_ready(
+                self.effect if self.effect != fx.EFFECT_NONE else None
+            ):
+                use_local = False
 
         with self.timer.stage("upload"):
             # The dirty rect gates (and now crops) the host->device

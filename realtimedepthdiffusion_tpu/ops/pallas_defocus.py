@@ -231,7 +231,7 @@ def _defocus_kernel_stacked(block_h, hr, hc,
         cp.wait()
 
 
-def _defocus_kernel(block_h, hr, hc,
+def _defocus_kernel(block_h, hr, hc, t_exact, stride,
                     geom_ref, rgb_hbm, half_hbm, out_hbm,
                     x_s, half_s, ar_s, al_s, br_s, bl_s, out_s, sems):
     # geom = [oy, ox, h, w]: the interior block's global origin and the full
@@ -298,7 +298,7 @@ def _defocus_kernel(block_h, hr, hc,
     # dynamic). Sharp (near-depth) strips cost almost nothing.
     hv_hi = jnp.max(half)
 
-    def body(hv, _):
+    def select_box(hv):
         # Select the RAW box sum; the boundary-clamped count and the division
         # are hoisted below the loop (they depend only on the pixel's own
         # ``half``, the single candidate whose select ever wins).
@@ -307,16 +307,50 @@ def _defocus_kernel(block_h, hr, hc,
             - br_s[blk_top, :] + bl_s[blk_top, :]
         ).astype(jnp.float32)
         out_s[:] = jnp.where(half == hv, box, out_s[:])
-        # March the corners to candidate hv+1: rows +-1, cols +-1.
-        up, dn = mh - 1, 1
-        lt, rt = wp - 1, 1
+
+    def march(s):
+        # Advance the corners s candidates: rows +-s, cols +-s. A STATIC
+        # shift of any size is one roll pass, so marching by `stride` costs
+        # the same as marching by 1 — that is the whole approx win. The
+        # wrap-garbage creep bound depends only on the CUMULATIVE shift
+        # (== hv - 1 at select time), identical to the exact kernel's.
+        up, dn = mh - s, s
+        lt, rt = wp - s, s
         ar_s[:] = pltpu.roll(pltpu.roll(ar_s[:], up, 0), lt, 1)
         al_s[:] = pltpu.roll(pltpu.roll(al_s[:], up, 0), rt, 1)
         br_s[:] = pltpu.roll(pltpu.roll(br_s[:], dn, 0), lt, 1)
         bl_s[:] = pltpu.roll(pltpu.roll(bl_s[:], dn, 0), rt, 1)
+
+    def body(hv, _):
+        select_box(hv)
+        march(1)
         return 0
 
-    lax.fori_loop(1, hv_hi + 1, body, 0, unroll=False)
+    if stride == 1:  # exact: every candidate 1..hv_hi (the default path)
+        lax.fori_loop(1, hv_hi + 1, body, 0, unroll=False)
+    else:
+        # Approx (snapped half field): exact candidates 1..t_exact, then the
+        # progression t_exact + j*stride. Only candidates present in the
+        # snapped field can win a select, so skipping the rest is exact
+        # w.r.t. the snapped field.
+        lax.fori_loop(1, jnp.minimum(hv_hi, t_exact) + 1, body, 0,
+                      unroll=False)
+
+        @pl.when(hv_hi > t_exact)
+        def _coarse_phase():
+            # Corners sit at candidate t_exact + 1; advance to the first
+            # coarse candidate t_exact + stride.
+            if stride > 1:
+                march(stride - 1)
+
+            def body_q(j, _):
+                select_box(t_exact + (j + 1) * stride)
+                march(stride)
+                return 0
+
+            # hv_hi is itself a snapped candidate: hv_hi = t_exact + J*q.
+            lax.fori_loop(0, (hv_hi - t_exact) // stride, body_q, 0,
+                          unroll=False)
 
     # Single epilogue division, bit-identical to dividing per candidate: box
     # sums are < 2^24 (<= 55^2 * 255), so their i32 -> f32 conversion is
@@ -365,12 +399,22 @@ def defocus_pallas(
 
     geom = jnp.array([0, 0, h, w], jnp.int32)
     out = _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips,
-                        interpret, variant=cfg.pallas_defocus_variant)
+                        interpret, variant=cfg.pallas_defocus_variant,
+                        **_quality_kw(cfg))
     return jnp.moveaxis(out[:, :h, hc : hc + w].astype(jnp.uint8), 0, -1)
 
 
+def _quality_kw(cfg: DiffusionConfig) -> dict:
+    """Static marching-loop parameters for the configured defocus quality
+    ('exact' -> stride 1, the untouched default path)."""
+    if cfg.pallas_defocus_quality == "approx":
+        return {"t_exact": cfg.pallas_defocus_exact_upto,
+                "stride": cfg.pallas_defocus_stride}
+    return {"t_exact": 0, "stride": 1}
+
+
 def _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret,
-                  variant="corners"):
+                  variant="corners", t_exact=16, stride=1):
     if variant == "coldiff" and not interpret:
         # Mosaic (v5e, 2026-08) rejects the dynamic sublane-offset vector
         # loads this variant's row reads need; fail with a clear message
@@ -410,7 +454,8 @@ def _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips, interpret,
         ]
         vmem = (10 * slab_h + 4 * block_h) * wp * 4
     elif variant == "corners":
-        kern = functools.partial(_defocus_kernel, block_h, hr, hc)
+        kern = functools.partial(_defocus_kernel, block_h, hr, hc,
+                                 t_exact, stride)
         grid = (3, n_strips)
         mh = block_h + hr  # marched corner buffers carry one row halo only
         scratch = [
@@ -460,11 +505,17 @@ def defocus_half_widths(depth: jnp.ndarray, full_h: int, full_w: int,
     """Per-pixel window half-width (uint8) from depth — the pointwise prelude
     of the defocus kernel, exposed so the sharded path can compute it as a
     plain GSPMD-partitioned op before the halo exchange."""
+    from ..core.effects import snap_half_widths
+
     k = cfg.defocus_kernel_size(full_h, full_w)
     ka = (jnp.float32(k) * jnp.maximum(depth.astype(jnp.float32), 0.0) / 255.0).astype(
         jnp.int32
     )
-    return jnp.minimum(ka // 2, k // 2).astype(jnp.uint8)
+    half = jnp.minimum(ka // 2, k // 2)
+    # Quality snap (identity for 'exact'): every defocus path — XLA, the
+    # single-image kernel, the sharded block kernel — consumes the same
+    # snapped field, so outputs agree bit-for-bit per quality setting.
+    return snap_half_widths(half, k // 2, cfg).astype(jnp.uint8)
 
 
 def defocus_block_pallas(
@@ -522,5 +573,6 @@ def defocus_block_pallas(
         jnp.int32(full_h), jnp.int32(full_w),
     ])
     out = _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips,
-                        interpret, variant=cfg.pallas_defocus_variant)
+                        interpret, variant=cfg.pallas_defocus_variant,
+                        **_quality_kw(cfg))
     return jnp.moveaxis(out[:, :hb, hc : hc + wb].astype(jnp.uint8), 0, -1)

@@ -32,12 +32,130 @@ from .core.multigrid import (
 )
 
 
+class _StagedCascade:
+    """The cascade split into per-level XLA programs — the fast cold-start
+    path (cfg.fast_start).
+
+    The fused whole-cascade program is the steady-state optimum (one
+    dispatch per solve) but its single large XLA module compiles in
+    30-160 s over a remote-TPU tunnel; the SAME computation split at the
+    level boundaries compiles as 6 small modules in ~2-3 s wall when
+    lowered in parallel (PERF.md "Startup"). The split points carry no
+    arithmetic (pyrUp/seed feed the next level's program unchanged), so
+    staged and fused outputs are bit-identical (tests/test_fast_start.py);
+    the only cost is ~L+1 dispatches per solve instead of one — irrelevant
+    for the handful of frames before the fused executable lands.
+    """
+
+    def __init__(self, rows: int, cols: int, cfg: DiffusionConfig):
+        from .core.annotation import annotation_pyr_down, seed_depth
+        from .core.pyramid import pyr_up
+        from .ops import dispatch as _dispatch
+
+        self.rows, self.cols, self.cfg = rows, cols, cfg
+        levels = cfg.num_levels(rows, cols)
+        self.levels = levels
+        L = levels - 1
+        sizes = [cfg.level_size(rows, cols, l) for l in range(levels)]
+
+        def prep(mask0, value0, state_l):
+            # Annotation pyramids + the coarsest-level seed, exactly as in
+            # solve_cascade's prologue.
+            masks, values = [mask0], [value0]
+            for l in range(1, levels):
+                m, v = annotation_pyr_down(masks[-1], values[-1], sizes[l])
+                masks.append(m)
+                values.append(v)
+            seeded = seed_depth(state_l, masks[L], values[L])
+            return tuple(masks), tuple(values), seeded
+
+        self._prep = jax.jit(prep)
+
+        def level_fn(level):
+            iters = cfg.level_iterations(levels, level)
+            if level == 0:
+                def f0(state, mask, gray):
+                    return _dispatch.solve_level(
+                        state, mask, gray, 0, L, iters, cfg
+                    )
+                return jax.jit(f0)
+
+            def fl(state, mask, gray, mask_next, value_next):
+                out = _dispatch.solve_level(
+                    state, mask, gray, level, L, iters, cfg
+                )
+                up = pyr_up(out, sizes[level - 1])
+                return out, seed_depth(up, mask_next, value_next)
+
+            return jax.jit(fl)
+
+        self._level_fns = [level_fn(l) for l in range(levels)]
+        self._compiled = False
+
+    def compile_parallel(self) -> float:
+        """Lower + compile every staged program concurrently (compilation
+        releases the GIL and the compiles are independent: measured ~3-4x
+        wall speedup, PERF.md "Startup"). Returns the wall seconds spent.
+        Idempotent."""
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._compiled:
+            return 0.0
+        t0 = time.perf_counter()
+        cfg, rows, cols = self.cfg, self.rows, self.cols
+        L = self.levels - 1
+        sizes = [cfg.level_size(rows, cols, l) for l in range(self.levels)]
+        sds = jax.ShapeDtypeStruct
+        mask0 = sds((rows, cols), jnp.bool_)
+        value0 = sds((rows, cols), jnp.uint8)
+        state_l = sds(sizes[L], jnp.float32)
+        masks_s, values_s, _ = jax.eval_shape(self._prep, mask0, value0, state_l)
+
+        def compile_level(l):
+            args = [
+                sds(sizes[l], jnp.float32),
+                masks_s[l],
+                sds(sizes[l], jnp.uint8),
+            ]
+            if l > 0:
+                args += [masks_s[l - 1], values_s[l - 1]]
+            self._level_fns[l].lower(*args).compile()
+
+        with ThreadPoolExecutor(max_workers=self.levels + 1) as ex:
+            futs = [ex.submit(
+                lambda: self._prep.lower(mask0, value0, state_l).compile()
+            )]
+            futs += [ex.submit(compile_level, l) for l in range(self.levels)]
+            for f in futs:
+                f.result()
+        self._compiled = True
+        return time.perf_counter() - t0
+
+    def __call__(self, gray_pyr, mask0, value0, depth_state):
+        L = self.levels - 1
+        masks, values, seeded = self._prep(mask0, value0, depth_state[L])
+        state = list(depth_state)
+        state[L] = seeded
+        for level in range(L, 0, -1):
+            state[level], state[level - 1] = self._level_fns[level](
+                state[level], masks[level], gray_pyr[level],
+                masks[level - 1], values[level - 1],
+            )
+        state[0] = self._level_fns[0](state[0], masks[0], gray_pyr[0])
+        return state[0], tuple(state)
+
+
 class DepthPipeline:
     """Compiled solve/effect programs for one image size + config.
 
     Stateless w.r.t. the image: callers pass (and carry) the depth-state
     pyramid, which warm-starts subsequent solves exactly like the
     reference's persistent deviceDepthImage pyramid (src/main.cpp:135-136).
+
+    Cold start (cfg.fast_start, default on): the first solve(s) run the
+    bit-identical staged per-level path (_StagedCascade) while the fused
+    program compiles on a background thread; see solve().
     """
 
     def __init__(self, rows: int, cols: int, cfg: DiffusionConfig = DiffusionConfig()):
@@ -136,6 +254,128 @@ class DepthPipeline:
 
         self._residuals = jax.jit(_residuals)
 
+        # --- Cold-start machinery (cfg.fast_start): staged first solve +
+        #     background fused compile. ---
+        self._staged: Optional[_StagedCascade] = None
+        self._aot: dict = {}          # program key -> AOT executable
+        self._compile_threads: dict = {}
+        self._fast = cfg.fast_start and cfg.multigrid != "vcycle"
+        # One-shot processes (headless --solve-and-exit) should set this
+        # False: they exit before a background compile could ever serve a
+        # solve, and the orphaned in-flight compile needlessly loads the
+        # (possibly shared) compile service. Long-lived surfaces (GUI,
+        # --live, serving) leave it True.
+        self.background_compile = True
+
+    # -- cold start -------------------------------------------------------
+    def _solve_structs(self):
+        sds = jax.ShapeDtypeStruct
+        cfg, rows, cols = self.cfg, self.rows, self.cols
+        sizes = [cfg.level_size(rows, cols, l) for l in range(self.levels)]
+        gray_pyr = tuple(sds(s, jnp.uint8) for s in sizes)
+        mask0 = sds((rows, cols), jnp.bool_)
+        value0 = sds((rows, cols), jnp.uint8)
+        state = tuple(sds(s, jnp.float32) for s in sizes)
+        return gray_pyr, mask0, value0, state
+
+    @staticmethod
+    def _avals_match(structs, args) -> bool:
+        flat_s = jax.tree_util.tree_leaves(structs)
+        flat_a = jax.tree_util.tree_leaves(args)
+        return len(flat_s) == len(flat_a) and all(
+            s.shape == a.shape and s.dtype == a.dtype
+            for s, a in zip(flat_s, flat_a)
+        )
+
+    def _ensure_staged(self) -> "_StagedCascade":
+        if self._staged is None:
+            self._staged = _StagedCascade(self.rows, self.cols, self.cfg)
+            self._staged.compile_parallel()
+        return self._staged
+
+    def _kick(self, key, lower_fn) -> None:
+        """Start a background AOT compile; the executable lands in
+        self._aot[key] when done. Idempotent per key. A failed background
+        compile only logs: the staged/jit path stays correct, and the
+        failure resurfaces loudly wherever the fused path is forced."""
+        import threading
+
+        if key in self._compile_threads or not self.background_compile:
+            return
+
+        def work():
+            try:
+                self._aot[key] = lower_fn().compile()
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "background compile failed: %r", key
+                )
+
+        t = threading.Thread(target=work, daemon=True,
+                             name=f"rtdd-compile-{key}")
+        self._compile_threads[key] = t
+        t.start()
+
+    def _rgb_struct(self):
+        return jax.ShapeDtypeStruct((self.rows, self.cols, 3), jnp.uint8)
+
+    def _kick_fused_compile(self, effect: Optional[int] = None) -> None:
+        """Background-compile the fused solve (or solve+effect) program."""
+        structs = self._solve_structs()
+        if effect is None:
+            self._kick(
+                ("solve",), lambda: self._solve.lower(*structs)
+            )
+        else:
+            gp, m0, v0, st = structs
+            self._kick(
+                ("solve_fx", effect),
+                lambda: self._solve_and_effect.lower(
+                    effect, gp, self._rgb_struct(), m0, v0, st
+                ),
+            )
+
+    def _kick_incremental_compile(self, effect: Optional[int] = None) -> None:
+        """Background-compile the incremental (windowed live re-solve)
+        program so the first paint stroke never blocks on it."""
+        gp, m0, v0, st = self._solve_structs()
+        center = jax.ShapeDtypeStruct((2,), jnp.int32)
+        if effect is None:
+            self._kick(
+                ("inc",),
+                lambda: self._solve_incremental.lower(gp, m0, v0, st, center),
+            )
+        else:
+            self._kick(
+                ("inc_fx", effect),
+                lambda: self._solve_incremental_and_effect.lower(
+                    effect, gp, self._rgb_struct(), m0, v0, st, center
+                ),
+            )
+
+    def incremental_ready(self, effect: Optional[int] = None) -> bool:
+        """fast_start: report whether the incremental program's background
+        compile has landed (kicking it if not yet started), so the live loop
+        can keep using the already-compiled full re-solve instead of
+        blocking a frame on the incremental compile. Always True when
+        fast_start is off (the call will compile synchronously)."""
+        if not self._fast:
+            return True
+        key = ("inc",) if effect is None else ("inc_fx", effect)
+        if key in self._aot:
+            return True
+        self._kick_incremental_compile(effect)
+        return False
+
+    def wait_fused(self, timeout: Optional[float] = None) -> bool:
+        """Block until pending background fused compiles finish (warmup /
+        test hook). Returns True when none are still running."""
+        for t in list(self._compile_threads.values()):
+            t.join(timeout)
+        return not any(t.is_alive() for t in self._compile_threads.values())
+
     # -- setup -----------------------------------------------------------
     def prepare_image(self, rgb_u8: np.ndarray):
         """Upload the image once; returns (rgb_dev, gray_pyramid)."""
@@ -148,23 +388,77 @@ class DepthPipeline:
 
     # -- the critical path -------------------------------------------------
     def solve(self, gray_pyr, mask0, value0, depth_state):
-        """Full multigrid solve; returns (depth0_f32, new_depth_state)."""
+        """Full multigrid solve; returns (depth0_f32, new_depth_state).
+
+        fast_start routing: while the fused one-dispatch program is still
+        compiling on the background thread, solves run the bit-identical
+        staged per-level path (~2-3 s to first compile instead of the fused
+        module's 30-160 s over a remote tunnel); once the AOT executable
+        lands, solves switch to it."""
+        if self._fast:
+            args = (gray_pyr, mask0, value0, depth_state)
+            ex = self._aot.get(("solve",))
+            if ex is not None:
+                if self._avals_match(self._solve_structs(), args):
+                    return ex(*args)
+                return self._solve(*args)  # unusual dtypes: plain jit path
+            # Staged compiles FIRST, fused kick after: when the compile
+            # service serializes, kicking the minutes-long fused compile
+            # before the ~seconds staged ones would queue the first frame
+            # behind it (measured: 457 s vs ~20 s, PERF.md "Startup").
+            staged = self._ensure_staged()
+            self._kick_fused_compile(None)
+            return staged(*args)
         return self._solve(gray_pyr, mask0, value0, depth_state)
 
     def solve_and_effect(self, effect: int, gray_pyr, rgb, mask0, value0, depth_state):
-        """Fused solve + effect; returns (depth0, new_state, effect_rgb_u8)."""
+        """Fused solve + effect; returns (depth0, new_state, effect_rgb_u8).
+        fast_start: staged solve + the standalone effect program until the
+        fused executable lands (see solve())."""
+        if self._fast:
+            args = (gray_pyr, rgb, mask0, value0, depth_state)
+            ex = self._aot.get(("solve_fx", effect))
+            if ex is not None:
+                gp, m0, v0, st = self._solve_structs()
+                if self._avals_match((gp, self._rgb_struct(), m0, v0, st), args):
+                    return ex(*args)
+                return self._solve_and_effect(effect, *args)
+            staged = self._ensure_staged()  # before the fused kick, as above
+            depth0, state = staged(gray_pyr, mask0, value0, depth_state)
+            # The standalone effect program compiles at this first call;
+            # keep it ahead of the fused kick too.
+            out = self._effect(
+                effect, rgb, gray_pyr[0], jnp.clip(depth0, 0.0, 255.0)
+            )
+            self._kick_fused_compile(effect)
+            return depth0, state, out
         return self._solve_and_effect(effect, gray_pyr, rgb, mask0, value0, depth_state)
 
     def solve_incremental(self, gray_pyr, mask0, value0, depth_state, center_yx):
         """Localized warm re-solve around an edit (core/incremental.py);
-        returns (depth0, new_state). ``center_yx``: (2,) int32, L0 coords."""
-        return self._solve_incremental(gray_pyr, mask0, value0, depth_state, center_yx)
+        returns (depth0, new_state). ``center_yx``: (2,) int32, L0 coords.
+        fast_start: uses the background-compiled executable when it has
+        landed (incremental_ready); otherwise compiles synchronously."""
+        args = (gray_pyr, mask0, value0, depth_state, center_yx)
+        ex = self._aot.get(("inc",))
+        if ex is not None and self._avals_match(
+            self._solve_structs() + (jax.ShapeDtypeStruct((2,), jnp.int32),),
+            args,
+        ):
+            return ex(*args)
+        return self._solve_incremental(*args)
 
     def solve_incremental_and_effect(self, effect: int, gray_pyr, rgb, mask0,
                                      value0, depth_state, center_yx):
-        return self._solve_incremental_and_effect(
-            effect, gray_pyr, rgb, mask0, value0, depth_state, center_yx
-        )
+        args = (gray_pyr, rgb, mask0, value0, depth_state, center_yx)
+        ex = self._aot.get(("inc_fx", effect))
+        if ex is not None:
+            gp, m0, v0, st = self._solve_structs()
+            structs = (gp, self._rgb_struct(), m0, v0, st,
+                       jax.ShapeDtypeStruct((2,), jnp.int32))
+            if self._avals_match(structs, args):
+                return ex(*args)
+        return self._solve_incremental_and_effect(effect, *args)
 
     def update_annotation_window(self, mask_d, value_d, mask_win, value_win, origin):
         """Upload only a dirty window into the device annotation planes."""

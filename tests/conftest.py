@@ -12,6 +12,11 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# Pin the fast-start default OFF for the suite: routing stays deterministic
+# (no solve switches program mid-test when a background compile lands) and
+# no background monolith compile competes with the single test CPU. The
+# dedicated fast-start tests opt back in with fast_start=True explicitly.
+os.environ.setdefault("RTDD_FAST_START", "0")
 
 import jax  # noqa: E402
 
