@@ -66,7 +66,16 @@ def main():
             h, w, label = 2160, 3840, "4K"
         elif sz not in ("1080p", "hd"):
             raise SystemExit(f"unknown --size {sz!r} (1080p|4k)")
-    cfg = DiffusionConfig()
+    # Opt-in bounded-error defocus (the 4K latency lever; error ledger in
+    # PERF.md via tools/defocus_quality_report.py). The driver's bench of
+    # record (plain `python bench.py`) stays on the exact default.
+    quality = "exact"
+    if "--defocus-quality" in sys.argv:
+        at = sys.argv.index("--defocus-quality") + 1
+        if at >= len(sys.argv) or sys.argv[at] not in ("exact", "approx"):
+            raise SystemExit("--defocus-quality needs a value (exact|approx)")
+        quality = sys.argv[at]
+    cfg = DiffusionConfig(pallas_defocus_quality=quality)
     log("devices:", jax.devices())
 
     rng = np.random.default_rng(0)
@@ -158,7 +167,9 @@ def main():
             {
                 "metric": f"{label} solve+defocus ms/frame, worst-case effect "
                           f"({sweeps} Chebyshev sweeps, {levels}-level cascade, "
-                          "1 TPU core, relay-RTT-excluded)",
+                          "1 TPU core, relay-RTT-excluded"
+                          + (", approx defocus" if quality == "approx" else "")
+                          + ")",
                 "value": round(dt_ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(16.0 / dt_ms, 3),

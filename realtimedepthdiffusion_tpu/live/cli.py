@@ -27,6 +27,12 @@ plus headless extensions for CI/scripting (the reference is GUI-only):
                        cyclic-Chebyshev omegas (default 0.9999)
     --rb-plain         plain Gauss-Seidel red-black (disable the SOR omegas)
     --gray-pyramid ... opencv | floor (gray-chain convention)
+    --defocus-quality  exact | approx — refocus window-half candidate set
+                       (approx snaps blur windows larger than 16 px to a
+                       stride grid: bounded error, ~2.7x fewer marched
+                       candidates at 4K — the 4K latency lever, PERF.md)
+    --defocus-stride N approx candidate stride (default 4; implies
+                       --defocus-quality approx)
     --depth16          also save DepthMap16.png (16-bit PNG at the solver's
                        full precision; the 8-bit map quantizes away the
                        converged sub-gray signal)
@@ -64,6 +70,9 @@ USAGE = (
     " --residual-metric rms|max early-exit residual functional (default rms)\n"
     " --rb-rho X red-black Chebyshev rho (default 0.9999)\n --rb-plain disable red-black SOR omegas\n"
     " --gray-pyramid opencv|floor gray-chain convention\n"
+    " --defocus-quality exact|approx refocus window-half set (approx snaps\n"
+    "   large blur windows to a stride grid — the 4K latency lever, PERF.md)\n"
+    " --defocus-stride N approx candidate stride (default 4)\n"
     " --depth16 also save a 16-bit DepthMap16.png\n --time print timing report\n"
     " --trace DIR dump a jax.profiler trace of the solve\n --verbose debug logging\n"
 )
@@ -95,6 +104,8 @@ class CliArgs:
     rb_plain: bool = False
     gray_pyramid: str = "opencv"
     depth16: bool = False
+    defocus_quality: Optional[str] = None  # None -> 'exact' (the default)
+    defocus_stride: Optional[int] = None
     help: bool = False
 
 
@@ -204,6 +215,27 @@ def parse_args(argv: List[str]) -> CliArgs:
             a.gray_pyramid = v
         elif arg == "--depth16":
             a.depth16 = True
+        elif arg == "--defocus-quality":
+            # Parse-time validation like --effect/--residual-metric.
+            v = val().lower()
+            if v not in ("exact", "approx"):
+                raise SystemExit(
+                    f"error: unknown --defocus-quality {v!r} "
+                    f"(choose from ['approx', 'exact'])\n{USAGE}"
+                )
+            a.defocus_quality = v
+        elif arg == "--defocus-stride":
+            try:
+                a.defocus_stride = int(val())
+            except ValueError:
+                raise SystemExit(
+                    f"error: --defocus-stride expects an integer\n{USAGE}"
+                )
+            if a.defocus_stride < 2:
+                raise SystemExit(
+                    "error: --defocus-stride must be >= 2 (1 is the exact "
+                    f"kernel; use --defocus-quality exact)\n{USAGE}"
+                )
         elif arg == "-h" or arg == "--help":
             a.help = True
         i += 1
@@ -241,6 +273,14 @@ def make_config(a: CliArgs) -> DiffusionConfig:
         kw["rb_rho"] = a.rb_rho
     if a.rb_plain:
         kw["rb_chebyshev"] = False
+    if a.defocus_quality is not None:
+        kw["pallas_defocus_quality"] = a.defocus_quality
+    if a.defocus_stride is not None:
+        kw["pallas_defocus_stride"] = a.defocus_stride
+        # A stride given without --defocus-quality means "use it" (the same
+        # rule as --tolerance implying --early-exit) — unless quality was
+        # explicitly pinned to exact.
+        kw.setdefault("pallas_defocus_quality", "approx")
     if a.residual_metric is not None:
         kw["residual_metric"] = a.residual_metric
     if a.tolerance is not None:

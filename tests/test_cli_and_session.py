@@ -372,3 +372,75 @@ def test_gui_live_incremental_hits_windowed_path(monkeypatch):
 
     handle_key(s, 255, live=True)  # idle live frame: no edit, no local solve
     assert s.solve_count == 3 and len(local_calls) == 1
+
+
+def test_cli_defocus_quality_flags():
+    """--defocus-quality/--defocus-stride reach the config (the 4K latency
+    lever must be argv-reachable like every other behavior knob); a stride
+    alone implies approx; parse-time validation."""
+    import pytest
+
+    from realtimedepthdiffusion_tpu.live.cli import make_config, parse_args
+
+    cfg = make_config(parse_args(["-i", "x.jpg", "--defocus-quality", "approx"]))
+    assert cfg.pallas_defocus_quality == "approx"
+    assert cfg.pallas_defocus_stride == 4  # the measured default
+
+    cfg2 = make_config(parse_args(["-i", "x.jpg", "--defocus-stride", "8"]))
+    assert cfg2.pallas_defocus_quality == "approx"
+    assert cfg2.pallas_defocus_stride == 8
+
+    # Explicit exact pins quality even with a stride present (inert knob).
+    cfg3 = make_config(parse_args(
+        ["-i", "x.jpg", "--defocus-quality", "EXACT", "--defocus-stride", "8"]
+    ))
+    assert cfg3.pallas_defocus_quality == "exact"
+
+    # Defaults untouched: exact is the reference-faithful path.
+    assert make_config(parse_args(["-i", "x.jpg"])).pallas_defocus_quality == "exact"
+
+    with pytest.raises(SystemExit, match="defocus-quality"):
+        parse_args(["--defocus-quality", "fast"])
+    with pytest.raises(SystemExit, match="integer"):
+        parse_args(["--defocus-stride", "abc"])
+    with pytest.raises(SystemExit, match=">= 2"):
+        parse_args(["--defocus-stride", "1"])
+
+
+def test_serve_defocus_quality_flags():
+    """rtdd-serve's config resolution honors the defocus-quality knobs with
+    the same rules as the live CLI."""
+    import argparse
+
+    import pytest
+
+    from realtimedepthdiffusion_tpu import serve as serve_mod
+
+    def parse(args):
+        # Reuse main()'s parser by capturing the resolved config.
+        p = argparse.ArgumentParser()
+        captured = {}
+        real = serve_mod.config_from_args
+
+        def capture(a, error=None):
+            cfg = real(a, error)
+            captured["cfg"] = cfg
+            raise SystemExit(0)  # stop before any solving
+
+        serve_mod.config_from_args = capture
+        try:
+            with pytest.raises(SystemExit):
+                serve_mod.main(args + ["--out", "/tmp/x"])
+        finally:
+            serve_mod.config_from_args = real
+        return captured.get("cfg")  # None if rejected before resolving
+
+    cfg = parse(["--defocus-quality", "approx"])
+    assert cfg.pallas_defocus_quality == "approx"
+    cfg2 = parse(["--defocus-stride", "6"])
+    assert cfg2.pallas_defocus_quality == "approx"
+    assert cfg2.pallas_defocus_stride == 6
+    cfg3 = parse(["--defocus-quality", "exact", "--defocus-stride", "6"])
+    assert cfg3.pallas_defocus_quality == "exact"
+    # stride 1 is rejected by argparse .error before any config resolves
+    assert parse(["--defocus-stride", "1"]) is None

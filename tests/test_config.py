@@ -61,3 +61,23 @@ def test_config_validation_at_construction():
         DiffusionConfig(residual_metric="rsm")
     # the valid pairing constructs fine
     DiffusionConfig(solver="red_black", early_exit=True, residual_metric="max")
+
+
+def test_defocus_quality_validation_at_construction():
+    """The approx-defocus knobs validate at construction like every other
+    config field: unknown quality, a stride that is really the exact kernel,
+    and a zero exact band are rejected loudly."""
+    import pytest
+
+    from realtimedepthdiffusion_tpu.config import DiffusionConfig
+
+    with pytest.raises(ValueError, match="pallas_defocus_quality"):
+        DiffusionConfig(pallas_defocus_quality="fast")
+    with pytest.raises(ValueError, match="stride"):
+        DiffusionConfig(pallas_defocus_quality="approx", pallas_defocus_stride=1)
+    with pytest.raises(ValueError, match="exact_upto"):
+        DiffusionConfig(pallas_defocus_quality="approx", pallas_defocus_exact_upto=0)
+    # Valid approx configs construct fine; the knobs are inert under 'exact'
+    # (any values accepted — they are never read).
+    DiffusionConfig(pallas_defocus_quality="approx")
+    DiffusionConfig(pallas_defocus_exact_upto=0, pallas_defocus_stride=1)

@@ -81,3 +81,88 @@ def test_apply_effect_dispatch(rng):
         assert np.array_equal(
             np.asarray(effects.apply_effect(eff, a, g, d, CFG)), np.asarray(fn)
         )
+
+
+# --- Defocus quality='approx' (the 4K latency lever; config.py fields,
+#     ops/pallas_defocus.py stride march). The approx output is EXACTLY the
+#     defocus of the SNAPPED half field, so correctness splits into (a) snap
+#     semantics and (b) per-pixel equality with exact wherever the snap is
+#     the identity — out[p] depends only on half[p]. ---
+
+
+def _approx_cfg(**kw):
+    base = dict(
+        pallas_defocus_quality="approx",
+        pallas_defocus_exact_upto=16,
+        pallas_defocus_stride=4,
+    )
+    base.update(kw)
+    return DiffusionConfig(**base)
+
+
+def test_snap_half_widths_semantics():
+    """Halves <= exact_upto pass through; larger ones round to the nearest
+    stride candidate (ties upward), clamped to the largest candidate;
+    snapping is idempotent; 'exact' is the identity."""
+    cfg = _approx_cfg()
+    max_half = 55
+    t, q = 16, 4
+    cmax = t + (max_half - t) // q * q  # 52
+    half = jnp.arange(0, max_half + 1, dtype=jnp.int32)
+    got = np.asarray(effects.snap_half_widths(half, max_half, cfg))
+    want = [
+        hv if hv <= t else min(t + (hv - t + q // 2) // q * q, cmax)
+        for hv in range(max_half + 1)
+    ]
+    assert got.tolist() == want
+    # Every snapped value is a marched candidate (or 0 = no blur).
+    cands = set(effects.defocus_candidates(max_half, cfg)) | {0}
+    assert set(got.tolist()) <= cands
+    # Idempotent: a snapped field passes through unchanged.
+    again = np.asarray(effects.snap_half_widths(jnp.asarray(got), max_half, cfg))
+    assert np.array_equal(again, got)
+    # quality='exact' snaps nothing.
+    ident = np.asarray(effects.snap_half_widths(half, max_half, CFG))
+    assert np.array_equal(ident, np.asarray(half))
+
+
+def test_defocus_candidates_approx_set():
+    cfg = _approx_cfg()
+    # 110 exact candidates at 4K (max_half 110) -> 16 exact + 23 coarse
+    # (20, 24, ..., 108 — the largest candidate <= max_half).
+    got = effects.defocus_candidates(110, cfg)
+    assert got == list(range(1, 17)) + list(range(20, 111, 4))
+    assert len(got) == 39
+    # max_half below exact_upto: approx degenerates to the exact set.
+    assert effects.defocus_candidates(9, cfg) == list(range(1, 10))
+
+
+def test_defocus_approx_pointwise_vs_exact(rng):
+    """Pixels whose half-width is already a candidate are BIT-IDENTICAL to
+    the exact path (the approximation touches only snapped pixels), and the
+    snapped pixels' error is a bounded window-size perturbation."""
+    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_half_widths
+
+    h, w = 140, 200
+    cfg_a = _approx_cfg(defocus_aperture=0.5, pallas_defocus_exact_upto=8)
+    cfg_e = DiffusionConfig(defocus_aperture=0.5)  # k=122, max_half=61
+    # Structured content (not noise): blur-mean differences survive.
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    rgb[..., 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    rgb[40:70, 60:120] = (255, 0, 0)
+    rgb[90:120, 20:180:7] = (0, 0, 255)
+    depth = (rng.random((h, w), dtype=np.float32) * 255).astype(np.float32)
+    exact = np.asarray(effects.defocus_xla(jnp.asarray(rgb), jnp.asarray(depth), cfg_e)).astype(int)
+    approx = np.asarray(effects.defocus_xla(jnp.asarray(rgb), jnp.asarray(depth), cfg_a)).astype(int)
+
+    half_e = np.asarray(defocus_half_widths(jnp.asarray(depth), h, w, cfg_e))
+    half_a = np.asarray(defocus_half_widths(jnp.asarray(depth), h, w, cfg_a))
+    same = half_e == half_a
+    assert same.any() and not same.all()  # the case exercises both regimes
+    assert np.array_equal(exact[same], approx[same])
+    # Snapped pixels: half moved by <= stride/2 on windows >= exact_upto —
+    # a small relative window perturbation; bound measured with margin.
+    diff = np.abs(exact - approx)[~same]
+    assert diff.max() <= 48
+    assert float(np.sqrt((diff.astype(float) ** 2).mean())) < 8.0

@@ -488,3 +488,52 @@ def test_defocus_pallas_gnarly_geometries(rng):
         want = np.asarray(fx.defocus_xla(rgb, depth, CFG))
         got = np.asarray(defocus_pallas(rgb, depth, CFG, interpret=True))
         assert np.array_equal(got, want), (h, w)
+
+
+@pytest.mark.parametrize("upto,stride", [(16, 4), (8, 3), (1, 2)])
+def test_defocus_pallas_approx_bitexact(rng, upto, stride):
+    """quality='approx': the kernel's stride march (exact candidates
+    1..upto, then upto+stride, upto+2*stride, ...) must equal the XLA
+    formulation on the SAME snapped half field bit-for-bit — including a
+    strip whose hv_hi <= upto (the coarse phase pl.when is skipped) and a
+    far-plane strip driving hv_hi to the largest coarse candidate."""
+    from realtimedepthdiffusion_tpu.core import effects as fx
+    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
+
+    h, w = 120, 180
+    cfg = DiffusionConfig(
+        defocus_aperture=0.5,  # k=108, max_half=54 > upto: stride march runs
+        pallas_defocus_quality="approx",
+        pallas_defocus_exact_upto=upto,
+        pallas_defocus_stride=stride,
+    )
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    depth = (rng.random((h, w)) * 255).astype(np.float32)
+    # First strip (block_h=48) all-sharp: hv_hi <= upto there.
+    depth[:48] = depth[:48] * (upto / 54.0)
+    # Far-plane rows in the last strip: hv_hi == the largest candidate.
+    depth[100:104, :] = 255.0
+    want = np.asarray(fx.defocus_xla(jnp.asarray(rgb), jnp.asarray(depth), cfg))
+    got = np.asarray(
+        defocus_pallas(jnp.asarray(rgb), jnp.asarray(depth), cfg,
+                       block_h=48, interpret=True)
+    )
+    assert np.array_equal(got, want)
+
+
+def test_defocus_pallas_approx_small_aperture_degenerates_to_exact(rng):
+    """max_half below exact_upto: the snap is the identity and the approx
+    kernel must equal the EXACT kernel/XLA output (coarse phase never
+    runs)."""
+    from realtimedepthdiffusion_tpu.core import effects as fx
+    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
+
+    h, w = 96, 160
+    cfg_a = DiffusionConfig(pallas_defocus_quality="approx")  # k small: max_half 2
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    depth = (rng.random((h, w)) * 255).astype(np.float32)
+    want = np.asarray(fx.defocus_xla(jnp.asarray(rgb), jnp.asarray(depth), CFG))
+    got = np.asarray(
+        defocus_pallas(jnp.asarray(rgb), jnp.asarray(depth), cfg_a, interpret=True)
+    )
+    assert np.array_equal(got, want)
