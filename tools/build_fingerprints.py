@@ -35,6 +35,42 @@ def fingerprint(depth: np.ndarray) -> np.ndarray:
     return depth[: fh * 32, : fw * 32].reshape(32, fh, 32, fw).mean(axis=(1, 3))
 
 
+def build_synthetic_1080p() -> None:
+    """13th fingerprint: the headline 1080x1920 geometry (round-3 verdict
+    weakness #6 — no committed fingerprint exercised the 4x272/k=12 strip
+    megakernel + hr=56 defocus shapes the headline ships). Alongside the
+    depth fingerprint this one stores the DEFOCUS output's per-channel
+    fingerprint so the effect kernel is drift-gated end-to-end too."""
+    import jax.numpy as jnp
+
+    from realtimedepthdiffusion_tpu.core.effects import defocus
+    from realtimedepthdiffusion_tpu.pipeline import DepthPipeline
+    from tests.golden.synthetic import synthetic_1080p
+
+    rgb, mask, value = synthetic_1080p()
+    h, w = rgb.shape[:2]
+    pipe = DepthPipeline(h, w)
+    _, gpyr = pipe.prepare_image(rgb)
+    depth, _ = pipe.solve(
+        gpyr, jnp.asarray(mask), jnp.asarray(value), pipe.initial_state()
+    )
+    out = np.asarray(defocus(jnp.asarray(rgb), depth))
+    fh, fw = h // 32, w // 32
+    efp = (
+        out[: fh * 32, : fw * 32]
+        .reshape(32, fh, 32, fw, 3)
+        .mean(axis=(1, 3), dtype=np.float64)
+    )
+    path = os.path.join(OUT_DIR, "Synthetic1080p.npz")
+    np.savez_compressed(
+        path,
+        shape=np.array([h, w]),
+        fingerprint=fingerprint(np.asarray(depth)),
+        effect_fingerprint=efp,
+    )
+    print(f"Synthetic1080p: {h}x{w} (+defocus) -> {path}")
+
+
 def main() -> int:
     import jax
 
@@ -64,6 +100,7 @@ def main() -> int:
         out = os.path.join(OUT_DIR, f"{name}.npz")
         np.savez_compressed(out, shape=np.array([h, w]), fingerprint=fp)
         print(f"{name}: {h}x{w} -> {out}")
+    build_synthetic_1080p()
     return 0
 
 
