@@ -134,10 +134,13 @@ class DiffusionConfig:
     # kernel and carry the edit's whole far field).
     incremental_window_levels: int = 2
     # Global sweeps per windowed level that polish the injected coarse
-    # correction along image edges before the deep window solve. Measured:
-    # negligible accuracy benefit on both the dataset and sparse-synthetic
-    # parity cases (tests/test_incremental.py) at ~0.25 ms/frame cost, so
-    # off by default; raise for maximum far-field fidelity.
+    # correction along image edges before the deep window solve. The round-4
+    # 39-case ledger (tools/incremental_report.py; PERF.md "Incremental live
+    # path") measured worst-case RMSE vs a full re-solve of 0.0262 at gs=0
+    # vs 0.0256 at gs=2 — a 2% worst-case gain, localized to three pairs —
+    # while each global sweep is a full-plane kernel launch on the
+    # latency-critical live path. Off by default; raise for maximum
+    # far-field fidelity.
     incremental_global_smooth: int = 0
 
     # --- Backend selection: "auto" picks Pallas on TPU, pure-XLA elsewhere ---

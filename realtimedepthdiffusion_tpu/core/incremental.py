@@ -84,7 +84,16 @@ def solve_incremental(
         windowed = level < cfg.incremental_window_levels and win < min(h, w)
         if not windowed:
             iters = cfg.level_iterations(levels, level)
-            st = seed_depth(old, masks[level], values[level])
+            # Inject the coarser level's correction before the warm re-solve:
+            # this level's sweep budget (e.g. 125 at L1 of a 1080p cascade)
+            # propagates information only ~budget pixels, so an edit's far
+            # field must ARRIVE in the initial state rather than be
+            # rediscovered. Without this, a far-from-annotations stroke
+            # measured up to 0.14 normalized RMSE vs the full re-solve
+            # (tools/incremental_report.py round-4 ledger); with it the
+            # relaxation only polishes an already-correct global field.
+            st = old if delta is None else old + pyr_up(delta, (h, w))
+            st = seed_depth(st, masks[level], values[level])
             state[level] = solve_level(
                 st, masks[level], gray_pyr[level], level, L, iters, cfg
             )

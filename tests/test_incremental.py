@@ -62,9 +62,11 @@ def test_incremental_parity_dataset():
 def test_incremental_parity_synthetic_sparse():
     """Worst-case: ultra-sparse annotations (0.4% coverage) where one new
     scribble rebalances the whole harmonic field. The localized solve's
-    far-field comes from the full coarse re-solves' pyrUp'd delta; measured
-    4.8e-2 (vs 4.8e-2 for round 1's full reduced-budget cascade at ~8x the
-    fine-level work); documented loose bound."""
+    far-field comes from the full coarse re-solves' pyrUp'd delta — injected
+    into the NON-windowed levels' warm starts too (the round-4 fix; without
+    it this case measured 4.8e-2 and dataset island strokes up to 0.12).
+    Measured 1.5e-2; ledger worst across 39 pair/stroke cases is 2.6e-2
+    (tools/incremental_report.py, PERF.md round-4 table); bound 3e-2."""
     rgb, m0, v0 = synthetic_pair(420, 560, 7)
     cfg = DiffusionConfig(incremental_iterations=120)
     pipe, gp, _, st = _solve_pair(rgb, m0, v0, cfg)
@@ -82,7 +84,7 @@ def test_incremental_parity_synthetic_sparse():
     )
     d_inc, d_full = np.asarray(d_inc), np.asarray(d_full)
     rmse = float(np.sqrt(np.mean(((d_inc - d_full) / 255.0) ** 2)))
-    assert rmse <= 0.1, rmse
+    assert rmse <= 3e-2, rmse
     assert np.array_equal(d_inc[m2], v2[m2].astype(np.float32))
     # the state pyramid is consistent (level 0 of the state IS the output)
     assert np.array_equal(np.asarray(state2[0]), d_inc)
