@@ -14,7 +14,10 @@ is exactly one dispatch.
 
 from __future__ import annotations
 
+import atexit
 import functools
+import logging
+import weakref
 from typing import Optional, Tuple
 
 import jax
@@ -30,6 +33,34 @@ from .core.multigrid import (
     solve_cascade,
     solve_vcycle,
 )
+
+# Background compile threads are daemon so nothing *during* the session ever
+# blocks on them — but letting the interpreter finalize while one is inside
+# an XLA compile aborts the whole process (CPython kills daemon threads via
+# pthread_exit when they next touch the GIL; the forced unwind crossing
+# XLA's C++ frames trips "FATAL: exception not rethrown" → SIGABRT, observed
+# deterministically on exit-right-after-first-solve, tests/test_fast_start.py
+# regression). XLA compiles cannot be cancelled, so the atexit hook — which
+# runs on the main thread BEFORE finalization — joins whatever is still in
+# flight. Bounded at 600 s per thread so a wedged remote compile service
+# degrades to the old behavior instead of hanging exit forever.
+_LIVE_COMPILE_THREADS: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def _join_background_compiles() -> None:
+    pending = [t for t in _LIVE_COMPILE_THREADS if t.is_alive()]
+    if not pending:
+        return
+    logging.getLogger(__name__).info(
+        "exit: waiting for %d in-flight background XLA compile(s) "
+        "(uncancellable; call pipeline.wait_fused() or use rtdd-warmup to "
+        "avoid paying this at exit)", len(pending)
+    )
+    for t in pending:
+        t.join(timeout=600.0)
+
+
+atexit.register(_join_background_compiles)
 
 
 class _StagedCascade:
@@ -316,6 +347,7 @@ class DepthPipeline:
         t = threading.Thread(target=work, daemon=True,
                              name=f"rtdd-compile-{key}")
         self._compile_threads[key] = t
+        _LIVE_COMPILE_THREADS.add(t)  # joined by the atexit hook above
         t.start()
 
     def _rgb_struct(self):

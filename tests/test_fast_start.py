@@ -239,3 +239,44 @@ def test_fast_start_env_default():
     assert os.environ.get("RTDD_FAST_START") == "0"
     assert DiffusionConfig().fast_start is False
     assert DiffusionConfig(fast_start=True).fast_start is True
+
+
+def test_exit_during_background_compile_is_clean(tmp_path):
+    """Regression: exiting the interpreter while the background fused
+    compile is still in flight used to SIGABRT the process — CPython kills
+    daemon threads via pthread_exit when they next take the GIL, and the
+    forced unwind crossing XLA's C++ compile frames trips 'FATAL: exception
+    not rethrown'. pipeline._join_background_compiles (atexit) now joins
+    in-flight compiles before finalization. The subprocess disables the
+    persistent compile cache so the fused compile is genuinely in flight
+    when the script falls off the end."""
+    import subprocess
+    import sys
+
+    script = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_enable_compilation_cache', False);"
+        "import numpy as np, jax.numpy as jnp;"
+        "from realtimedepthdiffusion_tpu.config import DiffusionConfig;"
+        "from realtimedepthdiffusion_tpu.pipeline import DepthPipeline;"
+        "cfg = DiffusionConfig(fast_start=True, backend='xla');"
+        "pipe = DepthPipeline(360, 480, cfg);"
+        "rgb = np.zeros((360, 480, 3), np.uint8);"
+        "m = np.zeros((360, 480), bool); m[10:20, 10:20] = True;"
+        "v = np.where(m, 200, 0).astype(np.uint8);"
+        "_, gp = pipe.prepare_image(rgb);"
+        "d, _ = pipe.solve(gp, jnp.asarray(m), jnp.asarray(v),"
+        " pipe.initial_state());"
+        "d.block_until_ready();"
+        "print('RC-OK', flush=True)"
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-c", script], env=env, cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert "RC-OK" in r.stdout, (r.stdout, r.stderr)
+    assert r.returncode == 0, (r.returncode, r.stderr[-2000:])
