@@ -17,6 +17,7 @@ from __future__ import annotations
 import atexit
 import functools
 import logging
+import time
 import weakref
 from typing import Optional, Tuple
 
@@ -56,8 +57,11 @@ def _join_background_compiles() -> None:
         "(uncancellable; call pipeline.wait_fused() or use rtdd-warmup to "
         "avoid paying this at exit)", len(pending)
     )
+    # One global deadline, not per-thread: the compiles run concurrently,
+    # so exit is bounded at 600 s total no matter how many shapes kicked.
+    deadline = time.monotonic() + 600.0
     for t in pending:
-        t.join(timeout=600.0)
+        t.join(timeout=max(deadline - time.monotonic(), 0.0))
 
 
 atexit.register(_join_background_compiles)

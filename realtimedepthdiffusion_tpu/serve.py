@@ -23,6 +23,18 @@ dispatch that solves B images across all chips:
     python -m realtimedepthdiffusion_tpu.serve \
         --images dataset/images --annotations dataset/annotations \
         --out out/ --multichip --batch 8 --effect b
+
+Watch mode (--watch) turns the batch runner into a long-lived service:
+the directories are polled (--poll-interval) and any NEW pair, or a pair
+whose image/annotation mtime changed, is solved as it appears. Per-shape
+compiled pipelines stay resident across batches, so after the first pair
+of a shape every later pair of that shape pays only upload+solve+readback
+— the serving analog of the reference's resident interactive session
+(src/main.cpp:180-341 keeps one allocated GPU context across edits):
+
+    python -m realtimedepthdiffusion_tpu.serve \
+        --images inbox/images --annotations inbox/annotations \
+        --out out/ --watch [--idle-exit 300] [--report manifest.json]
 """
 
 from __future__ import annotations
@@ -65,6 +77,22 @@ def discover_pairs(images_dir: str, annotations_dir: str) -> List[Tuple[str, str
     return pairs
 
 
+def _outputs_done(a, img_path: str) -> bool:
+    """True when EVERY output the run was asked for already exists in
+    a.out — a resume that adds --effect (or --depth16) must re-solve pairs
+    missing that output, not skip them on the depth PNG alone."""
+    stem = os.path.splitext(os.path.basename(img_path))[0]
+    if not os.path.exists(os.path.join(a.out, f"{stem}_depth.png")):
+        return False
+    if a.depth16 and not os.path.exists(
+        os.path.join(a.out, f"{stem}_depth16.png")
+    ):
+        return False
+    return not a.effect or os.path.exists(
+        os.path.join(a.out, f"{stem}_effect.png")
+    )
+
+
 def solve_pairs(
     pairs: List[Tuple[str, str]],
     out_dir: str,
@@ -76,9 +104,22 @@ def solve_pairs(
     keep_going: bool = False,
     png_level: Optional[int] = None,
     depth16: bool = False,
+    stats_out: Optional[Dict[str, float]] = None,
+    pipelines: Optional[Dict[Tuple[int, int], "DepthPipeline"]] = None,
 ) -> List[Optional[str]]:
     """Solve every pair; returns the written depth-map paths in input order.
     Pipelines are compiled once per distinct image shape (shape bucketing).
+    A long-running service can pass its own ``pipelines`` dict to keep the
+    per-shape programs (and their device state) alive across calls instead
+    of re-acquiring them per batch.
+
+    ``stats_out``, when given a dict, receives per-pair device latency in
+    seconds keyed by image path: wall time from the pair's device work
+    starting (pipeline build + image upload + solve dispatch) to u8-depth
+    readback completion. The first pair of a shape charges that shape's
+    program acquisition (compile or persistent-cache load); later pairs
+    measure steady-state upload+solve+readback. Duplicate-stem losers
+    (whose readback is skipped, last-wins) record no entry.
 
     ``depth16=True`` additionally writes ``{stem}_depth16.png`` — a 16-bit
     PNG at the solver's full precision (io.depth_to_u16), converted on
@@ -109,7 +150,9 @@ def solve_pairs(
     from .pipeline import DepthPipeline
 
     os.makedirs(out_dir, exist_ok=True)
-    pipes: Dict[Tuple[int, int], DepthPipeline] = {}
+    pipes: Dict[Tuple[int, int], DepthPipeline] = (
+        pipelines if pipelines is not None else {}
+    )
     n = len(pairs)
     written: List[Optional[str]] = [None] * n
     io_workers = max(int(io_workers), 1)
@@ -123,7 +166,8 @@ def solve_pairs(
 
     with ThreadPoolExecutor(max_workers=io_workers) as pool:
         loads: deque = deque()  # (index, decode future)
-        inflight: deque = deque()  # (index, img_path, stem, depth_u8, d16, art)
+        # (index, img_path, stem, depth_u8, d16, art, dispatch perf_counter)
+        inflight: deque = deque()
         writes: deque = deque()  # (index, img_path, write future)
         # Duplicate-stem pairs don't encode (last-wins); their progress
         # callbacks fire only once the WINNING pair's PNG is on disk, so a
@@ -143,7 +187,7 @@ def solve_pairs(
 
         def drain_solve():
             """Read back the oldest solved pair and hand it to a writer."""
-            i, img_path, stem, depth_u8, d16, art = inflight.popleft()
+            i, img_path, stem, depth_u8, d16, art, t_dispatch = inflight.popleft()
             if last_for_stem[stem] != i:
                 if last_for_stem[stem] in failed:
                     # The stem's winning pair failed to decode (keep_going):
@@ -169,6 +213,8 @@ def solve_pairs(
             # to io.depth_to_u8): a 4x smaller readback than f32, which
             # matters on any host link (and dominates over a remote tunnel).
             depth_np = np.asarray(depth_u8)  # blocks until the device is done
+            if stats_out is not None:
+                stats_out[img_path] = time.perf_counter() - t_dispatch
             d16_np = np.asarray(d16) if d16 is not None else None
             art_np = np.asarray(art) if art is not None else None
 
@@ -226,8 +272,20 @@ def solve_pairs(
                 continue
             pump_loads()  # keep the decode window full while we dispatch
             h, w = rgb.shape[:2]
+            t_dispatch = time.perf_counter()  # charges pipeline build +
+            # prepare + solve + readback; ~pure solve+readback once the
+            # shape's programs exist (see stats_out docstring)
             if (h, w) not in pipes:
-                pipes[(h, w)] = DepthPipeline(h, w, cfg)
+                pipe = DepthPipeline(h, w, cfg)
+                # Batch serving never kicks the background fused compile:
+                # the staged path is bit-identical and the fused program
+                # only saves per-solve dispatch overhead (which the async
+                # pipeline hides), while an in-flight compile blocks process
+                # exit for its full duration (pipeline._join_background_
+                # compiles — XLA compiles cannot be cancelled). Seed the
+                # cache with rtdd-warmup if one-dispatch solves matter.
+                pipe.background_compile = False
+                pipes[(h, w)] = pipe
             pipe = pipes[(h, w)]
             rgb_d, gpyr = pipe.prepare_image(rgb)
             state = pipe.initial_state()
@@ -242,7 +300,7 @@ def solve_pairs(
                 )
             inflight.append((
                 i, pairs[i][0], stem, pipe.depth_u8(depth),
-                pipe.depth_u16(depth) if depth16 else None, art,
+                pipe.depth_u16(depth) if depth16 else None, art, t_dispatch,
             ))
             # Keep up to min(prefetch, 2) solves in flight beyond the one
             # just queued: their readback overlaps the device working on
@@ -280,6 +338,7 @@ def solve_pairs_multichip(
     png_level: Optional[int] = None,
     depth16: bool = False,
     io_workers: int = 4,
+    stats_out: Optional[Dict[str, float]] = None,
 ) -> List[str]:
     """Multi-chip batch serving: shape-buckets the pairs, then drives the
     data-parallel + spatially-sharded batched step (parallel/sharded.py)
@@ -305,6 +364,9 @@ def solve_pairs_multichip(
     Returns the written depth-map paths in global input order.
     ``keep_going=True`` drops pairs whose decode fails (stderr warning)
     instead of aborting the run; a batch re-packs with the survivors.
+    ``stats_out`` matches the single-chip contract (see ``solve_pairs``),
+    with each pair charged an equal share of its batch's dispatch-to-
+    readback wall.
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -420,11 +482,18 @@ def solve_pairs_multichip(
                 rgbs = np.stack([it[1][0][..., :3] for it in chunk + fill])
                 masks = np.stack([it[1][1].astype(bool) for it in chunk + fill])
                 values = np.stack([it[1][2] for it in chunk + fill])
+                t_dispatch = time.perf_counter()
                 depth, _, art = fn(
                     jnp.asarray(rgbs), jnp.asarray(masks), jnp.asarray(values), state
                 )
                 depth_np = np.asarray(depth)
                 art_np = np.asarray(art) if effect is not None else None
+                if stats_out is not None:
+                    # Batched dispatch: each pair in the batch carries an
+                    # equal share of the batch's dispatch-to-readback wall.
+                    share = (time.perf_counter() - t_dispatch) / n
+                    for (i, img_path, _ann), _data in chunk:
+                        stats_out[img_path] = share
                 for k, ((i, img_path, _ann), _data) in enumerate(chunk):
                     stem = stems[i]
                     win = last_for_stem[stem]
@@ -553,6 +622,112 @@ def config_from_args(a, error=None) -> DiffusionConfig:
     return DiffusionConfig(**kw)
 
 
+def _watch(a, cfg, eff, t_run0) -> int:
+    """--watch service loop: poll the pair directories, solve what's new.
+
+    A pair is DUE when its (image mtime, annotation mtime) signature
+    differs from the last signature it was solved at — so both brand-new
+    pairs and edits to either file of an existing pair re-solve; the
+    signature is captured BEFORE the solve, so a file updated mid-solve is
+    simply due again on the next scan (no lost updates). Decode/write
+    failures never kill the service: the pair retries on later scans (the
+    common cause is a file still being copied in) and is recorded 'failed'
+    after _WATCH_MAX_ATTEMPTS consecutive failures of the SAME signature —
+    touching the file re-arms it. Per-shape pipelines persist across
+    batches (solve_pairs' ``pipelines``), so steady-state latency is the
+    warm path. Exits 0 on --idle-exit or Ctrl-C; 1 if any pair was in the
+    given-up failed state at exit. --report rewrites the manifest after
+    every batch and on exit, one entry per pair ever seen (latest status),
+    so an external pipeline can consume it while the service runs.
+    """
+    pipelines: Dict[Tuple[int, int], object] = {}
+    outputs: Dict[str, str] = {}
+    stats: Dict[str, float] = {}
+    snapshot: Dict[str, Tuple[float, float]] = {}  # stem -> settled signature
+    fails: Dict[Tuple[str, Tuple[float, float]], int] = {}
+    given_up: set = set()  # stems recorded 'failed' at their current sig
+    pair_by_img: Dict[str, str] = {}  # img -> ann, first-seen order
+    skipped_existing: set = set()
+    last_work = time.monotonic()
+    first_scan = True
+
+    def write_report():
+        if a.report:
+            _write_report(a, cfg, list(pair_by_img.items()), outputs,
+                          skipped_existing, t_run0, stats)
+
+    def progress(src, dst):
+        outputs[src] = dst
+        print(f"{src} -> {dst}")
+
+    print(f"watching {a.images} + {a.annotations} "
+          f"(poll {a.poll_interval:g}s"
+          + (f", idle-exit {a.idle_exit:g}s" if a.idle_exit else "")
+          + ")", file=sys.stderr)
+    try:
+        while True:
+            due: List[Tuple[str, str]] = []
+            sigs: Dict[str, Tuple[float, float]] = {}
+            for img, ann in discover_pairs(a.images, a.annotations):
+                stem = os.path.splitext(os.path.basename(img))[0]
+                try:
+                    sig = (os.path.getmtime(img), os.path.getmtime(ann))
+                except OSError:
+                    continue  # deleted between listdir and stat
+                pair_by_img.setdefault(img, ann)
+                if snapshot.get(stem) == sig:
+                    continue
+                if first_scan and a.skip_existing and _outputs_done(a, img):
+                    snapshot[stem] = sig
+                    skipped_existing.add(img)
+                    continue
+                sigs[stem] = sig
+                due.append((img, ann))
+            first_scan = False
+            if due:
+                written = solve_pairs(
+                    due, a.out, cfg, eff, progress=progress,
+                    io_workers=a.io_workers, prefetch=a.prefetch,
+                    keep_going=True,  # a service outlives one bad file
+                    png_level=a.png_level, depth16=a.depth16,
+                    stats_out=stats, pipelines=pipelines,
+                )
+                for (img, _ann), w in zip(due, written):
+                    stem = os.path.splitext(os.path.basename(img))[0]
+                    sig = sigs[stem]
+                    if w:
+                        snapshot[stem] = sig
+                        given_up.discard(stem)
+                        fails.pop((stem, sig), None)
+                    else:
+                        k = fails[(stem, sig)] = fails.get((stem, sig), 0) + 1
+                        if k >= _WATCH_MAX_ATTEMPTS:
+                            # Stop retrying this signature; a touch re-arms.
+                            snapshot[stem] = sig
+                            given_up.add(stem)
+                            print(f"watch: giving up on {img} after "
+                                  f"{k} attempts (touch it to retry)",
+                                  file=sys.stderr)
+                write_report()
+                # Idle counts from the END of the batch: a first batch
+                # longer than --idle-exit (compiles) must not read as idle.
+                last_work = time.monotonic()
+            if (a.idle_exit is not None
+                    and time.monotonic() - last_work >= a.idle_exit):
+                print(f"watch: idle for {a.idle_exit:g}s, exiting",
+                      file=sys.stderr)
+                break
+            time.sleep(a.poll_interval)
+    except KeyboardInterrupt:
+        print("watch: interrupted, exiting", file=sys.stderr)
+    finally:
+        write_report()
+    return 1 if given_up else 0
+
+
+_WATCH_MAX_ATTEMPTS = 3
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="rtdd-serve", description=__doc__)
     p.add_argument("--pairs", nargs="*", default=[],
@@ -637,7 +812,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "TPU host)")
     p.add_argument("--skip-existing", action="store_true",
                    help="skip pairs whose depth map already exists in --out "
-                        "(cheap resume after a partial/--keep-going run)")
+                        "(cheap resume after a partial/--keep-going run; "
+                        "with --watch, applies to the initial scan)")
+    p.add_argument("--watch", action="store_true",
+                   help="run as a long-lived service: poll --images/"
+                        "--annotations and solve every new pair — or pair "
+                        "whose image/annotation changed on disk — as it "
+                        "appears; per-shape compiled pipelines stay "
+                        "resident across batches. Exit with Ctrl-C or "
+                        "--idle-exit")
+    p.add_argument("--poll-interval", type=float, default=2.0, metavar="S",
+                   help="--watch directory scan period in seconds "
+                        "(default 2)")
+    p.add_argument("--idle-exit", type=float, default=None, metavar="S",
+                   help="--watch: exit 0 after S seconds with no new work "
+                        "(default: run until Ctrl-C)")
     p.add_argument("--report", metavar="FILE",
                    help="write a JSON run manifest: per-pair status "
                         "(solved path / skipped_existing / failed), counts, "
@@ -647,6 +836,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     a = p.parse_args(argv)
     t_run0 = time.perf_counter()
     cfg = config_from_args(a, p.error)  # resolve/validate flags up front
+
+    if a.watch:
+        if not (a.images and a.annotations):
+            p.error("--watch requires --images and --annotations "
+                    "(directories to poll)")
+        if a.pairs:
+            p.error("--watch polls directories; --pairs makes no sense")
+        if a.multichip:
+            p.error("--watch is single-chip (resident per-shape pipelines); "
+                    "use batch --multichip runs for mesh serving")
+        if a.poll_interval <= 0:
+            p.error("--poll-interval must be > 0")
+        if a.idle_exit is not None and a.idle_exit < 0:
+            p.error("--idle-exit must be >= 0")
+        from .utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        eff = _EFFECT_BY_KEY.get(a.effect) if a.effect else None
+        os.makedirs(a.out, exist_ok=True)
+        return _watch(a, cfg, eff, t_run0)
 
     pairs: List[Tuple[str, str]] = []
     for pr in a.pairs:
@@ -660,22 +869,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     all_pairs = list(pairs)
     skipped_existing: set = set()
     if a.skip_existing:
-        def _done(pr):
-            # A pair is done only when EVERY requested output exists — a
-            # resume that adds --effect (or --depth16) must re-solve pairs
-            # missing that output, not skip them on the depth PNG alone.
-            stem = os.path.splitext(os.path.basename(pr[0]))[0]
-            if not os.path.exists(os.path.join(a.out, f"{stem}_depth.png")):
-                return False
-            if a.depth16 and not os.path.exists(
-                os.path.join(a.out, f"{stem}_depth16.png")
-            ):
-                return False
-            return not a.effect or os.path.exists(
-                os.path.join(a.out, f"{stem}_effect.png")
-            )
-
-        done = [_done(pr) for pr in pairs]
+        done = [_outputs_done(a, pr[0]) for pr in pairs]
         skipped_existing = {pr[0] for pr, d in zip(pairs, done) if d}
         pairs = [pr for pr, d in zip(pairs, done) if not d]
         if skipped_existing:
@@ -700,6 +894,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         else {"io_workers": a.io_workers, "prefetch": a.prefetch}
     )
     outputs: Dict[str, str] = {}
+    stats: Dict[str, float] = {}
 
     def progress(src, dst):
         outputs[src] = dst
@@ -712,6 +907,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             keep_going=a.keep_going,
             png_level=a.png_level,
             depth16=a.depth16,
+            stats_out=stats,
             **kwargs,
         )
     except BaseException:
@@ -719,23 +915,29 @@ def main(argv: Optional[List[str]] = None) -> int:
         # --keep-going, or Ctrl-C) still writes the manifest: pairs not yet
         # solved report status 'failed', honoring _write_report's contract.
         if a.report:
-            _write_report(a, cfg, all_pairs, outputs, skipped_existing, t_run0)
+            _write_report(a, cfg, all_pairs, outputs, skipped_existing,
+                          t_run0, stats)
         raise
     ok = [w for w in written if w]
     print(f"solved {len(ok)} of {len(pairs)} pair(s)")
     if a.report:
-        _write_report(a, cfg, all_pairs, outputs, skipped_existing, t_run0)
+        _write_report(a, cfg, all_pairs, outputs, skipped_existing, t_run0,
+                      stats)
     return 0 if len(ok) == len(pairs) else 1
 
 
-def _write_report(a, cfg, all_pairs, outputs, skipped_existing, t_run0) -> None:
+def _write_report(a, cfg, all_pairs, outputs, skipped_existing, t_run0,
+                  stats=None) -> None:
     """JSON run manifest (--report): one entry per INPUT pair in input
     order — status 'solved' (with the written depth path), 'skipped_existing'
     (resume found every requested output), or 'failed' (decode/write error
     under --keep-going, or aborted before this pair) — plus counts, wall
-    time, throughput over the solved set, and the knobs that shaped the run."""
+    time, throughput over the solved set, per-pair device latency
+    ('solve_s': dispatch-to-readback wall; the first pair of a shape charges
+    its program acquisition), and the knobs that shaped the run."""
     import json
 
+    stats = stats or {}
     wall_s = time.perf_counter() - t_run0
     entries = []
     for img, ann in all_pairs:
@@ -749,6 +951,7 @@ def _write_report(a, cfg, all_pairs, outputs, skipped_existing, t_run0) -> None:
             entries.append({
                 "image": img, "annotation": ann, "status": "solved",
                 "depth": outputs[img],
+                "solve_s": (round(stats[img], 4) if img in stats else None),
             })
         else:
             entries.append({"image": img, "annotation": ann,

@@ -1,6 +1,7 @@
 """Batch serving + incremental live-solve tests."""
 
 import os
+import time
 
 import pytest
 
@@ -50,6 +51,170 @@ def test_serve_directory_mode(tmp_path):
 
 def test_serve_requires_input(capsys):
     assert serve_main(["--out", "/tmp/x"]) == 2
+
+
+def _watch_args(d, *extra):
+    return [
+        "--images", os.path.join(d, "images"),
+        "--annotations", os.path.join(d, "annotations"),
+        "--out", os.path.join(d, "out"), "--backend", "xla",
+        "--watch", "--poll-interval", "0.1", *extra,
+    ]
+
+
+def test_serve_watch_new_and_updated_pairs(tmp_path):
+    """--watch: a pair dropped in AFTER the initial scan is picked up, an
+    annotation rewritten on disk re-solves its pair, and the service exits 0
+    via --idle-exit. The manifest covers every pair ever seen."""
+    import json
+    import threading
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "a", 64, 80, 1)
+    out = os.path.join(d, "out")
+    depth_a1 = {}
+
+    def later():
+        # Wait for a's first solve, snapshot it, then drop a NEW pair and
+        # rewrite a's annotation (different scribble -> different depth).
+        deadline = time.time() + 30
+        p = os.path.join(out, "a_depth.png")
+        while not os.path.exists(p) and time.time() < deadline:
+            time.sleep(0.05)
+        time.sleep(0.3)  # let the write settle past the poll in flight
+        depth_a1["v"] = imread_gray(p).copy()
+        _write_pair(d, "b", 64, 80, 2)  # same shape: pipeline reuse
+        # synthetic_pair's scribbles are seed-independent; invert the
+        # depths so the rewritten annotation genuinely changes the solve.
+        _rgb, mask, value = synthetic_pair(64, 80, 1)
+        save_annotation(
+            os.path.join(d, "annotations", "a.png"),
+            mask, np.where(mask, 254 - value, 0).astype(np.uint8),
+        )
+
+    t = threading.Thread(target=later)
+    t.start()
+    rc = serve_main(_watch_args(
+        d, "--idle-exit", "1.5", "--report", os.path.join(d, "rep.json")
+    ))
+    t.join()
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "b_depth.png"))
+    # a was re-solved against the rewritten annotation
+    depth_a2 = imread_gray(os.path.join(out, "a_depth.png"))
+    assert not np.array_equal(depth_a1["v"], depth_a2)
+    rep = json.load(open(os.path.join(d, "rep.json")))
+    by = {os.path.basename(e["image"]): e for e in rep["pairs"]}
+    assert by["a.png"]["status"] == "solved"
+    assert by["b.png"]["status"] == "solved"
+    assert rep["counts"]["total"] == 2
+
+
+def test_serve_watch_reuses_pipelines_and_gives_up_on_bad_file(
+    tmp_path, monkeypatch
+):
+    """--watch keeps per-shape pipelines resident across batches (one
+    DepthPipeline for two same-shape batches) and a pair whose decode keeps
+    failing is retried then recorded 'failed' without killing the service
+    (exit code 1 flags it)."""
+    import json
+    import threading
+
+    import realtimedepthdiffusion_tpu.pipeline as pipeline_mod
+
+    built = []
+    real = pipeline_mod.DepthPipeline
+
+    class Spy(real):
+        def __init__(self, *args, **kw):
+            super().__init__(*args, **kw)
+            built.append((args[0], args[1]))
+
+    monkeypatch.setattr(pipeline_mod, "DepthPipeline", Spy)
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "a", 64, 80, 1)
+    # A pair whose image is not decodable at all (and never changes):
+    with open(os.path.join(d, "images", "bad.png"), "wb") as f:
+        f.write(b"not a png")
+    with open(os.path.join(d, "annotations", "bad.png"), "wb") as f:
+        f.write(b"not a png")
+    out = os.path.join(d, "out")
+
+    def later():
+        deadline = time.time() + 30
+        p = os.path.join(out, "a_depth.png")
+        while not os.path.exists(p) and time.time() < deadline:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        _write_pair(d, "c", 64, 80, 3)  # same shape, second batch
+
+    t = threading.Thread(target=later)
+    t.start()
+    rc = serve_main(_watch_args(
+        d, "--idle-exit", "1.5", "--report", os.path.join(d, "rep.json")
+    ))
+    t.join()
+    assert rc == 1  # the given-up bad pair is flagged
+    assert os.path.exists(os.path.join(out, "a_depth.png"))
+    assert os.path.exists(os.path.join(out, "c_depth.png"))
+    assert built.count((64, 80)) == 1  # resident across batches
+    rep = json.load(open(os.path.join(d, "rep.json")))
+    by = {os.path.basename(e["image"]): e for e in rep["pairs"]}
+    assert by["bad.png"]["status"] == "failed"
+    assert by["a.png"]["status"] == "solved"
+    assert by["c.png"]["status"] == "solved"
+
+
+def test_serve_watch_flag_validation(capsys):
+    with pytest.raises(SystemExit):
+        serve_main(["--out", "/tmp/x", "--watch"])  # needs directories
+    with pytest.raises(SystemExit):
+        serve_main(["--out", "/tmp/x", "--watch", "--images", "i",
+                    "--annotations", "a", "--multichip"])
+    with pytest.raises(SystemExit):
+        serve_main(["--out", "/tmp/x", "--watch", "--images", "i",
+                    "--annotations", "a", "--poll-interval", "0"])
+
+
+def test_serve_never_kicks_background_compiles(tmp_path, monkeypatch):
+    """Batch serving must not start background fused compiles: the staged
+    path is bit-identical, and an in-flight XLA compile cannot be cancelled
+    — it would block process exit for its full duration (observed 10+ min
+    over the compile tunnel; pipeline._join_background_compiles)."""
+    import realtimedepthdiffusion_tpu.serve as serve_mod
+
+    monkeypatch.setenv("RTDD_FAST_START", "1")
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "a", 64, 80, 1)
+
+    captured = []
+    from realtimedepthdiffusion_tpu.pipeline import DepthPipeline as real
+
+    class Spy(real):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            captured.append(self)
+
+    import realtimedepthdiffusion_tpu.pipeline as pipeline_mod
+
+    monkeypatch.setattr(pipeline_mod, "DepthPipeline", Spy)
+    rc = serve_mod.main([
+        "--images", os.path.join(d, "images"),
+        "--annotations", os.path.join(d, "annotations"),
+        "--out", os.path.join(d, "out"), "--backend", "xla",
+    ])
+    assert rc == 0
+    (p,) = captured
+    assert p.cfg.fast_start  # staging itself stays on
+    assert p.background_compile is False
+    assert not p._compile_threads  # nothing was kicked
 
 
 def test_serve_png_level_same_pixels_smaller_effort(tmp_path):
@@ -719,6 +884,11 @@ def test_serve_report_manifest(tmp_path):
                            "skipped_existing": 0, "failed": 1}
     assert by_name["a.png"]["status"] == "solved"
     assert os.path.exists(by_name["a.png"]["depth"])
+    # Solved pairs carry the dispatch-to-readback device latency; 'b'
+    # reuses 'a's shape programs so it must not re-pay acquisition.
+    assert by_name["a.png"]["solve_s"] > 0
+    assert 0 < by_name["b.png"]["solve_s"] <= by_name["a.png"]["solve_s"]
+    assert "solve_s" not in by_name["broken.png"]
     assert by_name["broken.png"] == {
         "image": os.path.join(d, "images", "broken.png"),
         "annotation": os.path.join(d, "annotations", "broken.png"),
