@@ -643,9 +643,13 @@ def _watch(a, cfg, eff, t_run0) -> int:
     pipelines: Dict[Tuple[int, int], object] = {}
     outputs: Dict[str, str] = {}
     stats: Dict[str, float] = {}
-    snapshot: Dict[str, Tuple[float, float]] = {}  # stem -> settled signature
+    # All bookkeeping is keyed by IMAGE PATH, not stem: two images sharing a
+    # stem (a.jpg + a.png matching the same annotation) are distinct pairs
+    # to the scanner — keying by stem would make their alternating
+    # signatures re-solve each other forever.
+    snapshot: Dict[str, Tuple[float, float]] = {}  # img -> settled signature
     fails: Dict[Tuple[str, Tuple[float, float]], int] = {}
-    given_up: set = set()  # stems recorded 'failed' at their current sig
+    given_up: set = set()  # imgs recorded 'failed' at their current sig
     pair_by_img: Dict[str, str] = {}  # img -> ann, first-seen order
     skipped_existing: set = set()
     last_work = time.monotonic()
@@ -669,19 +673,18 @@ def _watch(a, cfg, eff, t_run0) -> int:
             due: List[Tuple[str, str]] = []
             sigs: Dict[str, Tuple[float, float]] = {}
             for img, ann in discover_pairs(a.images, a.annotations):
-                stem = os.path.splitext(os.path.basename(img))[0]
                 try:
                     sig = (os.path.getmtime(img), os.path.getmtime(ann))
                 except OSError:
                     continue  # deleted between listdir and stat
                 pair_by_img.setdefault(img, ann)
-                if snapshot.get(stem) == sig:
+                if snapshot.get(img) == sig:
                     continue
                 if first_scan and a.skip_existing and _outputs_done(a, img):
-                    snapshot[stem] = sig
+                    snapshot[img] = sig
                     skipped_existing.add(img)
                     continue
-                sigs[stem] = sig
+                sigs[img] = sig
                 due.append((img, ann))
             first_scan = False
             if due:
@@ -693,18 +696,17 @@ def _watch(a, cfg, eff, t_run0) -> int:
                     stats_out=stats, pipelines=pipelines,
                 )
                 for (img, _ann), w in zip(due, written):
-                    stem = os.path.splitext(os.path.basename(img))[0]
-                    sig = sigs[stem]
+                    sig = sigs[img]
                     if w:
-                        snapshot[stem] = sig
-                        given_up.discard(stem)
-                        fails.pop((stem, sig), None)
+                        snapshot[img] = sig
+                        given_up.discard(img)
+                        fails.pop((img, sig), None)
                     else:
-                        k = fails[(stem, sig)] = fails.get((stem, sig), 0) + 1
+                        k = fails[(img, sig)] = fails.get((img, sig), 0) + 1
                         if k >= _WATCH_MAX_ATTEMPTS:
                             # Stop retrying this signature; a touch re-arms.
-                            snapshot[stem] = sig
-                            given_up.add(stem)
+                            snapshot[img] = sig
+                            given_up.add(img)
                             print(f"watch: giving up on {img} after "
                                   f"{k} attempts (touch it to retry)",
                                   file=sys.stderr)

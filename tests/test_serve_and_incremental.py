@@ -170,6 +170,41 @@ def test_serve_watch_reuses_pipelines_and_gives_up_on_bad_file(
     assert by["c.png"]["status"] == "solved"
 
 
+def test_serve_watch_shared_stem_settles(tmp_path, capsys):
+    """--watch: two images sharing a stem (a.jpg + a.png, both matching
+    annotation a.png) are distinct pairs with distinct mtime signatures.
+    Keying the settled-signature bookkeeping by stem made their signatures
+    evict each other, re-solving the pair on every scan forever; keyed by
+    image path, each solves once and the service goes idle (regression)."""
+    import threading
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    rgb, _m, _v = _write_pair(d, "a", 64, 80, 1)
+    # Second image with the SAME stem, different extension + mtime.
+    imwrite(os.path.join(d, "images", "a.jpg"), rgb)
+    os.utime(os.path.join(d, "images", "a.jpg"),
+             (time.time() - 10, time.time() - 10))
+
+    done = {}
+
+    def run():
+        done["rc"] = serve_main(_watch_args(d, "--idle-exit", "1.0"))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    # With stem-keyed signatures the service never idles (every scan finds
+    # the pair "changed" again) and this join times out.
+    assert not t.is_alive(), "watch service kept re-solving a settled pair"
+    assert done["rc"] == 0
+    assert os.path.exists(os.path.join(d, "out", "a_depth.png"))
+    # Each image solved exactly once: one progress line per input pair.
+    lines = [l for l in capsys.readouterr().out.splitlines() if " -> " in l]
+    assert len(lines) == 2
+
+
 def test_serve_watch_flag_validation(capsys):
     with pytest.raises(SystemExit):
         serve_main(["--out", "/tmp/x", "--watch"])  # needs directories
