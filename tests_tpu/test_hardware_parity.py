@@ -258,6 +258,35 @@ def test_defocus_stacked_bitexact_on_hardware(case_512):
     np.testing.assert_array_equal(got, want)
 
 
+def test_defocus_pallas_approx_bitexact_on_hardware(case_512):
+    """quality='approx' (the 4K latency lever): the kernel's coarse stride
+    march — static multi-step rolls Mosaic compiles differently from the
+    roll-by-1 exact path — is bit-identical ON THE CHIP to the XLA defocus
+    of the same snapped half field. exact_upto is lowered below this
+    geometry's max_half (10 at 512x640) so the coarse phase provably fires
+    (the default 16 would degenerate to the exact path here); stride 3
+    exercises a non-power-of-two march."""
+    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
+
+    gray, mask, depth = case_512
+    rng = np.random.default_rng(11)
+    h, w = depth.shape
+    rgb = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    dep = jnp.asarray((rng.random((h, w)) * 255).astype(np.float32))
+    cfg = DiffusionConfig(
+        pallas_defocus_quality="approx",
+        pallas_defocus_exact_upto=3,
+        pallas_defocus_stride=3,
+    )
+    got = np.asarray(jax.jit(lambda r, d: defocus_pallas(r, d, cfg))(rgb, dep))
+    want = np.asarray(jax.jit(lambda r, d: fx.defocus_xla(r, d, cfg))(rgb, dep))
+    np.testing.assert_array_equal(got, want)
+    # The snap genuinely changed the output vs the exact kernel — i.e. the
+    # coarse phase really ran (guards against a silent exact fallback).
+    exact = np.asarray(jax.jit(lambda r, d: defocus_pallas(r, d, CFG))(rgb, dep))
+    assert not np.array_equal(got, exact)
+
+
 def test_defocus_pallas_bitexact_on_hardware(case_512):
     from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
 
