@@ -635,11 +635,26 @@ def _watch(a, cfg, eff, t_run0) -> int:
     after _WATCH_MAX_ATTEMPTS consecutive failures of the SAME signature —
     touching the file re-arms it. Per-shape pipelines persist across
     batches (solve_pairs' ``pipelines``), so steady-state latency is the
-    warm path. Exits 0 on --idle-exit or Ctrl-C; 1 if any pair was in the
-    given-up failed state at exit. --report rewrites the manifest after
-    every batch and on exit, one entry per pair ever seen (latest status),
-    so an external pipeline can consume it while the service runs.
+    warm path. Exits 0 on --idle-exit, Ctrl-C, or SIGTERM (the service-
+    manager stop signal, handled like Ctrl-C so the final manifest is still
+    written); 1 if any pair was in the given-up failed state at exit.
+    --report rewrites the manifest after every batch and on exit, one entry
+    per pair ever seen (latest status), so an external pipeline can consume
+    it while the service runs.
     """
+    import signal
+
+    def _term(_signum, _frame):
+        raise KeyboardInterrupt  # exit through the Ctrl-C path
+
+    try:
+        # signal.signal works only on the main thread; embedded callers
+        # (tests driving _watch from a worker thread) keep their process's
+        # default SIGTERM handling.
+        prev_term = signal.signal(signal.SIGTERM, _term)
+    except ValueError:
+        prev_term = None
+
     pipelines: Dict[Tuple[int, int], object] = {}
     outputs: Dict[str, str] = {}
     stats: Dict[str, float] = {}
@@ -723,6 +738,8 @@ def _watch(a, cfg, eff, t_run0) -> int:
     except KeyboardInterrupt:
         print("watch: interrupted, exiting", file=sys.stderr)
     finally:
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
         write_report()
     return 1 if given_up else 0
 

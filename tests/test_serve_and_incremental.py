@@ -205,6 +205,55 @@ def test_serve_watch_shared_stem_settles(tmp_path, capsys):
     assert len(lines) == 2
 
 
+@pytest.mark.slow
+def test_serve_watch_sigterm_writes_manifest(tmp_path):
+    """--watch: SIGTERM (the service-manager stop signal) exits through the
+    Ctrl-C path — final manifest written, exit code 0 — instead of dying
+    with the default handler and no report."""
+    import json
+    import signal
+    import subprocess
+    import sys
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "a", 64, 80, 1)
+    out = os.path.join(d, "out")
+    rep = os.path.join(d, "rep.json")
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "realtimedepthdiffusion_tpu.serve",
+         "--images", os.path.join(d, "images"),
+         "--annotations", os.path.join(d, "annotations"),
+         "--out", out, "--backend", "xla", "--watch",
+         "--poll-interval", "0.2", "--report", rep],
+        env=env, cwd=d, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        deadline = time.time() + 120
+        while not os.path.exists(os.path.join(out, "a_depth.png")):
+            assert time.time() < deadline, "first solve never landed"
+            assert proc.poll() is None, proc.communicate()
+            time.sleep(0.1)
+        time.sleep(0.5)  # let the post-batch manifest write settle
+        proc.send_signal(signal.SIGTERM)
+        stdout, stderr = proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, (proc.returncode, stderr[-2000:])
+    assert "interrupted, exiting" in stderr
+    data = json.load(open(rep))
+    assert data["pairs"][0]["status"] == "solved"
+
+
 def test_serve_watch_flag_validation(capsys):
     with pytest.raises(SystemExit):
         serve_main(["--out", "/tmp/x", "--watch"])  # needs directories
