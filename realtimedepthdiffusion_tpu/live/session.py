@@ -45,6 +45,12 @@ class DepthSession:
         self.rows, self.cols = rgb.shape[:2]
         self.rgb_np = np.ascontiguousarray(rgb[..., :3], dtype=np.uint8)
         self.pipe = DepthPipeline(self.rows, self.cols, cfg)
+        # fast_start: compile the staged first-solve programs on a
+        # background thread WHILE the rest of this constructor compiles the
+        # gray pyramid and uploads the image — the first solve then joins
+        # an almost-finished compile instead of starting it (PERF.md
+        # "Startup"; no-op when fast_start is off).
+        self.pipe.prewarm_async()
         self.rgb, self.gray_pyr = self.pipe.prepare_image(self.rgb_np)
         # Annotation planes live on HOST and are painted by the native
         # runtime's brush rasterizer (dirty-rect tracked); they upload to the

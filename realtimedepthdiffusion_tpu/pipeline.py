@@ -291,7 +291,11 @@ class DepthPipeline:
 
         # --- Cold-start machinery (cfg.fast_start): staged first solve +
         #     background fused compile. ---
+        import threading
+
         self._staged: Optional[_StagedCascade] = None
+        self._staged_lock = threading.Lock()
+        self._staged_thread: Optional[threading.Thread] = None
         self._aot: dict = {}          # program key -> AOT executable
         self._compile_threads: dict = {}
         self._fast = cfg.fast_start and cfg.multigrid != "vcycle"
@@ -323,10 +327,48 @@ class DepthPipeline:
         )
 
     def _ensure_staged(self) -> "_StagedCascade":
-        if self._staged is None:
-            self._staged = _StagedCascade(self.rows, self.cols, self.cfg)
-            self._staged.compile_parallel()
-        return self._staged
+        # The lock serializes against prewarm_async's background build: a
+        # first solve that arrives while the prewarm is mid-compile BLOCKS
+        # here until the staged programs are ready (the join), and a failed
+        # prewarm leaves self._staged unset so the retry raises in the
+        # caller's context.
+        with self._staged_lock:
+            if self._staged is None:
+                staged = _StagedCascade(self.rows, self.cols, self.cfg)
+                staged.compile_parallel()
+                self._staged = staged  # publish only fully compiled
+            return self._staged
+
+    def prewarm_async(self) -> None:
+        """fast_start: start compiling the staged first-solve programs on a
+        background thread so the rest of session setup — the gray-pyramid
+        compile in prepare_image, image uploads, annotation load — overlaps
+        them instead of the first solve paying the whole set serially
+        (PERF.md "Startup"). Idempotent; no-op when fast_start is off. The
+        first solve joins via _ensure_staged's lock. Unlike the fused
+        background compile this is NOT gated by self.background_compile:
+        the staged programs are needed synchronously by the first solve
+        either way, so starting them early only moves existing work."""
+        import threading
+
+        if not self._fast or self._staged is not None:
+            return
+        if self._staged_thread is not None and self._staged_thread.is_alive():
+            return
+
+        def work():
+            try:
+                self._ensure_staged()
+            except Exception:
+                logging.getLogger(__name__).exception(
+                    "staged prewarm failed (the first solve will retry "
+                    "and surface the error)"
+                )
+
+        t = threading.Thread(target=work, daemon=True, name="rtdd-prewarm")
+        self._staged_thread = t
+        _LIVE_COMPILE_THREADS.add(t)  # joined by the atexit hook above
+        t.start()
 
     def _kick(self, key, lower_fn) -> None:
         """Start a background AOT compile; the executable lands in

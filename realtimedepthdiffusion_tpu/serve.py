@@ -285,6 +285,10 @@ def solve_pairs(
                 # compiles — XLA compiles cannot be cancelled). Seed the
                 # cache with rtdd-warmup if one-dispatch solves matter.
                 pipe.background_compile = False
+                # Overlap the staged compile with this pair's gray-pyramid
+                # compile + upload (the staged programs are needed
+                # synchronously by the solve below either way).
+                pipe.prewarm_async()
                 pipes[(h, w)] = pipe
             pipe = pipes[(h, w)]
             rgb_d, gpyr = pipe.prepare_image(rgb)

@@ -55,6 +55,37 @@ def test_staged_matches_fused_bitwise(backend):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_prewarm_async_overlaps_and_first_solve_joins():
+    """prewarm_async starts the staged compile on a background thread
+    (session init overlaps it); the first solve joins via _ensure_staged's
+    lock and produces the same bits as an un-prewarmed pipeline. Idempotent,
+    and a no-op when fast_start is off."""
+    rgb, mask, value = synthetic_pair(64, 96, 3)
+    cfg = DiffusionConfig(backend="xla", max_iterations=120, fast_start=True)
+
+    pipe = DepthPipeline(64, 96, cfg)
+    pipe._kick = lambda *a, **kw: None  # isolate: no fused compile
+    pipe.prewarm_async()
+    t = pipe._staged_thread
+    assert t is not None
+    pipe.prewarm_async()  # idempotent: same thread, no respawn
+    assert pipe._staged_thread is t
+    _, gpyr, m, v = _solve_args(pipe, rgb, mask, value)
+    d1, _ = pipe.solve(gpyr, m, v, pipe.initial_state())
+    assert pipe._staged is not None  # joined and used the prewarmed programs
+    t.join(timeout=60)
+    assert not t.is_alive()
+
+    ref = DepthPipeline(64, 96, cfg)
+    ref._kick = lambda *a, **kw: None
+    d2, _ = ref.solve(gpyr, m, v, ref.initial_state())
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    off = DepthPipeline(64, 96, dataclasses.replace(cfg, fast_start=False))
+    off.prewarm_async()
+    assert off._staged_thread is None  # no-op without fast_start
+
+
 def test_fast_start_switches_to_fused_and_results_stable():
     """First solve: staged (background compile kicked). After wait_fused,
     solves run the AOT fused executable — and produce the same bits, so the
