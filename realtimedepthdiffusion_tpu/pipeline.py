@@ -127,17 +127,14 @@ class _StagedCascade:
         self._level_fns = [level_fn(l) for l in range(levels)]
         self._compiled = False
 
-    def compile_parallel(self) -> float:
-        """Lower + compile every staged program concurrently (compilation
-        releases the GIL and the compiles are independent: measured ~3-4x
-        wall speedup, PERF.md "Startup"). Returns the wall seconds spent.
-        Idempotent."""
-        import time
-        from concurrent.futures import ThreadPoolExecutor
-
-        if self._compiled:
-            return 0.0
-        t0 = time.perf_counter()
+    def lower_all(self) -> list:
+        """Trace + lower every staged program ON THE CALLING THREAD and
+        return the Lowered objects (compile_from's input). Tracing/lowering
+        is pure-Python jaxpr work and is NOT safe to run concurrently with
+        other traces (a background lower racing a main-thread trace
+        produced a malformed jaxpr — KeyError on a schedule constant,
+        observed in examples/02); only the XLA .compile() step, which
+        releases the GIL and is thread-safe, goes to worker threads."""
         cfg, rows, cols = self.cfg, self.rows, self.cols
         L = self.levels - 1
         sizes = [cfg.level_size(rows, cols, l) for l in range(self.levels)]
@@ -146,8 +143,8 @@ class _StagedCascade:
         value0 = sds((rows, cols), jnp.uint8)
         state_l = sds(sizes[L], jnp.float32)
         masks_s, values_s, _ = jax.eval_shape(self._prep, mask0, value0, state_l)
-
-        def compile_level(l):
+        lowered = [self._prep.lower(mask0, value0, state_l)]
+        for l in range(self.levels):
             args = [
                 sds(sizes[l], jnp.float32),
                 masks_s[l],
@@ -155,17 +152,31 @@ class _StagedCascade:
             ]
             if l > 0:
                 args += [masks_s[l - 1], values_s[l - 1]]
-            self._level_fns[l].lower(*args).compile()
+            lowered.append(self._level_fns[l].lower(*args))
+        return lowered
 
+    def compile_from(self, lowered: list) -> float:
+        """Compile pre-lowered staged programs concurrently (XLA compiles
+        release the GIL and are independent: measured ~3-4x wall speedup,
+        PERF.md "Startup"). Safe on any thread. Returns wall seconds.
+        Idempotent."""
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._compiled:
+            return 0.0
+        t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=self.levels + 1) as ex:
-            futs = [ex.submit(
-                lambda: self._prep.lower(mask0, value0, state_l).compile()
-            )]
-            futs += [ex.submit(compile_level, l) for l in range(self.levels)]
-            for f in futs:
+            for f in [ex.submit(lo.compile) for lo in lowered]:
                 f.result()
         self._compiled = True
         return time.perf_counter() - t0
+
+    def compile_parallel(self) -> float:
+        """lower_all (this thread) + compile_from (parallel). Idempotent."""
+        if self._compiled:
+            return 0.0
+        return self.compile_from(self.lower_all())
 
     def __call__(self, gray_pyr, mask0, value0, depth_state):
         L = self.levels - 1
@@ -327,11 +338,12 @@ class DepthPipeline:
         )
 
     def _ensure_staged(self) -> "_StagedCascade":
-        # The lock serializes against prewarm_async's background build: a
-        # first solve that arrives while the prewarm is mid-compile BLOCKS
-        # here until the staged programs are ready (the join), and a failed
-        # prewarm leaves self._staged unset so the retry raises in the
-        # caller's context.
+        # Join a prewarm in flight first (its compile publishes under the
+        # lock); a failed prewarm leaves self._staged unset so the retry
+        # below recompiles and raises in the caller's context.
+        t = self._staged_thread
+        if t is not None and t.is_alive():
+            t.join()
         with self._staged_lock:
             if self._staged is None:
                 staged = _StagedCascade(self.rows, self.cols, self.cfg)
@@ -340,25 +352,39 @@ class DepthPipeline:
             return self._staged
 
     def prewarm_async(self) -> None:
-        """fast_start: start compiling the staged first-solve programs on a
-        background thread so the rest of session setup — the gray-pyramid
-        compile in prepare_image, image uploads, annotation load — overlaps
-        them instead of the first solve paying the whole set serially
-        (PERF.md "Startup"). Idempotent; no-op when fast_start is off. The
-        first solve joins via _ensure_staged's lock. Unlike the fused
-        background compile this is NOT gated by self.background_compile:
-        the staged programs are needed synchronously by the first solve
-        either way, so starting them early only moves existing work."""
+        """fast_start: trace+lower the staged first-solve programs NOW (on
+        this thread — tracing must never run concurrently with the caller's
+        other traces) and compile them on a background thread, so the rest
+        of session setup — the gray-pyramid compile in prepare_image, image
+        uploads, annotation load — overlaps the compiles instead of the
+        first solve paying the whole set serially (PERF.md "Startup").
+        Idempotent; no-op when fast_start is off. The first solve joins via
+        _ensure_staged. Unlike the fused background compile this is NOT
+        gated by self.background_compile: the staged programs are needed
+        synchronously by the first solve either way, so starting them early
+        only moves existing work."""
         import threading
 
         if not self._fast or self._staged is not None:
             return
         if self._staged_thread is not None and self._staged_thread.is_alive():
             return
+        staged = _StagedCascade(self.rows, self.cols, self.cfg)
+        try:
+            lowered = staged.lower_all()  # caller thread: tracing is here
+        except Exception:
+            logging.getLogger(__name__).exception(
+                "staged prewarm failed to lower (the first solve will "
+                "retry and surface the error)"
+            )
+            return
 
         def work():
             try:
-                self._ensure_staged()
+                staged.compile_from(lowered)
+                with self._staged_lock:
+                    if self._staged is None:
+                        self._staged = staged
             except Exception:
                 logging.getLogger(__name__).exception(
                     "staged prewarm failed (the first solve will retry "
@@ -372,20 +398,31 @@ class DepthPipeline:
 
     def _kick(self, key, lower_fn) -> None:
         """Start a background AOT compile; the executable lands in
-        self._aot[key] when done. Idempotent per key. A failed background
+        self._aot[key] when done. Idempotent per key. The trace+lower step
+        runs HERE, on the calling thread — JAX tracing is not safe to run
+        concurrently with the caller's own later traces (a background
+        lower racing the main thread's incremental-program trace produced
+        a malformed jaxpr, examples/02 regression); it costs well under a
+        second (PERF.md). Only the thread-safe, GIL-releasing XLA
+        .compile() goes to the background thread. A failed background
         compile only logs: the staged/jit path stays correct, and the
         failure resurfaces loudly wherever the fused path is forced."""
         import threading
 
         if key in self._compile_threads or not self.background_compile:
             return
+        try:
+            lowered = lower_fn()  # trace+lower on the caller thread
+        except Exception:
+            logging.getLogger(__name__).exception(
+                "background compile failed to lower: %r", key
+            )
+            return
 
         def work():
             try:
-                self._aot[key] = lower_fn().compile()
+                self._aot[key] = lowered.compile()
             except Exception:
-                import logging
-
                 logging.getLogger(__name__).exception(
                     "background compile failed: %r", key
                 )

@@ -96,57 +96,52 @@ def warm_shape(
     d0 = jax.ShapeDtypeStruct((rows, cols), jnp.float32)
     gray0 = jax.ShapeDtypeStruct((rows, cols), jnp.uint8)
 
-    tasks = [
-        ("solve", lambda: pipe._solve.lower(gp, m0, v0, st).compile()),
-        ("gray_pyramid", lambda: pipe._gray_pyramid.lower(gray0).compile()),
-        ("depth_u8", lambda: pipe._to_u8.lower(d0).compile()),
-        ("depth_u16", lambda: pipe._to_u16.lower(d0).compile()),
+    # Trace + lower EVERYTHING on this thread first: JAX tracing is not
+    # safe to run concurrently (pipeline._kick docstring; the pool used to
+    # lower in its workers). Lowering is sub-second per program; the XLA
+    # .compile() calls — which release the GIL and dominate the wall — are
+    # what the pool parallelizes.
+    t_shape = time.perf_counter()
+    lowered = [
+        ("solve", pipe._solve.lower(gp, m0, v0, st)),
+        ("gray_pyramid", pipe._gray_pyramid.lower(gray0)),
+        ("depth_u8", pipe._to_u8.lower(d0)),
+        ("depth_u16", pipe._to_u16.lower(d0)),
     ]
     for e in effects:
-        tasks.append((
+        lowered.append((
             f"solve+effect[{e}]",
-            lambda e=e: pipe._solve_and_effect.lower(
-                e, gp, rgb, m0, v0, st
-            ).compile(),
+            pipe._solve_and_effect.lower(e, gp, rgb, m0, v0, st),
         ))
-        tasks.append((
-            f"effect[{e}]",
-            lambda e=e: pipe._effect.lower(e, rgb, gray0, d0).compile(),
-        ))
+        lowered.append((f"effect[{e}]", pipe._effect.lower(e, rgb, gray0, d0)))
     if incremental:
-        tasks.append((
+        lowered.append((
             "incremental",
-            lambda: pipe._solve_incremental.lower(
-                gp, m0, v0, st, center
-            ).compile(),
+            pipe._solve_incremental.lower(gp, m0, v0, st, center),
         ))
         for e in effects:
-            tasks.append((
+            lowered.append((
                 f"incremental+effect[{e}]",
-                lambda e=e: pipe._solve_incremental_and_effect.lower(
+                pipe._solve_incremental_and_effect.lower(
                     e, gp, rgb, m0, v0, st, center
-                ).compile(),
+                ),
             ))
     if cfg.fast_start and cfg.multigrid != "vcycle":
         # The staged fast-start programs are cached too, so even the very
         # first frames of a cold process hit the disk cache.
-        tasks.append((
-            "staged",
-            lambda: _StagedCascade(rows, cols, cfg).compile_parallel(),
-        ))
-
-    t_shape = time.perf_counter()
+        for i, lo in enumerate(_StagedCascade(rows, cols, cfg).lower_all()):
+            lowered.append((f"staged[{i}]", lo))
 
     def run(named):
-        name, fn = named
+        name, lo = named
         t0 = time.perf_counter()
-        fn()
+        lo.compile()
         dt = time.perf_counter() - t0
         log(f"  {rows}x{cols} {name}: {dt:.1f} s")
         return dt
 
     with ThreadPoolExecutor(max_workers=max(jobs, 1)) as ex:
-        list(ex.map(run, tasks))
+        list(ex.map(run, lowered))
     return time.perf_counter() - t_shape
 
 

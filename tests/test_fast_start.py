@@ -55,6 +55,65 @@ def test_staged_matches_fused_bitwise(backend):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_background_compiles_never_trace_off_caller_thread():
+    """JAX tracing/lowering is not safe to run concurrently with the main
+    thread's own traces: a background lower() racing the incremental
+    program's trace produced a malformed jaxpr (KeyError on the omega
+    schedule constant — examples/02 regression). Contract: _kick and
+    prewarm_async trace+lower ON THE CALLER THREAD; only the GIL-releasing
+    XLA compile() runs on the background thread."""
+    import threading
+
+    from realtimedepthdiffusion_tpu import pipeline as pipeline_mod
+
+    cfg = DiffusionConfig(backend="xla", max_iterations=40, fast_start=True)
+    pipe = DepthPipeline(64, 96, cfg)
+    main_id = threading.get_ident()
+    seen = {}
+
+    class FakeLowered:
+        def compile(self):
+            seen["compile_thread"] = threading.get_ident()
+            return "fake-executable"
+
+    def lower_fn():
+        seen["lower_thread"] = threading.get_ident()
+        return FakeLowered()
+
+    pipe._kick(("probe",), lower_fn)
+    assert seen["lower_thread"] == main_id
+    t = pipe._compile_threads[("probe",)]
+    t.join(timeout=30)
+    assert seen["compile_thread"] == t.ident != main_id
+    assert pipe._aot[("probe",)] == "fake-executable"
+
+    # prewarm_async: lower_all on the caller, compile_from on the thread.
+    ids = {}
+    real_lower_all = pipeline_mod._StagedCascade.lower_all
+    real_compile_from = pipeline_mod._StagedCascade.compile_from
+
+    def spy_lower_all(self):
+        ids["lower"] = threading.get_ident()
+        return real_lower_all(self)
+
+    def spy_compile_from(self, lowered):
+        ids["compile"] = threading.get_ident()
+        return real_compile_from(self, lowered)
+
+    pipeline_mod._StagedCascade.lower_all = spy_lower_all
+    pipeline_mod._StagedCascade.compile_from = spy_compile_from
+    try:
+        pipe2 = DepthPipeline(64, 96, cfg)
+        pipe2.prewarm_async()
+        pipe2._staged_thread.join(timeout=60)
+    finally:
+        pipeline_mod._StagedCascade.lower_all = real_lower_all
+        pipeline_mod._StagedCascade.compile_from = real_compile_from
+    assert ids["lower"] == main_id
+    assert ids["compile"] == pipe2._staged_thread.ident != main_id
+    assert pipe2._staged is not None
+
+
 def test_prewarm_async_overlaps_and_first_solve_joins():
     """prewarm_async starts the staged compile on a background thread
     (session init overlaps it); the first solve joins via _ensure_staged's
