@@ -474,8 +474,11 @@ class DepthPipeline:
         """fast_start: report whether the incremental program's background
         compile has landed (kicking it if not yet started), so the live loop
         can keep using the already-compiled full re-solve instead of
-        blocking a frame on the incremental compile. Always True when
-        fast_start is off (the call will compile synchronously)."""
+        blocking a frame on the incremental compile. The kicking frame pays
+        the program's trace+lower (sub-second; tracing must stay on this
+        thread — _kick docstring) but never the multi-second XLA compile.
+        Always True when fast_start is off (the call will compile
+        synchronously)."""
         if not self._fast:
             return True
         key = ("inc",) if effect is None else ("inc_fx", effect)
