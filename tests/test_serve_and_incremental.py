@@ -170,6 +170,7 @@ def test_serve_watch_reuses_pipelines_and_gives_up_on_bad_file(
     assert by["c.png"]["status"] == "solved"
 
 
+@pytest.mark.slow
 def test_serve_watch_shared_stem_settles(tmp_path, capsys):
     """--watch: two images sharing a stem (a.jpg + a.png, both matching
     annotation a.png) are distinct pairs with distinct mtime signatures.
