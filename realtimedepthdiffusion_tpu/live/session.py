@@ -159,6 +159,7 @@ class DepthSession:
         rect = self.dirty
         center = None
         use_local = False
+        inc_kick_wanted = False
         if (
             self._inc_pipe is not None
             and self.solve_count > 0
@@ -171,11 +172,17 @@ class DepthSession:
             )
             # fast_start: never block a live frame on the incremental
             # program's compile — fall back to the (already compiled) full
-            # warm re-solve until its background compile lands.
+            # warm re-solve until its background compile lands. PEEK here;
+            # the kick happens after this frame's solve is dispatched
+            # (pipeline.incremental_ready docstring: on a serialized
+            # compile service the frame's execute RPCs must enqueue ahead
+            # of the compile RPC).
             if use_local and not self.pipe.incremental_ready(
-                self.effect if self.effect != fx.EFFECT_NONE else None
+                self.effect if self.effect != fx.EFFECT_NONE else None,
+                kick=False,
             ):
                 use_local = False
+                inc_kick_wanted = True
 
         with self.timer.stage("upload"):
             # The dirty rect gates (and now crops) the host->device
@@ -235,6 +242,13 @@ class DepthSession:
                     )
                 )
             u8 = np.asarray(self.pipe.depth_u8(self.depth0))
+        if inc_kick_wanted:
+            # Deferred kick: this frame's execute RPCs (and its readback
+            # above) are already through the service; the incremental
+            # compile now rides behind them instead of ahead.
+            self.pipe.incremental_ready(
+                self.effect if self.effect != fx.EFFECT_NONE else None
+            )
         self.solve_count += 1
         self.last_solve_ms = (time.perf_counter() - t0) * 1000.0
         return u8

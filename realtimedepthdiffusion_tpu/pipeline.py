@@ -178,6 +178,30 @@ class _StagedCascade:
             return 0.0
         return self.compile_from(self.lower_all())
 
+    def warm_execute(self) -> None:
+        """Execute every staged program once on zero inputs and fetch one
+        output, forcing the device to LOAD the executables now. Compiling
+        is not loading: over a remote-TPU tunnel the first execution pays
+        multi-second program-load RPCs (minutes when the shared service
+        storms — a measured 215 s first-readback with compiles already
+        done, PERF.md "Startup" note 7), so the prewarm thread front-loads
+        them into the session-init overlap window. No tracing happens here
+        (compile_from populated the jit call caches — measured: first call
+        after AOT compile is milliseconds), so this is thread-safe."""
+        import numpy as np
+
+        cfg, rows, cols = self.cfg, self.rows, self.cols
+        sizes = [cfg.level_size(rows, cols, l) for l in range(self.levels)]
+        gp = tuple(jnp.zeros(s, jnp.uint8) for s in sizes)
+        st = tuple(jnp.zeros(s, jnp.float32) for s in sizes)
+        m = jnp.zeros((rows, cols), jnp.bool_)
+        v = jnp.zeros((rows, cols), jnp.uint8)
+        d, _ = self(gp, m, v, st)
+        # np.asarray, not block_until_ready: the tunneled backend's block
+        # can return before the execute queue drains; a fetch is the only
+        # signal that the loads actually completed.
+        np.asarray(d)
+
     def __call__(self, gray_pyr, mask0, value0, depth_state):
         L = self.levels - 1
         masks, values, seeded = self._prep(mask0, value0, depth_state[L])
@@ -314,8 +338,21 @@ class DepthPipeline:
         # False: they exit before a background compile could ever serve a
         # solve, and the orphaned in-flight compile needlessly loads the
         # (possibly shared) compile service. Long-lived surfaces (GUI,
-        # --live, serving) leave it True.
-        self.background_compile = True
+        # --live, serving) leave it True. RTDD_BACKGROUND_COMPILE=0
+        # disables it process-wide — the escape hatch for remote compile
+        # services that SERIALIZE RPCs, where any in-flight background
+        # compile stalls the next readback for its whole duration
+        # (measured: a storm-window fused compile held a first-frame
+        # readback 189-383 s; PERF.md "Startup" note 7).
+        import os as _os
+
+        self.background_compile = _os.environ.get(
+            "RTDD_BACKGROUND_COMPILE", "1"
+        ).lower() not in ("0", "false")
+        # Fused kick deferral: the FIRST staged solve must reach its
+        # readback before any background compile RPC is issued (note 7);
+        # solve() kicks from the second staged solve on.
+        self._staged_solves = 0
 
     # -- cold start -------------------------------------------------------
     def _solve_structs(self):
@@ -338,9 +375,16 @@ class DepthPipeline:
         )
 
     def _ensure_staged(self) -> "_StagedCascade":
-        # Join a prewarm in flight first (its compile publishes under the
-        # lock); a failed prewarm leaves self._staged unset so the retry
-        # below recompiles and raises in the caller's context.
+        # Published already (prewarm compiles land under the lock BEFORE
+        # its warm-load pass)? Use it now — the first solve's executes then
+        # queue right behind the warm loads instead of joining the whole
+        # prewarm thread (whose final fetch can take as long as the loads).
+        with self._staged_lock:
+            if self._staged is not None:
+                return self._staged
+        # Compiles still in flight (or prewarm failed): join, then either
+        # take the published result or recompile so the failure raises in
+        # the caller's context.
         t = self._staged_thread
         if t is not None and t.is_alive():
             t.join()
@@ -372,6 +416,11 @@ class DepthPipeline:
         staged = _StagedCascade(self.rows, self.cols, self.cfg)
         try:
             lowered = staged.lower_all()  # caller thread: tracing is here
+            # The u8 readout rides every first frame too; lower it here,
+            # compile+load it in the thread with the rest.
+            low_u8 = self._to_u8.lower(
+                jax.ShapeDtypeStruct((self.rows, self.cols), jnp.float32)
+            )
         except Exception:
             logging.getLogger(__name__).exception(
                 "staged prewarm failed to lower (the first solve will "
@@ -382,6 +431,7 @@ class DepthPipeline:
         def work():
             try:
                 staged.compile_from(lowered)
+                low_u8.compile()
                 with self._staged_lock:
                     if self._staged is None:
                         self._staged = staged
@@ -390,6 +440,17 @@ class DepthPipeline:
                     "staged prewarm failed (the first solve will retry "
                     "and surface the error)"
                 )
+                return
+            try:
+                # Force the device to LOAD the executables now (loading is
+                # not compiling; warm_execute docstring). Failure here is
+                # harmless — the first solve just pays the loads itself.
+                staged.warm_execute()
+                np.asarray(self._to_u8(
+                    jnp.zeros((self.rows, self.cols), jnp.float32)
+                ))
+            except Exception:
+                logging.getLogger(__name__).exception("prewarm load failed")
 
         t = threading.Thread(target=work, daemon=True, name="rtdd-prewarm")
         self._staged_thread = t
@@ -470,21 +531,26 @@ class DepthPipeline:
                 ),
             )
 
-    def incremental_ready(self, effect: Optional[int] = None) -> bool:
+    def incremental_ready(self, effect: Optional[int] = None,
+                          kick: bool = True) -> bool:
         """fast_start: report whether the incremental program's background
         compile has landed (kicking it if not yet started), so the live loop
         can keep using the already-compiled full re-solve instead of
         blocking a frame on the incremental compile. The kicking frame pays
         the program's trace+lower (sub-second; tracing must stay on this
         thread — _kick docstring) but never the multi-second XLA compile.
-        Always True when fast_start is off (the call will compile
-        synchronously)."""
+        ``kick=False`` only peeks: the live loop peeks BEFORE dispatching
+        its fallback solve and kicks AFTER, so on a serialized compile
+        service the frame's execute RPCs are enqueued ahead of the compile
+        RPC (same ordering rule as solve()'s fused kick). Always True when
+        fast_start is off (the call will compile synchronously)."""
         if not self._fast:
             return True
         key = ("inc",) if effect is None else ("inc_fx", effect)
         if key in self._aot:
             return True
-        self._kick_incremental_compile(effect)
+        if kick:
+            self._kick_incremental_compile(effect)
         return False
 
     def wait_fused(self, timeout: Optional[float] = None) -> bool:
@@ -520,13 +586,21 @@ class DepthPipeline:
                 if self._avals_match(self._solve_structs(), args):
                     return ex(*args)
                 return self._solve(*args)  # unusual dtypes: plain jit path
-            # Staged compiles FIRST, fused kick after: when the compile
-            # service serializes, kicking the minutes-long fused compile
-            # before the ~seconds staged ones would queue the first frame
-            # behind it (measured: 457 s vs ~20 s, PERF.md "Startup").
+            # Staged compiles FIRST; the fused kick waits for the SECOND
+            # staged solve. A serialized compile service queues every
+            # later RPC — including the first frame's readback — behind an
+            # in-flight compile for its whole duration (measured in a
+            # storm window: 189-383 s to first depth with the kick on the
+            # first solve, ~12 s without it; the 2nd+ frame's readback
+            # has already cleared by the time its kick is issued, and in
+            # parallel windows the deferral changes nothing — PERF.md
+            # "Startup" note 7).
             staged = self._ensure_staged()
-            self._kick_fused_compile(None)
-            return staged(*args)
+            out = staged(*args)
+            self._staged_solves += 1
+            if self._staged_solves >= 2:
+                self._kick_fused_compile(None)
+            return out
         return self._solve(gray_pyr, mask0, value0, depth_state)
 
     def solve_and_effect(self, effect: int, gray_pyr, rgb, mask0, value0, depth_state):
@@ -548,7 +622,9 @@ class DepthPipeline:
             out = self._effect(
                 effect, rgb, gray_pyr[0], jnp.clip(depth0, 0.0, 255.0)
             )
-            self._kick_fused_compile(effect)
+            self._staged_solves += 1
+            if self._staged_solves >= 2:  # see solve(): note 7 deferral
+                self._kick_fused_compile(effect)
             return depth0, state, out
         return self._solve_and_effect(effect, gray_pyr, rgb, mask0, value0, depth_state)
 

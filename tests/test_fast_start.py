@@ -146,9 +146,12 @@ def test_prewarm_async_overlaps_and_first_solve_joins():
 
 
 def test_fast_start_switches_to_fused_and_results_stable():
-    """First solve: staged (background compile kicked). After wait_fused,
-    solves run the AOT fused executable — and produce the same bits, so the
-    switch is unobservable."""
+    """First solve: staged, and NO background kick yet — a serialized
+    compile service would queue the first frame's readback behind an
+    in-flight compile for minutes (PERF.md Startup note 7). The second
+    staged solve kicks the fused compile; after wait_fused, solves run the
+    AOT fused executable — and produce the same bits, so the switch is
+    unobservable."""
     from realtimedepthdiffusion_tpu.core import effects as fx
 
     rgb, mask, value = synthetic_pair(64, 96, 5)
@@ -159,7 +162,10 @@ def test_fast_start_switches_to_fused_and_results_stable():
 
     d1, st1 = pipe.solve(gpyr, m, v, pipe.initial_state())
     assert pipe._staged is not None
-    assert ("solve",) in pipe._compile_threads
+    assert ("solve",) not in pipe._compile_threads  # note-7 deferral
+    d1b, _ = pipe.solve(gpyr, m, v, pipe.initial_state())
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
+    assert ("solve",) in pipe._compile_threads  # second solve kicks
 
     assert pipe.wait_fused(timeout=120)
     assert ("solve",) in pipe._aot
@@ -358,6 +364,13 @@ def test_exit_during_background_compile_is_clean(tmp_path):
         "d, _ = pipe.solve(gp, jnp.asarray(m), jnp.asarray(v),"
         " pipe.initial_state());"
         "d.block_until_ready();"
+        # Second solve: the fused background compile is kicked from the
+        # second staged solve on (note-7 deferral), and must be in flight
+        # when the interpreter exits for this regression to bite.
+        "d2, _ = pipe.solve(gp, jnp.asarray(m), jnp.asarray(v),"
+        " pipe.initial_state());"
+        "d2.block_until_ready();"
+        "assert ('solve',) in pipe._compile_threads;"
         "print('RC-OK', flush=True)"
     )
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
