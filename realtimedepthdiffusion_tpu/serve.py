@@ -275,6 +275,11 @@ def solve_pairs(
             t_dispatch = time.perf_counter()  # charges pipeline build +
             # prepare + solve + readback; ~pure solve+readback once the
             # shape's programs exist (see stats_out docstring)
+            if (h, w) in pipes and hasattr(pipes, "move_to_end"):
+                # A long-lived service passes an OrderedDict so it can evict
+                # least-recently-USED shapes (not least-recently-compiled);
+                # record the use (see _trim_pipelines).
+                pipes.move_to_end((h, w))
             if (h, w) not in pipes:
                 pipe = DepthPipeline(h, w, cfg)
                 # Batch serving never kicks the background fused compile:
@@ -626,6 +631,22 @@ def config_from_args(a, error=None) -> DiffusionConfig:
     return DiffusionConfig(**kw)
 
 
+def _trim_pipelines(pipelines, cap: int) -> List[Tuple[int, int]]:
+    """Evict least-recently-used per-shape pipelines beyond ``cap`` (watch
+    mode's resident-memory bound: each DepthPipeline pins a full set of
+    compiled XLA executables on the device, so a service fed arbitrarily
+    many distinct image shapes would otherwise grow without bound).
+    ``pipelines`` is an OrderedDict maintained in least-recently-USED-first
+    order (solve_pairs move_to_end's a shape on every use). Returns the
+    evicted shape keys (for the log line). Evicted shapes recompile on next
+    sight — or load from the persistent compile cache in seconds."""
+    evicted = []
+    while len(pipelines) > max(cap, 1):
+        shape, _pipe = pipelines.popitem(last=False)
+        evicted.append(shape)
+    return evicted
+
+
 def _watch(a, cfg, eff, t_run0) -> int:
     """--watch service loop: poll the pair directories, solve what's new.
 
@@ -659,7 +680,11 @@ def _watch(a, cfg, eff, t_run0) -> int:
     except ValueError:
         prev_term = None
 
-    pipelines: Dict[Tuple[int, int], object] = {}
+    from collections import OrderedDict
+
+    # Least-recently-used-first: solve_pairs records uses (move_to_end) and
+    # _trim_pipelines bounds resident shapes at --max-shapes after each batch.
+    pipelines: "OrderedDict[Tuple[int, int], object]" = OrderedDict()
     outputs: Dict[str, str] = {}
     stats: Dict[str, float] = {}
     # All bookkeeping is keyed by IMAGE PATH, not stem: two images sharing a
@@ -667,7 +692,10 @@ def _watch(a, cfg, eff, t_run0) -> int:
     # to the scanner — keying by stem would make their alternating
     # signatures re-solve each other forever.
     snapshot: Dict[str, Tuple[float, float]] = {}  # img -> settled signature
-    fails: Dict[Tuple[str, Tuple[float, float]], int] = {}
+    # img -> (signature it failed at, consecutive failures at it). One entry
+    # per image (not per signature): a file that keeps changing mtime while
+    # broken must not leak an entry per signature it ever failed at.
+    fails: Dict[str, Tuple[Tuple[float, float], int]] = {}
     given_up: set = set()  # imgs recorded 'failed' at their current sig
     pair_by_img: Dict[str, str] = {}  # img -> ann, first-seen order
     skipped_existing: set = set()
@@ -719,9 +747,11 @@ def _watch(a, cfg, eff, t_run0) -> int:
                     if w:
                         snapshot[img] = sig
                         given_up.discard(img)
-                        fails.pop((img, sig), None)
+                        fails.pop(img, None)
                     else:
-                        k = fails[(img, sig)] = fails.get((img, sig), 0) + 1
+                        prev_sig, prev_k = fails.get(img, (None, 0))
+                        k = prev_k + 1 if prev_sig == sig else 1
+                        fails[img] = (sig, k)
                         if k >= _WATCH_MAX_ATTEMPTS:
                             # Stop retrying this signature; a touch re-arms.
                             snapshot[img] = sig
@@ -729,6 +759,12 @@ def _watch(a, cfg, eff, t_run0) -> int:
                             print(f"watch: giving up on {img} after "
                                   f"{k} attempts (touch it to retry)",
                                   file=sys.stderr)
+                evicted = _trim_pipelines(pipelines, a.max_shapes)
+                if evicted:
+                    print(f"watch: evicted {len(evicted)} resident shape "
+                          f"pipeline(s) over --max-shapes={a.max_shapes}: "
+                          + ", ".join(f"{h}x{w}" for h, w in evicted),
+                          file=sys.stderr)
                 write_report()
                 # Idle counts from the END of the batch: a first batch
                 # longer than --idle-exit (compiles) must not read as idle.
@@ -844,6 +880,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "appears; per-shape compiled pipelines stay "
                         "resident across batches. Exit with Ctrl-C or "
                         "--idle-exit")
+    p.add_argument("--max-shapes", type=int, default=8, metavar="N",
+                   help="--watch: resident per-shape pipeline bound — the "
+                        "N most-recently-used image shapes keep their "
+                        "compiled programs on the device; older shapes are "
+                        "evicted after each batch and recompile (or load "
+                        "from the persistent cache) when seen again "
+                        "(default 8)")
     p.add_argument("--poll-interval", type=float, default=2.0, metavar="S",
                    help="--watch directory scan period in seconds "
                         "(default 2)")
@@ -873,6 +916,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             p.error("--poll-interval must be > 0")
         if a.idle_exit is not None and a.idle_exit < 0:
             p.error("--idle-exit must be >= 0")
+        if a.max_shapes < 1:
+            p.error("--max-shapes must be >= 1")
         from .utils.cache import enable_compilation_cache
 
         enable_compilation_cache()

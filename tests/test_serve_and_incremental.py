@@ -170,6 +170,72 @@ def test_serve_watch_reuses_pipelines_and_gives_up_on_bad_file(
     assert by["c.png"]["status"] == "solved"
 
 
+def test_trim_pipelines_lru():
+    """_trim_pipelines evicts least-recently-USED-first and solve_pairs
+    records a use (move_to_end) when it reuses a resident shape."""
+    from collections import OrderedDict
+
+    from realtimedepthdiffusion_tpu.serve import _trim_pipelines
+
+    pipes = OrderedDict([((1, 1), "a"), ((2, 2), "b"), ((3, 3), "c")])
+    pipes.move_to_end((1, 1))  # (1,1) most recently used
+    assert _trim_pipelines(pipes, 2) == [(2, 2)]
+    assert list(pipes) == [(3, 3), (1, 1)]
+    assert _trim_pipelines(pipes, 8) == []  # under cap: no-op
+    # cap is floored at 1: never evict the last resident shape
+    assert _trim_pipelines(pipes, 0) == [(3, 3)]
+    assert list(pipes) == [(1, 1)]
+
+
+def test_serve_watch_max_shapes_evicts_and_recompiles(tmp_path, monkeypatch):
+    """--watch --max-shapes 1: a second image shape evicts the first's
+    resident pipeline after its batch; when the first shape is seen again a
+    NEW pipeline is built (the LRU bound is real, and eviction is safe)."""
+    import threading
+
+    import realtimedepthdiffusion_tpu.pipeline as pipeline_mod
+
+    built = []
+    real = pipeline_mod.DepthPipeline
+
+    class Spy(real):
+        def __init__(self, *args, **kw):
+            super().__init__(*args, **kw)
+            built.append((args[0], args[1]))
+
+    monkeypatch.setattr(pipeline_mod, "DepthPipeline", Spy)
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "a", 64, 80, 1)
+    out = os.path.join(d, "out")
+
+    def later():
+        deadline = time.time() + 30
+        p = os.path.join(out, "a_depth.png")
+        while not os.path.exists(p) and time.time() < deadline:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        _write_pair(d, "b", 72, 96, 2)  # new shape: evicts (64, 80)
+        deadline = time.time() + 30
+        p = os.path.join(out, "b_depth.png")
+        while not os.path.exists(p) and time.time() < deadline:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        _write_pair(d, "c", 64, 80, 3)  # first shape again: rebuilt
+
+    t = threading.Thread(target=later)
+    t.start()
+    rc = serve_main(_watch_args(d, "--idle-exit", "1.5", "--max-shapes", "1"))
+    t.join()
+    assert rc == 0
+    for name in ("a", "b", "c"):
+        assert os.path.exists(os.path.join(out, f"{name}_depth.png"))
+    assert built.count((64, 80)) == 2  # evicted by (72, 96), then rebuilt
+    assert built.count((72, 96)) == 1
+
+
 @pytest.mark.slow
 def test_serve_watch_shared_stem_settles(tmp_path, capsys):
     """--watch: two images sharing a stem (a.jpg + a.png, both matching
@@ -264,6 +330,9 @@ def test_serve_watch_flag_validation(capsys):
     with pytest.raises(SystemExit):
         serve_main(["--out", "/tmp/x", "--watch", "--images", "i",
                     "--annotations", "a", "--poll-interval", "0"])
+    with pytest.raises(SystemExit):
+        serve_main(["--out", "/tmp/x", "--watch", "--images", "i",
+                    "--annotations", "a", "--max-shapes", "0"])
 
 
 def test_serve_never_kicks_background_compiles(tmp_path, monkeypatch):
