@@ -41,9 +41,15 @@ def _combo_id(c):
 
 
 # Deterministic sample: every (solver, multigrid, backend) triple appears
-# once, with shape and effect rotating through their cycles.
+# once, with shape and effect rotating through their cycles. The vcycle
+# half rides in the slow set (the V-cycle is an off-default extension; its
+# quality/routing anchors — test_multigrid.py, test_parallel.py — stay
+# fast, and the full suite still fuzzes every combination).
 COMBOS = [
-    (t, SHAPES[i % len(SHAPES)], EFFECTS[i % len(EFFECTS)])
+    pytest.param(
+        (t, SHAPES[i % len(SHAPES)], EFFECTS[i % len(EFFECTS)]),
+        marks=[pytest.mark.slow] if t[1] == "vcycle" else [],
+    )
     for i, t in enumerate(_ALL)
 ]
 

@@ -27,5 +27,9 @@ def test_dryrun_multichip_4():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+@pytest.mark.slow
 def test_dryrun_multichip_2():
+    # Slow set: the driver itself runs dryrun_multichip(8) (with the same
+    # in-function route + early-exit assertions) every round, so the fast
+    # set does not need a ~20 s duplicate of that gate.
     ge.dryrun_multichip(2)

@@ -107,10 +107,12 @@ def test_rb_strip_halo_variants(rng, in_kernel_halo):
     np.testing.assert_allclose(got_rb, want_rb, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_strip_kernel_prefetch_variant(rng, monkeypatch):
     """The 3-deep state-prefetch ring (off by default — measured slower on
     v5e, kept for hardware where the tradeoff flips) matches the arena
-    kernel exactly. Geometry chosen to satisfy the prefetch gate: k=8 (so
+    kernel exactly. Slow set: off-default measured-record variants ride
+    with the full suite (same policy as 'stacked'). Geometry chosen to satisfy the prefetch gate: k=8 (so
     pad_rows=16 <= block_h=16) and 49 rows / block_h=16 -> 4 strips; the
     test asserts the prefetch kernel actually ran (the round-2 version
     silently resolved prefetch=False and compared the arena kernel to
@@ -315,9 +317,11 @@ def test_full_cascade_pallas_interpret_backend():
 @pytest.mark.parametrize(
     "variant",
     [
-        "coldiff",
-        # stacked is an off-default measured-record variant (PERF.md); its
-        # interpret-mode bit-parity is heavy and rides in the slow set.
+        # Both are off-default measured-record variants (PERF.md); their
+        # interpret-mode bit-parity is heavy and rides in the slow set
+        # (coldiff is additionally interpret-only — fenced at config
+        # construction, so no product path can reach it on hardware).
+        pytest.param("coldiff", marks=pytest.mark.slow),
         pytest.param("stacked", marks=pytest.mark.slow),
     ],
 )
@@ -402,12 +406,14 @@ def test_uarena_matches_arena_bitexact(rng, monkeypatch, level, max_level):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("iters", [1, 9])
 def test_rb_compact_matches_masked_and_xla(rng, monkeypatch, iters):
     """The quadrant-compacted red-black megakernel (each color computes only
     its own quarter planes — half the arithmetic and halo of the masked
     formulation) produces the same iterate as the masked megakernel and the
-    XLA red-black within the established parity band."""
+    XLA red-black within the established parity band. Slow set: off-default
+    measured-record variant (same policy as 'stacked')."""
     gray, mask, depth = _case(rng, 49, 67)
     want = np.asarray(
         solver.solve_level(

@@ -280,6 +280,10 @@ def test_batched_step_vcycle_runs():
     assert d[0, 16, 16] == 254.0  # scribble pinned through the cycles
 
 
+@pytest.mark.slow
+# Slow set: the driver's dryrun_multichip(8) asserts the same Pallas
+# solver/defocus routes every round, and the sharded-defocus bit-parity
+# and batched-effect tests stay in the fast set.
 def test_batched_step_takes_pallas_branch():
     """The batched serving path must run the Pallas halo-block kernels
     in-shard (interpret mode on the CPU mesh) and agree with the XLA-mode
