@@ -252,52 +252,20 @@ def make_config(a: CliArgs) -> DiffusionConfig:
     measured configuration, PERF.md round-3 table); explicit flags override
     the profile's choices. ``--profile faithful`` (and no profile) keeps
     the reference-faithful defaults."""
-    fast = a.profile == "fast"
-    solver = a.solver if a.solver is not None else (
-        "red_black" if fast else "jacobi_chebyshev"
-    )
+    from ..flags import resolve_solver_flags
+
+    def fail(msg: str):
+        # This CLI's error style: message + the usage block, exit 2 via
+        # SystemExit (matching the reference's print-usage-and-exit).
+        raise SystemExit(f"error: {msg}\n{USAGE}")
+
+    kw = resolve_solver_flags(a, fail)
+    # Live-CLI-only extras on top of the shared surface:
     incremental = a.incremental if a.incremental is not None else (
-        120 if fast else 0
+        120 if a.profile == "fast" else 0
     )
-    kw = dict(
-        backend=a.backend,
-        solver=solver,
-        multigrid=a.multigrid,
-        incremental_iterations=max(int(incremental), 0),
-        early_exit=a.early_exit or (fast and solver == "red_black"),
-        gray_pyramid=a.gray_pyramid,
-    )
-    if fast:
-        kw.update(tolerance=1e-3, residual_metric="rms")
-    if a.rb_rho is not None:
-        kw["rb_rho"] = a.rb_rho
-    if a.rb_plain:
-        kw["rb_chebyshev"] = False
-    if a.defocus_quality is not None:
-        kw["pallas_defocus_quality"] = a.defocus_quality
-    if a.defocus_stride is not None:
-        kw["pallas_defocus_stride"] = a.defocus_stride
-        # A stride given without --defocus-quality means "use it" (the same
-        # rule as --tolerance implying --early-exit) — unless quality was
-        # explicitly pinned to exact.
-        kw.setdefault("pallas_defocus_quality", "approx")
-    if a.residual_metric is not None:
-        kw["residual_metric"] = a.residual_metric
-    if a.tolerance is not None:
-        kw["tolerance"] = a.tolerance
-        # A tolerance given without --early-exit means "use it": the
-        # reference accepts a tolerance it never honors (src/main.cpp:264);
-        # this framework honors it when asked.
-        kw["early_exit"] = True
-    if kw["early_exit"] and solver != "red_black":
-        # Only the red-black solver has a residual loop; silently dropping
-        # the tolerance would reproduce the reference bug this flag exists
-        # to fix, so reject the combination loudly.
-        raise SystemExit(
-            "error: --early-exit/--tolerance require --solver red_black "
-            f"(the only solver with a residual loop); got {solver!r}\n"
-            f"{USAGE}"
-        )
+    kw["incremental_iterations"] = max(int(incremental), 0)
+    kw["gray_pyramid"] = a.gray_pyramid
     return DiffusionConfig(**kw)
 
 

@@ -415,8 +415,11 @@ def solve_level_sharded(
     ``return_info=True`` returns ``(out, iters_done, residual)`` instead of
     ``out`` — the early-exit observability probe (iters_done < iters proves
     the globally-agreed exit actually fired; the driver dryrun asserts
-    exactly this). For non-red-black solvers iters_done == iters and the
-    residual is +inf (no residual loop exists to exit from)."""
+    exactly this, and iters_done == iters whenever the full budget ran,
+    including when the truncated final chunk runs outside the residual
+    loop). ``residual`` is the value at the last residual check. For
+    non-red-black solvers iters_done == iters and the residual is +inf (no
+    residual loop exists to exit from)."""
     if cfg.solver not in _SHARDED_SOLVERS:
         raise NotImplementedError(
             f"multi-chip path implements solvers {_SHARDED_SOLVERS}, got "
@@ -467,7 +470,17 @@ def solve_level_sharded(
             done, jnp.int32(iters), lambda j, x: step(x, j), v
         )
         tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
-        out = lax.cond((res >= tol) & (rem > 0), tail, lambda v: v, out)
+        ran_tail = (res >= tol) & (rem > 0)
+        out = lax.cond(ran_tail, tail, lambda v: v, out)
+        # When the tail runs, the FULL budget ran: report iters_done=iters
+        # so the documented probe (iters_done < iters <=> the exit fired)
+        # stays truthful for budgets not divisible by the check cadence
+        # (e.g. iters=25, cadence 8: the while_loop stops at 24 and the
+        # tail runs the last iteration — pre-fix this returned 24 and a
+        # caller concluded the exit fired when it had not). The returned
+        # residual is the one measured at the LAST residual check, i.e.
+        # before the tail iterations.
+        done = jnp.where(ran_tail, jnp.int32(iters), done)
         return (out, done, res) if return_info else out
 
     prev = jnp.zeros_like(u)

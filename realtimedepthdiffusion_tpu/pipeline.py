@@ -365,13 +365,43 @@ class DepthPipeline:
         state = tuple(sds(s, jnp.float32) for s in sizes)
         return gray_pyr, mask0, value0, state
 
+    @functools.cached_property
+    def _solve_sig(self):
+        # Expected (shape, dtype) leaves, computed once: the AOT-routing
+        # check runs on EVERY solve for the pipeline's lifetime, so it must
+        # not rebuild the struct pytree per frame.
+        return self._leaf_sig(self._solve_structs())
+
+    @functools.cached_property
+    def _solve_fx_sig(self):
+        gp, m0, v0, st = self._solve_structs()
+        return self._leaf_sig((gp, self._rgb_struct(), m0, v0, st))
+
+    @functools.cached_property
+    def _inc_sig(self):
+        return self._leaf_sig(
+            self._solve_structs() + (jax.ShapeDtypeStruct((2,), jnp.int32),)
+        )
+
+    @functools.cached_property
+    def _inc_fx_sig(self):
+        gp, m0, v0, st = self._solve_structs()
+        return self._leaf_sig((gp, self._rgb_struct(), m0, v0, st,
+                               jax.ShapeDtypeStruct((2,), jnp.int32)))
+
     @staticmethod
-    def _avals_match(structs, args) -> bool:
-        flat_s = jax.tree_util.tree_leaves(structs)
+    def _leaf_sig(tree) -> tuple:
+        return tuple(
+            (l.shape, jnp.dtype(l.dtype))
+            for l in jax.tree_util.tree_leaves(tree)
+        )
+
+    @staticmethod
+    def _avals_match(sig, args) -> bool:
+        """``sig``: a precomputed _leaf_sig tuple of (shape, dtype) pairs."""
         flat_a = jax.tree_util.tree_leaves(args)
-        return len(flat_s) == len(flat_a) and all(
-            s.shape == a.shape and s.dtype == a.dtype
-            for s, a in zip(flat_s, flat_a)
+        return len(sig) == len(flat_a) and all(
+            s == (a.shape, a.dtype) for s, a in zip(sig, flat_a)
         )
 
     def _ensure_staged(self) -> "_StagedCascade":
@@ -543,8 +573,13 @@ class DepthPipeline:
         its fallback solve and kicks AFTER, so on a serialized compile
         service the frame's execute RPCs are enqueued ahead of the compile
         RPC (same ordering rule as solve()'s fused kick). Always True when
-        fast_start is off (the call will compile synchronously)."""
-        if not self._fast:
+        fast_start is off OR background compiles are disabled
+        (RTDD_BACKGROUND_COMPILE=0 / one-shot surfaces): _kick would no-op
+        then, so waiting on it would demote an explicitly requested
+        --incremental to the full re-solve for the whole session; instead
+        the first stroke pays the plain-jit compile synchronously, exactly
+        like fast_start off."""
+        if not self._fast or not self.background_compile:
             return True
         key = ("inc",) if effect is None else ("inc_fx", effect)
         if key in self._aot:
@@ -583,7 +618,7 @@ class DepthPipeline:
             args = (gray_pyr, mask0, value0, depth_state)
             ex = self._aot.get(("solve",))
             if ex is not None:
-                if self._avals_match(self._solve_structs(), args):
+                if self._avals_match(self._solve_sig, args):
                     return ex(*args)
                 return self._solve(*args)  # unusual dtypes: plain jit path
             # Staged compiles FIRST; the fused kick waits for the SECOND
@@ -611,8 +646,7 @@ class DepthPipeline:
             args = (gray_pyr, rgb, mask0, value0, depth_state)
             ex = self._aot.get(("solve_fx", effect))
             if ex is not None:
-                gp, m0, v0, st = self._solve_structs()
-                if self._avals_match((gp, self._rgb_struct(), m0, v0, st), args):
+                if self._avals_match(self._solve_fx_sig, args):
                     return ex(*args)
                 return self._solve_and_effect(effect, *args)
             staged = self._ensure_staged()  # before the fused kick, as above
@@ -635,10 +669,7 @@ class DepthPipeline:
         landed (incremental_ready); otherwise compiles synchronously."""
         args = (gray_pyr, mask0, value0, depth_state, center_yx)
         ex = self._aot.get(("inc",))
-        if ex is not None and self._avals_match(
-            self._solve_structs() + (jax.ShapeDtypeStruct((2,), jnp.int32),),
-            args,
-        ):
+        if ex is not None and self._avals_match(self._inc_sig, args):
             return ex(*args)
         return self._solve_incremental(*args)
 
@@ -646,12 +677,8 @@ class DepthPipeline:
                                      value0, depth_state, center_yx):
         args = (gray_pyr, rgb, mask0, value0, depth_state, center_yx)
         ex = self._aot.get(("inc_fx", effect))
-        if ex is not None:
-            gp, m0, v0, st = self._solve_structs()
-            structs = (gp, self._rgb_struct(), m0, v0, st,
-                       jax.ShapeDtypeStruct((2,), jnp.int32))
-            if self._avals_match(structs, args):
-                return ex(*args)
+        if ex is not None and self._avals_match(self._inc_fx_sig, args):
+            return ex(*args)
         return self._solve_incremental_and_effect(effect, *args)
 
     def update_annotation_window(self, mask_d, value_d, mask_win, value_win, origin):

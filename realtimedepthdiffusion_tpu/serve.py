@@ -500,9 +500,12 @@ def solve_pairs_multichip(
                 if stats_out is not None:
                     # Batched dispatch: each pair in the batch carries an
                     # equal share of the batch's dispatch-to-readback wall.
+                    # Duplicate-stem losers record NO entry (single-chip
+                    # contract: no output of their own backs a latency).
                     share = (time.perf_counter() - t_dispatch) / n
                     for (i, img_path, _ann), _data in chunk:
-                        stats_out[img_path] = share
+                        if last_for_stem[stems[i]] == i:
+                            stats_out[img_path] = share
                 for k, ((i, img_path, _ann), _data) in enumerate(chunk):
                     stem = stems[i]
                     win = last_for_stem[stem]
@@ -565,69 +568,22 @@ def solve_pairs_multichip(
 def config_from_args(a, error=None) -> DiffusionConfig:
     """Resolve the CLI namespace into a DiffusionConfig.
 
-    Profiles set a base (``fast`` = red_black + RMS early exit at 1e-3, the
-    framework's fastest measured solver configuration — PERF.md round-3
-    table; ``faithful`` = the construction defaults, i.e. the reference
-    schedule); explicit flags override the profile's choices. Factored out
-    of main() so tests can assert a flag set resolves to the intended
-    config without running a solve.
+    The shared solver surface (profiles, early exit, SOR tuning, defocus
+    quality — identical semantics across every CLI) resolves in
+    flags.resolve_solver_flags; serving layers only --iterations on top.
+    Factored out of main() so tests can assert a flag set resolves to the
+    intended config without running a solve.
     """
+    from .flags import resolve_solver_flags
+
     def fail(msg: str):
         if error is not None:
             error(msg)  # argparse .error: prints usage + exits 2
         raise ValueError(msg)
 
-    kw = dict(backend=a.backend)
-    fast = a.profile == "fast"
-    solver = a.solver if a.solver is not None else (
-        "red_black" if fast else "jacobi_chebyshev"
-    )
-    kw["solver"] = solver
-    if fast:
-        kw["tolerance"] = 1e-3
-        kw["residual_metric"] = "rms"
-        # The profile's early exit rides its solver: an explicit --solver
-        # override keeps the override's semantics (same rule as the live
-        # CLI's make_config).
-        if solver == "red_black":
-            kw["early_exit"] = True
-    if a.multigrid is not None:
-        kw["multigrid"] = a.multigrid
+    kw = resolve_solver_flags(a, fail)
     if a.iterations is not None:
         kw["max_iterations"] = max(int(a.iterations), 1)
-    if a.early_exit:
-        kw["early_exit"] = True
-    if a.tolerance is not None:
-        # A tolerance given without --early-exit means "use it": the
-        # reference accepts a tolerance it never honors (src/main.cpp:264);
-        # this framework honors it when asked (same rule as the live CLI).
-        kw["tolerance"] = a.tolerance
-        kw["early_exit"] = True
-    if a.residual_metric is not None:
-        kw["residual_metric"] = a.residual_metric
-    if a.rb_rho is not None:
-        kw["rb_rho"] = a.rb_rho
-    if a.rb_plain:
-        kw["rb_chebyshev"] = False
-    if a.defocus_quality is not None:
-        kw["pallas_defocus_quality"] = a.defocus_quality
-    if a.defocus_stride is not None:
-        if a.defocus_stride < 2:
-            fail(
-                "--defocus-stride must be >= 2 (1 is the exact kernel; use "
-                "--defocus-quality exact)"
-            )
-        kw["pallas_defocus_stride"] = a.defocus_stride
-        # A stride given without --defocus-quality means "use it" (the same
-        # rule as --tolerance implying --early-exit) — unless quality was
-        # explicitly pinned to exact.
-        kw.setdefault("pallas_defocus_quality", "approx")
-    if kw.get("early_exit") and kw["solver"] != "red_black":
-        fail(
-            "--early-exit/--tolerance (and --profile fast) require "
-            "--solver red_black, the only solver with a residual loop; "
-            f"got {kw['solver']!r}"
-        )
     return DiffusionConfig(**kw)
 
 
@@ -756,6 +712,13 @@ def _watch(a, cfg, eff, t_run0) -> int:
                             # Stop retrying this signature; a touch re-arms.
                             snapshot[img] = sig
                             given_up.add(img)
+                            # The manifest reports the LATEST status: an
+                            # output from an earlier signature must not keep
+                            # this pair 'solved' (with a stale path and
+                            # solve_s) while the service gives up on its
+                            # current contents and exits 1.
+                            outputs.pop(img, None)
+                            stats.pop(img, None)
                             print(f"watch: giving up on {img} after "
                                   f"{k} attempts (touch it to retry)",
                                   file=sys.stderr)
@@ -902,6 +865,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     a = p.parse_args(argv)
     t_run0 = time.perf_counter()
     cfg = config_from_args(a, p.error)  # resolve/validate flags up front
+    # Validate BEFORE the --watch branch: an invalid level there would only
+    # surface as a per-write zlib error inside the writer pool — the watch
+    # loop would retry and give up on every pair while the service "runs".
+    if a.png_level is not None and not 0 <= a.png_level <= 9:
+        p.error("--png-level must be in 0..9")
 
     if a.watch:
         if not (a.images and a.annotations):
@@ -954,8 +922,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     enable_compilation_cache()
     eff = _EFFECT_BY_KEY.get(a.effect) if a.effect else None
     runner = solve_pairs_multichip if a.multichip else solve_pairs
-    if a.png_level is not None and not 0 <= a.png_level <= 9:
-        p.error("--png-level must be in 0..9")
     kwargs = (
         {"batch": a.batch, "io_workers": a.io_workers}
         if a.multichip

@@ -267,6 +267,45 @@ def test_incremental_gate_never_blocks(monkeypatch):
     assert win_calls, "windowed path not taken after the compile landed"
 
 
+def test_incremental_works_with_background_compile_disabled(monkeypatch):
+    """RTDD_BACKGROUND_COMPILE=0 (the serialized-compile-service escape
+    hatch) must not silently turn --incremental off: with the kick path
+    disabled, incremental_ready reports True and the first small stroke
+    compiles the windowed program synchronously — one slow frame, then the
+    feature works. (Pre-fix: _kick no-op'd, the key never landed in _aot,
+    and every stroke fell back to the full re-solve for the whole
+    session.)"""
+    from realtimedepthdiffusion_tpu.live.session import DepthSession
+
+    rgb, mask, value = synthetic_pair(80, 96, 9)
+    cfg = DiffusionConfig(
+        backend="xla", max_iterations=120, incremental_iterations=60,
+        fast_start=True,
+    )
+    s = DepthSession(rgb, cfg)
+    s.pipe.background_compile = False
+    if s._inc_pipe is not None:
+        s._inc_pipe.background_compile = False
+    s.mask_np[:] = mask
+    s.value_np[:] = value
+    s.dirty = (0, 0, 79, 95)
+    s.solve()  # first solve: full budget
+
+    assert s.pipe.incremental_ready(None, kick=False)
+    win_calls = []
+    real_inc = type(s.pipe).solve_incremental
+    monkeypatch.setattr(
+        type(s.pipe), "solve_incremental",
+        lambda self, *a, **kw: (win_calls.append(1), real_inc(self, *a, **kw))[1],
+    )
+    s.set_color_key(2)
+    s.paint(48, 40)
+    s.solve()
+    assert win_calls, (
+        "windowed path not taken with background compiles disabled"
+    )
+
+
 def test_one_shot_headless_skips_background_compile(tmp_path, monkeypatch):
     """A headless one-shot run exits right after its solve: it must not
     start a background fused compile (the orphaned in-flight compile would

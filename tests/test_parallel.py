@@ -223,6 +223,18 @@ def test_sharded_red_black_early_exit_runs_truncated_tail(rng):
     err = np.sqrt(np.mean(((got - want) / 255.0) ** 2))
     assert err < gap / 10, (err, gap)
 
+    # The observability probe must NOT claim the exit fired: the while
+    # loop stopped at 18 (the last full chunk) but the tail ran the
+    # remaining 2, so the full budget ran and iters_done must say 20.
+    # (Pre-fix this returned 18 — a caller using the documented
+    # "iters_done < iters <=> exit fired" probe was lied to whenever
+    # residual_check_every did not divide the budget.)
+    _, done, res = sharded.solve_level_sharded(
+        *args, 1, 1, 20, mesh, cfg_ee, halo=4, return_info=True
+    )
+    assert int(done) == 20, int(done)
+    assert float(res) >= cfg_ee.tolerance * 255.0
+
 
 @pytest.mark.slow
 def test_sharded_cascade_red_black_parity():

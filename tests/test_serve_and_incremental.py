@@ -170,6 +170,46 @@ def test_serve_watch_reuses_pipelines_and_gives_up_on_bad_file(
     assert by["c.png"]["status"] == "solved"
 
 
+def test_serve_watch_gave_up_pair_not_reported_solved(tmp_path):
+    """The --watch manifest reports the LATEST status: a pair that solved
+    once and was then overwritten with an undecodable file must end
+    'failed' in the manifest when the service gives up on its current
+    contents — not stay 'solved' with the stale depth path while the
+    service exits 1 (pre-fix, a consumer saw every pair solved yet a
+    failing exit code, and never learned which pair was broken)."""
+    import json
+    import threading
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    _write_pair(d, "a", 64, 80, 1)
+    out = os.path.join(d, "out")
+
+    def later():
+        deadline = time.time() + 30
+        p = os.path.join(out, "a_depth.png")
+        while not os.path.exists(p) and time.time() < deadline:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        # Overwrite the solved image with garbage (new mtime signature).
+        with open(os.path.join(d, "images", "a.png"), "wb") as f:
+            f.write(b"not a png")
+
+    t = threading.Thread(target=later)
+    t.start()
+    rc = serve_main(_watch_args(
+        d, "--idle-exit", "1.5", "--report", os.path.join(d, "rep.json")
+    ))
+    t.join()
+    assert rc == 1  # the given-up pair flags the exit
+    rep = json.load(open(os.path.join(d, "rep.json")))
+    by = {os.path.basename(e["image"]): e for e in rep["pairs"]}
+    assert by["a.png"]["status"] == "failed", by["a.png"]
+    assert by["a.png"]["depth"] is None
+    assert rep["counts"]["failed"] == 1
+
+
 def test_trim_pipelines_lru():
     """_trim_pipelines evicts least-recently-USED-first and solve_pairs
     records a use (move_to_end) when it reuses a resident shape."""
@@ -333,6 +373,13 @@ def test_serve_watch_flag_validation(capsys):
     with pytest.raises(SystemExit):
         serve_main(["--out", "/tmp/x", "--watch", "--images", "i",
                     "--annotations", "a", "--max-shapes", "0"])
+    # --png-level must validate BEFORE the watch loop starts: an invalid
+    # level would otherwise only surface as a per-write zlib error inside
+    # the writer pool — the service would run, retry, and give up on every
+    # pair while producing zero outputs.
+    with pytest.raises(SystemExit):
+        serve_main(["--out", "/tmp/x", "--watch", "--images", "i",
+                    "--annotations", "a", "--png-level", "12"])
 
 
 def test_serve_never_kicks_background_compiles(tmp_path, monkeypatch):
