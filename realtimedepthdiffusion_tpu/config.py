@@ -65,7 +65,9 @@ class DiffusionConfig:
     depth_edge_threshold: int = 4  # 0 is forced at level 0 by the solver
 
     # --- Convergence control (reference declares tol but never uses it,
-    #     src/main.cpp:264; we implement it as an opt-in feature) ---
+    #     src/main.cpp:264; we implement it as an opt-in feature honored by
+    #     EVERY solver — jacobi_chebyshev, jacobi, and red_black each run a
+    #     chunked residual loop when early_exit is on) ---
     tolerance: float = 1e-5
     early_exit: bool = False
     # Residual check cadence when early_exit is on (sweeps between checks).
@@ -287,11 +289,6 @@ class DiffusionConfig:
         # fails loudly instead of silently ignoring the request — the
         # reference accepts a tolerance it never honors (src/main.cpp:264);
         # this framework refuses to reproduce that bug.
-        if self.early_exit and self.solver != "red_black":
-            raise ValueError(
-                "early_exit requires solver='red_black' (the only solver "
-                f"with a residual loop); got solver={self.solver!r}"
-            )
         if self.residual_metric not in VALID_RESIDUAL_METRICS:
             raise ValueError(
                 f"unknown residual_metric {self.residual_metric!r}; "

@@ -19,9 +19,16 @@ Solvers provided:
 - ``jacobi_chebyshev``: the reference algorithm (Wang ToG 2015 schedule,
   src/GPUSolver.cu:295-299), fixed iteration count.
 - ``jacobi``: plain damped-free Jacobi (omega == 1 forever).
-- ``red_black``: red-black Gauss-Seidel, with optional residual-tolerance
-  early exit (BASELINE.json config #2) honoring the tolerance parameter the
-  reference accepts but ignores (src/main.cpp:264).
+- ``red_black``: red-black Gauss-Seidel (BASELINE.json config #2).
+
+EVERY solver honors the optional residual-tolerance early exit — the
+tolerance parameter the reference accepts but ignores (src/main.cpp:264).
+The loop becomes a chunked ``lax.while_loop`` (``residual_check_every``
+iterations between residual probes); the chunk bodies index the SAME
+per-iteration omega tables as the fixed-iteration path, so with an
+unreachable tolerance the chunked loop is bitwise identical to the
+fixed-count loop (tests/test_weights_and_solver.py pins this), and the
+Chebyshev omega recurrence continues seamlessly across chunk boundaries.
 """
 
 from __future__ import annotations
@@ -170,22 +177,61 @@ def residual_metric_fn(cfg: DiffusionConfig):
         ) from None
 
 
+def _chunked_early_exit(body, carry0, extract_u, mask, wts, iters, cfg):
+    """Run ``body(i, carry)`` (one iteration of any solver) inside a chunked
+    ``lax.while_loop`` that stops once the residual of ``extract_u(carry)``
+    drops below tolerance*255 (probed every ``cfg.residual_check_every``
+    iterations; metric per ``cfg.residual_metric``). The final chunk is
+    truncated so the iteration cap is never exceeded — the iteration indices
+    visited are exactly 0..n for some n <= iters, so with an unreachable
+    tolerance the result is bitwise identical to ``fori_loop(0, iters,
+    body, carry0)``. Shared by all three solvers (the omega recurrence of
+    each lives in its per-iteration table, indexed by the global iteration
+    ``i``, so schedules continue seamlessly across chunk boundaries)."""
+    tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
+    chunk = max(int(cfg.residual_check_every), 1)
+    res_fn = residual_metric_fn(cfg)
+
+    def cond(state):
+        carry, i, res = state
+        return (i < iters) & (res >= tol)
+
+    def step(state):
+        carry, i, _ = state
+        n = jnp.minimum(jnp.int32(chunk), jnp.int32(iters) - i)
+        carry = jax.lax.fori_loop(i, i + n, body, carry)
+        return carry, i + n, res_fn(extract_u(carry), mask, wts)
+
+    carry, _, _ = jax.lax.while_loop(
+        cond, step, (carry0, jnp.int32(0), jnp.float32(jnp.inf))
+    )
+    return carry
+
+
 def solve_jacobi_chebyshev(
     depth: jnp.ndarray,
     mask: jnp.ndarray,
     wts: EdgeWeights,
     iters: int,
     cfg: DiffusionConfig = DiffusionConfig(),
+    early_exit: bool | None = None,
 ) -> jnp.ndarray:
-    """Fixed-iteration Jacobi + Chebyshev semi-iteration at one level.
+    """Jacobi + Chebyshev semi-iteration at one level (the reference
+    algorithm), fixed-iteration by default with optional residual early
+    exit (the reference declares tolerance=1e-5 and ignores it,
+    src/main.cpp:264; here it is honored when ``early_exit``).
 
     ``depth`` must be pre-seeded. The Chebyshev history starts at zero
     (cudaMemset, src/GPUSolver.cu:290); the extrapolated update
     omega*(gamma*(r-u) + u - prev) + prev is NOT clamped (only the inner
-    average is), matching src/GPUSolver.cu:259.
+    average is), matching src/GPUSolver.cu:259. Early exit carries
+    (u, prev) through the chunked while_loop with omegas indexed by the
+    global iteration, so the Wang schedule continues across chunks.
     """
     if iters <= 0:
         return depth.astype(jnp.float32)
+    if early_exit is None:
+        early_exit = cfg.early_exit
     omegas = jnp.asarray(chebyshev_omegas(iters, cfg))
     gamma = jnp.float32(cfg.chebyshev_gamma)
     u0 = depth.astype(jnp.float32)
@@ -198,6 +244,11 @@ def solve_jacobi_chebyshev(
         out = omega * (gamma * (r - u) + u - prev) + prev
         return jnp.where(mask, u, out), u
 
+    if early_exit:
+        u, _ = _chunked_early_exit(
+            body, (u0, prev0), lambda c: c[0], mask, wts, iters, cfg
+        )
+        return u
     u, _ = jax.lax.fori_loop(0, iters, body, (u0, prev0))
     return u
 
@@ -208,14 +259,22 @@ def solve_jacobi(
     wts: EdgeWeights,
     iters: int,
     cfg: DiffusionConfig = DiffusionConfig(),
+    early_exit: bool | None = None,
 ) -> jnp.ndarray:
     """Plain Jacobi (no Chebyshev acceleration): the BASELINE.json config #1
-    solver and the simplest correctness anchor."""
+    solver and the simplest correctness anchor. Honors the residual early
+    exit like every other solver."""
     u0 = depth.astype(jnp.float32)
+    if early_exit is None:
+        early_exit = cfg.early_exit
 
     def body(i, u):
         return jnp.where(mask, u, jacobi_sweep(u, wts))
 
+    if early_exit:
+        return _chunked_early_exit(
+            body, u0, lambda c: c, mask, wts, iters, cfg
+        )
     return jax.lax.fori_loop(0, iters, body, u0)
 
 
@@ -278,24 +337,9 @@ def solve_red_black(
 
     if not early_exit:
         return jax.lax.fori_loop(0, iters, one_iter, u0)
-
-    tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
-    chunk = max(int(cfg.residual_check_every), 1)
-    res_fn = residual_metric_fn(cfg)
-
-    def cond(state):
-        u, i, res = state
-        return (i < iters) & (res >= tol)
-
-    def body(state):
-        u, i, _ = state
-        # Never exceed the iteration cap: the final chunk is truncated.
-        n = jnp.minimum(jnp.int32(chunk), jnp.int32(iters) - i)
-        u = jax.lax.fori_loop(i, i + n, one_iter, u)
-        return u, i + n, res_fn(u, mask, wts)
-
-    u, _, _ = jax.lax.while_loop(cond, body, (u0, jnp.int32(0), jnp.float32(jnp.inf)))
-    return u
+    return _chunked_early_exit(
+        one_iter, u0, lambda c: c, mask, wts, iters, cfg
+    )
 
 
 _SOLVERS = {

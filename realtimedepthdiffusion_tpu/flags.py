@@ -4,8 +4,8 @@
 (warmup.py, via serve.config_from_args) expose the same solver behavior
 surface from argv — profiles, early exit, SOR tuning, defocus quality.
 The implication rules (a profile sets a base the explicit flags override;
---tolerance implies --early-exit; --defocus-stride implies approx quality;
-early exit requires the red-black solver) must be identical everywhere, so
+--tolerance implies --early-exit; --defocus-stride implies approx
+quality) must be identical everywhere, so
 they live here once; each CLI layers only its surface-specific extras
 (the live CLI's --incremental/--gray-pyramid, serving's --iterations) on
 top of the returned kwargs.
@@ -29,18 +29,15 @@ def resolve_solver_flags(a, fail: Callable[[str], None]) -> Dict:
     Rules (each cited to the surface that earned it):
     - ``--profile fast`` = red_black + RMS early exit at 1e-3, the
       framework's fastest measured solver configuration (PERF.md round-3
-      table); explicit flags override the profile's choices, and the
-      profile's early exit rides its solver — an explicit --solver
-      override keeps the override's semantics.
+      table); explicit flags override the profile's choices. An explicit
+      --solver override KEEPS the profile's early exit — every solver
+      honors the tolerance (round-5; previously only red_black did).
     - A --tolerance given without --early-exit means "use it": the
       reference accepts a tolerance it never honors
       (/root/reference/src/main.cpp:264); this framework honors it when
       asked.
     - A --defocus-stride given without --defocus-quality means "use it"
       (same rule) — unless quality was explicitly pinned to exact.
-    - Early exit on a solver without a residual loop fails loudly instead
-      of silently running the full fixed schedule (the reference bug the
-      flag exists to fix).
     """
     kw: Dict = {"backend": a.backend}
     fast = getattr(a, "profile", None) == "fast"
@@ -51,8 +48,7 @@ def resolve_solver_flags(a, fail: Callable[[str], None]) -> Dict:
     if fast:
         kw["tolerance"] = 1e-3
         kw["residual_metric"] = "rms"
-        if solver == "red_black":
-            kw["early_exit"] = True
+        kw["early_exit"] = True
     mg = getattr(a, "multigrid", None)
     if mg is not None:
         kw["multigrid"] = mg
@@ -77,10 +73,4 @@ def resolve_solver_flags(a, fail: Callable[[str], None]) -> Dict:
             )
         kw["pallas_defocus_stride"] = a.defocus_stride
         kw.setdefault("pallas_defocus_quality", "approx")
-    if kw.get("early_exit") and solver != "red_black":
-        fail(
-            "--early-exit/--tolerance (and --profile fast) require "
-            "--solver red_black, the only solver with a residual loop; "
-            f"got {solver!r}"
-        )
     return kw

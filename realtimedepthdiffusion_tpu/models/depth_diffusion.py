@@ -37,11 +37,28 @@ class DepthDiffusionModel:
         self._pipes = {}
         self._cache = {}
 
+    _EFFECTS = {
+        "b": fx.EFFECT_DEFOCUS, "g": fx.EFFECT_DESATURATION, "h": fx.EFFECT_HAZE,
+    }
+
     def _pipe(self, h: int, w: int) -> DepthPipeline:
         key = (h, w)
         if key not in self._pipes:
             self._pipes[key] = DepthPipeline(h, w, self.cfg)
         return self._pipes[key]
+
+    def _prepared(self, rgb: np.ndarray, pipe: DepthPipeline):
+        """Latest prepared image (device rgb + gray pyramid), cached across
+        solve/render calls so repeated solve -> render loops do ZERO
+        redundant gray-pyramid recompute or upload. The cache RETAINS the
+        source array and matches by identity, so a recycled id() can never
+        alias a different image."""
+        cached = self._cache.get("img")
+        if cached is not None and cached[0] is rgb:
+            return cached[1]
+        prepared = pipe.prepare_image(np.asarray(rgb, dtype=np.uint8))
+        self._cache = {"img": (rgb, prepared)}
+        return prepared
 
     def solve(
         self,
@@ -51,23 +68,19 @@ class DepthDiffusionModel:
         depth_state: Optional[Tuple] = None,
     ) -> np.ndarray:
         """One full solve; returns the float32 depth map. Pass the
-        ``depth_state`` returned by ``solve_with_state`` to warm-start."""
+        ``depth_state`` returned by ``solve_with_state`` to warm-start.
+
+        NOTE on state lifetime (applies to every state-taking method here):
+        the passed state's device buffers are DONATED to the compiled
+        program (zero-copy in-place update); only the RETURNED state is
+        valid afterwards."""
         depth, _ = self.solve_with_state(rgb, mask, value, depth_state)
         return depth
 
     def solve_with_state(self, rgb, mask, value, depth_state=None):
         h, w = rgb.shape[:2]
         pipe = self._pipe(h, w)
-        # Cache the latest prepared image; the cache RETAINS the source array
-        # and matches by identity, so a recycled id() can never alias a
-        # different image.
-        cached = self._cache.get("img")
-        if cached is not None and cached[0] is rgb:
-            prepared = cached[1]
-        else:
-            prepared = pipe.prepare_image(np.asarray(rgb, dtype=np.uint8))
-            self._cache = {"img": (rgb, prepared)}
-        _, gpyr = prepared
+        _, gpyr = self._prepared(rgb, pipe)
         if depth_state is None:
             depth_state = pipe.initial_state()
         depth, state = pipe.solve(
@@ -77,15 +90,55 @@ class DepthDiffusionModel:
         return np.asarray(depth), state
 
     def render(self, rgb: np.ndarray, depth: np.ndarray, effect: str = "h") -> np.ndarray:
-        """Render a depth effect: 'b' refocus, 'g' desaturation, 'h' haze."""
+        """Render a depth effect: 'b' refocus, 'g' desaturation, 'h' haze.
+
+        Reuses the prepared-image cache maintained by solve(), so a
+        solve -> render loop on the same image does no per-frame
+        gray-pyramid recompute or re-upload (the session path's invariant,
+        now shared by the facade)."""
         h, w = rgb.shape[:2]
         pipe = self._pipe(h, w)
-        eff = {"b": fx.EFFECT_DEFOCUS, "g": fx.EFFECT_DESATURATION, "h": fx.EFFECT_HAZE}[effect]
-        rgb_d, gpyr = pipe.prepare_image(np.asarray(rgb, dtype=np.uint8))
+        eff = self._EFFECTS[effect]
+        rgb_d, gpyr = self._prepared(rgb, pipe)
         out = pipe.effect(
             eff, rgb_d, gpyr[0], jnp.clip(jnp.asarray(depth, jnp.float32), 0.0, 255.0)
         )
         return np.asarray(out)
+
+    def solve_and_render(self, rgb, mask, value, effect: str = "h",
+                         depth_state: Optional[Tuple] = None):
+        """Solve + effect as ONE fused program dispatch (the live loop's
+        frame shape, src/main.cpp:232-295 under --live): returns
+        (depth f32, art u8, depth_state). Warm-start by passing the
+        returned state back in."""
+        h, w = rgb.shape[:2]
+        pipe = self._pipe(h, w)
+        rgb_d, gpyr = self._prepared(rgb, pipe)
+        if depth_state is None:
+            depth_state = pipe.initial_state()
+        depth, state, art = pipe.solve_and_effect(
+            self._EFFECTS[effect], gpyr, rgb_d,
+            jnp.asarray(np.asarray(mask, bool)),
+            jnp.asarray(np.asarray(value, np.uint8)), depth_state,
+        )
+        return np.asarray(depth), np.asarray(art), state
+
+    def solve_incremental(self, rgb, mask, value, depth_state, center_yx):
+        """Warm windowed re-solve around a small edit centered at
+        ``center_yx`` (the session's incremental live path, exposed on the
+        facade): re-solves only an ``incremental_window``-sized window at
+        the fine pyramid levels and injects the coarse-level delta
+        (core/incremental.py). Requires a prior full solve's
+        ``depth_state``; returns (depth f32, new_state)."""
+        h, w = rgb.shape[:2]
+        pipe = self._pipe(h, w)
+        _, gpyr = self._prepared(rgb, pipe)
+        depth, state = pipe.solve_incremental(
+            gpyr, jnp.asarray(np.asarray(mask, bool)),
+            jnp.asarray(np.asarray(value, np.uint8)), depth_state,
+            jnp.asarray(np.asarray(center_yx), jnp.int32),
+        )
+        return np.asarray(depth), state
 
 
 class ChebyshevCascade(DepthDiffusionModel):

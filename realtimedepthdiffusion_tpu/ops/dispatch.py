@@ -11,8 +11,9 @@ Chooses the execution path for GPUMatrixFreeSolver's role (SURVEY.md C13):
 - ``auto``             pallas on TPU-like backends, xla elsewhere.
 
 The Pallas path implements the reference algorithm (jacobi_chebyshev) and
-red-black Gauss-Seidel (with early exit); plain jacobi runs on the XLA path
-regardless (it exists as a correctness anchor, not a perf target).
+red-black Gauss-Seidel — each with the optional residual early exit; plain
+jacobi runs on the XLA path regardless (it exists as a correctness anchor,
+not a perf target) and honors early exit there.
 """
 
 from __future__ import annotations

@@ -293,10 +293,19 @@ def _defocus_kernel(block_h, hr, hc, t_exact, stride,
 
     blk_bot = pl.ds(0, block_h)   # the block inside the bottom-corner buffers
     blk_top = pl.ds(hr, block_h)  # the block inside the top-corner buffers
-    # Content-adaptive bound: candidates above this strip's largest window
-    # never win a select — skip them (the marching loop's trip count is
-    # dynamic). Sharp (near-depth) strips cost almost nothing.
+    # Content-adaptive band [hv_lo, hv_hi]: candidates outside this strip's
+    # [smallest nonzero, largest] half-widths never win a select — skip
+    # them, keeping the output exact (round-4 verdict task #1). The upper
+    # bound makes sharp (near-depth) strips nearly free; the LOWER bound is
+    # what rescues far-only strips (sky/background at 4K: half in
+    # ~[90, 110]), which march one dynamic corner advance (a handful of
+    # log-step roll passes) instead of ~90 per-candidate marches. The creep
+    # bound is unchanged: cumulative shift at select time is still hv - 1.
     hv_hi = jnp.max(half)
+    hv_lo = jnp.minimum(
+        jnp.min(jnp.where(half > 0, half, jnp.int32(255))),
+        jnp.maximum(hv_hi, 1),
+    )
 
     def select_box(hv):
         # Select the RAW box sum; the boundary-clamped count and the division
@@ -326,8 +335,15 @@ def _defocus_kernel(block_h, hr, hc, t_exact, stride,
         march(1)
         return 0
 
-    if stride == 1:  # exact: every candidate 1..hv_hi (the default path)
-        lax.fori_loop(1, hv_hi + 1, body, 0, unroll=False)
+    if stride == 1:  # exact: every candidate in [hv_lo, hv_hi]
+        @pl.when(hv_lo > 1)
+        def _skip_below_band():
+            # One dynamic advance to the band start (corners sit at hv = 1).
+            # pltpu.roll with a traced shift lowers to log-step conditional
+            # rolls — ~log2(max_half) passes, repaid whenever hv_lo > ~8.
+            march(hv_lo - 1)
+
+        lax.fori_loop(hv_lo, hv_hi + 1, body, 0, unroll=False)
     else:
         # Approx (snapped half field): exact candidates 1..t_exact, then the
         # progression t_exact + j*stride. Only candidates present in the

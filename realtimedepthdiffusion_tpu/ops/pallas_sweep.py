@@ -207,9 +207,9 @@ def solve_level_resident(
 # ---------------------------------------------------------------------------
 
 
-def _strip_mega_kernel(k, iters, pad_rows, block_h, n_strips,
-                       om_ref, u_in, p_in, m_hbm, bh_hbm, bv_hbm, inv_hbm,
-                       u_pp, p_pp, u_s, p_s, m_s, bh_s, bv_s, inv_s,
+def _strip_mega_kernel(k, pad_rows, block_h, n_strips,
+                       om_ref, n_ref, u_in, p_in, m_hbm, bh_hbm, bv_hbm,
+                       inv_hbm, u_pp, p_pp, u_s, p_s, m_s, bh_s, bv_s, inv_s,
                        wl_s, wu_s, sems):
     """Program (b, s): iteration block b (k sweeps) on row strip s — the
     WHOLE level is ONE pallas_call.
@@ -223,8 +223,14 @@ def _strip_mega_kernel(k, iters, pad_rows, block_h, n_strips,
     the caller zeroes the halo bands of both copies ONCE — the bands are
     never dirtied, eliminating the round-1 design's per-launch host-level
     fix_halo passes (and its separate remainder launch: the last block
-    masks off iterations past `iters`; a padded omega row would corrupt the
-    Chebyshev history, a masked sweep leaves it untouched).
+    masks off iterations past the active count; a padded omega row would
+    corrupt the Chebyshev history, a masked sweep leaves it untouched).
+
+    The active sweep count rides in SMEM (``n_ref[0]``) rather than being
+    baked in statically: the early-exit path re-launches this same kernel
+    per residual chunk with a DYNAMIC remaining-iteration count (a block
+    whose sweeps are all masked still copies state src -> dst, keeping the
+    ping-pong parity deterministic).
 
     Slab geometry as before: pad_rows >= k+1 zero rows top/bottom (sublane-
     aligned) and a 1-px zero column ring; halo validity shrinks one ring per
@@ -259,7 +265,7 @@ def _strip_mega_kernel(k, iters, pad_rows, block_h, n_strips,
     base = b * k
 
     def body(i, _):
-        @pl.when(base + i < iters)
+        @pl.when(base + i < n_ref[0])
         def _active():
             new_u, new_prev = _sweep_full(
                 u_s[:], p_s[:], wl_s[:], bh_s[:], wu_s[:], bv_s[:], inv_s[:],
@@ -289,8 +295,8 @@ def _strip_mega_kernel(k, iters, pad_rows, block_h, n_strips,
     po.wait()
 
 
-def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips, static_copy,
-                             om_ref, u_in, p_in, m_hbm, bh_hbm, bv_hbm,
+def _strip_mega_kernel_arena(k, pad_rows, block_h, n_strips, static_copy,
+                             om_ref, n_ref, u_in, p_in, m_hbm, bh_hbm, bv_hbm,
                              inv_hbm, u_pp, p_pp, u_s, p_s, wl_s, wu_s,
                              *scratch_rest):
     """Arena variant of _strip_mega_kernel: the four iteration-invariant
@@ -356,7 +362,7 @@ def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips, static_copy,
     base = b * k
 
     def body(i, _):
-        @pl.when(base + i < iters)
+        @pl.when(base + i < n_ref[0])
         def _active():
             new_u, new_prev = _sweep_full(
                 u_s[:], p_s[:], wl_s[:], bh_r[:], wu_s[:], bv_r[:],
@@ -385,9 +391,9 @@ def _strip_mega_kernel_arena(k, iters, pad_rows, block_h, n_strips, static_copy,
     po.wait()
 
 
-def _strip_mega_kernel_uarena(k, iters, pad_rows, block_h, n_strips,
+def _strip_mega_kernel_uarena(k, pad_rows, block_h, n_strips,
                               h_img, w_img, beta, thr, use_depth_rule,
-                              om_ref, u_in, p_in, m_hbm, g_hbm, d8_hbm,
+                              om_ref, n_ref, u_in, p_in, m_hbm, g_hbm, d8_hbm,
                               u_pp, p_pp, u_s, p_s, bh_s, bv_s, inv_s,
                               wl_s, wu_s, m_a, g_a, d8_a, sems):
     """Derived-weights arena megakernel: the persistent VMEM arena holds the
@@ -486,7 +492,7 @@ def _strip_mega_kernel_uarena(k, iters, pad_rows, block_h, n_strips,
     base = b * k
 
     def body(i, _):
-        @pl.when(base + i < iters)
+        @pl.when(base + i < n_ref[0])
         def _active():
             new_u, new_prev = _sweep_full(
                 u_s[:], p_s[:], wl_s[:], bh_s[:], wu_s[:], bv_s[:],
@@ -537,10 +543,10 @@ def _arena_bytes(wp2, slab_h, n_strips, static_copy=False):
     return arena + working
 
 
-def _strip_mega_kernel_prefetch(k, iters, pad_rows, block_h, n_strips, n_blocks,
-                                om_ref, u_in, p_in, m_hbm, bh_hbm, bv_hbm,
-                                inv_hbm, u_pp, p_pp, u_db, p_db, wl_s, wu_s,
-                                m_a, bh_a, bv_a, inv_a, sems):
+def _strip_mega_kernel_prefetch(k, pad_rows, block_h, n_strips, n_blocks,
+                                om_ref, n_ref, u_in, p_in, m_hbm, bh_hbm,
+                                bv_hbm, inv_hbm, u_pp, p_pp, u_db, p_db,
+                                wl_s, wu_s, m_a, bh_a, bv_a, inv_a, sems):
     """Arena megakernel + cross-step state prefetch: u/prev slabs rotate
     through a 3-deep VMEM buffer ring so each step's input DMA is issued one
     step EARLY (during the previous step's sweeps) and its writeback drains
@@ -643,7 +649,7 @@ def _strip_mega_kernel_prefetch(k, iters, pad_rows, block_h, n_strips, n_blocks,
     base = b * k
 
     def body(i, _):
-        @pl.when(base + i < iters)
+        @pl.when(base + i < n_ref[0])
         def _active():
             new_u, new_prev = _sweep_full(
                 u_r[:], p_r[:], wl_s[:], bh_a[s], wu_s[:], bv_a[s],
@@ -675,7 +681,7 @@ def _strips_mega_call_uarena(hp, wp2, k, iters, pad_rows, n_strips, block_h,
     slab_h = block_h + 2 * pad_rows
     n_blocks = -(-iters // k)
     kern = functools.partial(
-        _strip_mega_kernel_uarena, k, iters, pad_rows, block_h, n_strips,
+        _strip_mega_kernel_uarena, k, pad_rows, block_h, n_strips,
         h_img, w_img, beta, thr, use_depth_rule,
     )
     call = pl.pallas_call(
@@ -687,6 +693,7 @@ def _strips_mega_call_uarena(hp, wp2, k, iters, pad_rows, n_strips, block_h,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # active count (1,)
             pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
             pl.BlockSpec(memory_space=pl.ANY),  # prev ping-pong (aliased)
             pl.BlockSpec(memory_space=pl.ANY),  # mask u8
@@ -710,7 +717,7 @@ def _strips_mega_call_uarena(hp, wp2, k, iters, pad_rows, n_strips, block_h,
             pltpu.VMEM((n_strips, slab_h, wp2), jnp.uint8),  # d8 arena
             pltpu.SemaphoreType.DMA((7,)),
         ],
-        input_output_aliases={1: 0, 2: 1},
+        input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -720,7 +727,9 @@ def _strips_mega_call_uarena(hp, wp2, k, iters, pad_rows, n_strips, block_h,
             ),
         ),
     )
-    return lambda om, *rest: call(om.T, *rest)
+    return lambda om, n, *rest: call(
+        om.T, jnp.asarray(n, jnp.int32).reshape(1), *rest
+    )
 
 
 def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
@@ -731,7 +740,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
         n_blocks = -(-iters // k)
         if prefetch:
             kern = functools.partial(
-                _strip_mega_kernel_prefetch, k, iters, pad_rows, block_h,
+                _strip_mega_kernel_prefetch, k, pad_rows, block_h,
                 n_strips, n_blocks,
             )
             state_scratch = [
@@ -740,7 +749,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
             ]
         else:
             kern = functools.partial(
-                _strip_mega_kernel_arena, k, iters, pad_rows, block_h,
+                _strip_mega_kernel_arena, k, pad_rows, block_h,
                 n_strips, static_copy,
             )
             state_scratch = [
@@ -756,6 +765,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
             ),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # active count (1,)
                 pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
                 pl.BlockSpec(memory_space=pl.ANY),  # prev ping-pong (aliased)
                 pl.BlockSpec(memory_space=pl.ANY),  # mask
@@ -782,7 +792,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
                 pltpu.VMEM((n_strips, slab_h, wp2), jnp.float32),  # inv arena
                 pltpu.SemaphoreType.DMA((16,)),
             ],
-            input_output_aliases={1: 0, 2: 1},
+            input_output_aliases={2: 0, 3: 1},
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
@@ -793,11 +803,13 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
                 ),
             ),
         )
-        return lambda om, *rest: call(om.T, *rest)
+        return lambda om, n, *rest: call(
+            om.T, jnp.asarray(n, jnp.int32).reshape(1), *rest
+        )
     slab_h = block_h + 2 * pad_rows
     n_blocks = -(-iters // k)
     kern = functools.partial(
-        _strip_mega_kernel, k, iters, pad_rows, block_h, n_strips
+        _strip_mega_kernel, k, pad_rows, block_h, n_strips
     )
     call = pl.pallas_call(
         kern,
@@ -808,6 +820,7 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # omegas (3, n_blocks*k)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # active count (1,)
             pl.BlockSpec(memory_space=pl.ANY),  # u ping-pong (aliased)
             pl.BlockSpec(memory_space=pl.ANY),  # prev ping-pong (aliased)
             pl.BlockSpec(memory_space=pl.ANY),  # mask
@@ -830,11 +843,13 @@ def _strips_mega_call(hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
             pltpu.VMEM((slab_h, wp2), jnp.float32),  # wu slab (rolled bv)
             pltpu.SemaphoreType.DMA((8,)),
         ],
-        input_output_aliases={1: 0, 2: 1},
+        input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
-    return lambda om, *rest: call(om.T, *rest)
+    return lambda om, n, *rest: call(
+        om.T, jnp.asarray(n, jnp.int32).reshape(1), *rest
+    )
 
 
 def _auto_block_h(h: int, deep_block: bool = False, w: int | None = None) -> int:
@@ -862,19 +877,10 @@ def _auto_block_h(h: int, deep_block: bool = False, w: int | None = None) -> int
     return -(-(-(-h // n)) // 8) * 8
 
 
-def solve_level_strips(
-    depth: jnp.ndarray,
-    mask: jnp.ndarray,
-    gray: jnp.ndarray,
-    level: int,
-    max_level: int,
-    iters: int,
-    cfg: DiffusionConfig = DiffusionConfig(),
-    block_h: int | None = None,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Strip-blocked solve: ALL iterations in one megakernel launch."""
-    h, w = depth.shape
+def _plan_strips(h, w, cfg, block_h=None):
+    """Strip-kernel geometry + route choice, shared by the fixed-iteration
+    and early-exit runners: (k, pad_rows, wp2, block_h, n_strips, hp,
+    arena, uarena, static_copy, cap)."""
     deep_block = h <= cfg.pallas_small_level_rows
     if block_h is None:
         block_h = _auto_block_h(h, deep_block, w=w)
@@ -927,6 +933,24 @@ def solve_level_strips(
         block_h, n_strips, hp = geometry(
             max(min(block_h, (max_block // 8) * 8), 8)
         )
+    return k, pad_rows, wp2, block_h, n_strips, hp, arena, uarena, static_copy, cap
+
+
+def solve_level_strips(
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    gray: jnp.ndarray,
+    level: int,
+    max_level: int,
+    iters: int,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    block_h: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Strip-blocked solve: ALL iterations in one megakernel launch."""
+    h, w = depth.shape
+    (k, pad_rows, wp2, block_h, n_strips, hp,
+     arena, uarena, static_copy, cap) = _plan_strips(h, w, cfg, block_h)
 
     def repad(a, dtype=jnp.float32):
         core = a[1 : h + 1, :]  # (h, w+2) keep the column ring
@@ -962,7 +986,7 @@ def solve_level_strips(
             0 if level == 0 else int(cfg.depth_edge_threshold),
             level != max_level, interpret, cap,
         )
-        u_pp, p_pp = call(jnp.asarray(om), u_pp, p_pp, m, g8, d8)
+        u_pp, p_pp = call(jnp.asarray(om), iters, u_pp, p_pp, m, g8, d8)
         return u_pp[n_blocks % 2, pad_rows : pad_rows + h, 1 : w + 1]
 
     bh, bv, inv = _pack_weights_padded(gray, depth, level, max_level, cfg)
@@ -982,9 +1006,127 @@ def solve_level_strips(
         hp, wp2, k, iters, pad_rows, n_strips, block_h, interpret,
         arena=arena, prefetch=prefetch, static_copy=static_copy, vmem_cap=cap,
     )
-    u_pp, p_pp = call(jnp.asarray(om), u_pp, p_pp, m, bh, bv, inv)
+    u_pp, p_pp = call(jnp.asarray(om), iters, u_pp, p_pp, m, bh, bv, inv)
     fin = n_blocks % 2
     return u_pp[fin, pad_rows : pad_rows + h, 1 : w + 1]
+
+
+def solve_level_strips_early_exit(
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    gray: jnp.ndarray,
+    level: int,
+    max_level: int,
+    iters: int,
+    cfg: DiffusionConfig = DiffusionConfig(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Residual-tolerance early exit for the reference solver
+    (jacobi_chebyshev) on the Pallas path — honoring the tolerance the
+    reference accepts but ignores (src/main.cpp:264).
+
+    The strip megakernel's chunk boundary is the natural check cadence: a
+    ``lax.while_loop`` re-launches ONE pre-built megakernel per
+    ``residual_check_every``-iteration chunk, carrying the (u, prev)
+    Chebyshev state in the kernel's padded ping-pong layout between chunks
+    (pure DMA copies — bit-preserving), with the omega schedule
+    dynamic-sliced from the full per-iteration table so the Wang recurrence
+    continues seamlessly across chunks. The chunk's grid is rounded up to an
+    EVEN number of iteration blocks (a fully-masked block copies state
+    src -> dst without sweeping), so every chunk lands its state back in
+    ping-pong copy 0 and the next launch reads where the last one wrote.
+    The final chunk's active count rides the kernels' SMEM scalar, so the
+    iteration cap is never exceeded and — with an unreachable tolerance —
+    the sweep sequence is exactly the fixed-iteration kernel's
+    (tests/test_pallas.py pins bitwise equality under interpret).
+
+    All levels route through the strip megakernel here (the resident
+    kernel's mid-band advantage is ~0.07 ms/level and it would need its own
+    prev-carry plumbing); the weight planes/arena sources are computed once
+    outside the loop from the INCOMING depth, matching loadIndexToWeight
+    running once per level (src/GPUSolver.cu:293).
+    """
+    from ..core import solver as _xla
+
+    h, w = depth.shape
+    u0 = depth.astype(jnp.float32)
+    if iters <= 0:
+        return u0
+    (k, pad_rows, wp2, block_h, n_strips, hp,
+     arena, uarena, static_copy, cap) = _plan_strips(h, w, cfg)
+
+    chunk = max(int(cfg.residual_check_every), 1)
+    n_blocks_c = -(-chunk // k)
+    if n_blocks_c % 2:
+        n_blocks_c += 1  # even block count: state ends in copy 0 every chunk
+    chunk_pad = n_blocks_c * k
+
+    wts = edge_weights(gray, depth, level, max_level, cfg)
+    res_fn = _xla.residual_metric_fn(cfg)
+    tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
+
+    def repad(a, dtype=jnp.float32):
+        core = a[1 : h + 1, :]  # (h, w+2) keep the column ring
+        return jnp.pad(
+            core.astype(dtype),
+            ((pad_rows, hp - h - pad_rows), (0, wp2 - (w + 2))),
+        )
+
+    u = repad(jnp.pad(u0, ((1, 1), (1, 1))))
+    m = repad(jnp.pad(mask.astype(jnp.uint8), ((1, 1), (1, 1))), jnp.uint8)
+
+    # Omega schedule over-padded by one chunk so the dynamic slice at any
+    # start index i < iters stays in-bounds; entries past an active count
+    # are never applied (masked sweeps).
+    om_np = np.zeros((iters + chunk_pad, 3), np.float32)
+    om_np[:iters] = _abc_schedule(iters, cfg)
+    om_all = jnp.asarray(om_np)
+
+    if uarena:
+        g8 = repad(jnp.pad(gray.astype(jnp.uint8), ((1, 1), (1, 1))), jnp.uint8)
+        d8 = repad(
+            jnp.pad(
+                jnp.clip(depth, 0.0, 255.0).astype(jnp.uint8), ((1, 1), (1, 1))
+            ),
+            jnp.uint8,
+        )
+        call = _strips_mega_call_uarena(
+            hp, wp2, k, chunk_pad, pad_rows, n_strips, block_h,
+            h, w, float(cfg.beta),
+            0 if level == 0 else int(cfg.depth_edge_threshold),
+            level != max_level, interpret, cap,
+        )
+        extras = (m, g8, d8)
+    else:
+        bh, bv, inv = _pack_wts_padded(wts)
+        extras = (m, repad(bh), repad(bv), repad(inv))
+        call = _strips_mega_call(
+            hp, wp2, k, chunk_pad, pad_rows, n_strips, block_h, interpret,
+            arena=arena, prefetch=False, static_copy=static_copy,
+            vmem_cap=cap,
+        )
+
+    u_pp0 = jnp.stack([u, jnp.zeros_like(u)])
+    p_pp0 = jnp.zeros((2, hp, wp2), jnp.float32)
+
+    def u_view(u_pp):
+        return u_pp[0, pad_rows : pad_rows + h, 1 : w + 1]
+
+    def cond(state):
+        u_pp, p_pp, i, res = state
+        return (i < iters) & (res >= tol)
+
+    def body(state):
+        u_pp, p_pp, i, _ = state
+        n = jnp.minimum(jnp.int32(chunk), jnp.int32(iters) - i)
+        om = lax.dynamic_slice(om_all, (i, jnp.int32(0)), (chunk_pad, 3))
+        u_pp, p_pp = call(om, n, u_pp, p_pp, *extras)
+        return u_pp, p_pp, i + n, res_fn(u_view(u_pp), mask, wts)
+
+    u_pp, p_pp, i, res = lax.while_loop(
+        cond, body, (u_pp0, p_pp0, jnp.int32(0), jnp.float32(jnp.inf))
+    )
+    return u_view(u_pp)
 
 
 def solve_level_pallas(
@@ -1005,7 +1147,14 @@ def solve_level_pallas(
     round-trip (L3 135x240/500it: 0.118 vs 0.292 ms; L4 67x120/1000it:
     0.221 vs 0.327), while at throughput-bound mid sizes the resident
     kernel's lack of halo/pad waste wins (L2 270x480/250it: 0.318 vs
-    0.383). Above the VMEM budget only strips fit (and win anyway)."""
+    0.383). Above the VMEM budget only strips fit (and win anyway).
+
+    With ``cfg.early_exit`` every level takes the chunked strip runner
+    (solve_level_strips_early_exit) regardless of size."""
+    if cfg.early_exit:
+        return solve_level_strips_early_exit(
+            depth, mask, gray, level, max_level, iters, cfg, interpret
+        )
     h, w = depth.shape
     # ~6 f32 planes live in the resident kernel.
     fits = (h + 2) * (w + 2) * 4 * 6 <= cfg.pallas_resident_vmem_budget

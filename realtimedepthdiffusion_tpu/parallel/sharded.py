@@ -76,22 +76,57 @@ def _foreach_image(fn, *arrays):
     return jnp.stack(outs)
 
 
+def _residual_reduce(d, m, cfg: DiffusionConfig, batched: bool):
+    """Globally-agreed residual from the per-pixel |relax(u) - u| plane
+    ``d``: every chip sees the same value, so all agree on the stopping
+    iteration. max: off-mask max, pmax'd over the spatial axes. rms:
+    per-image sum-of-squares and off-mask counts psum'd over the spatial
+    axes; the gate is the max over images (exit only when EVERY image in
+    the batch has converged), pmax'd over the batch axis."""
+    if cfg.residual_metric == "max":
+        res = jnp.max(jnp.where(m, 0.0, d))
+        res = lax.pmax(lax.pmax(res, "dy"), "dx")
+        if batched:
+            res = lax.pmax(res, "batch")
+        return res
+    sq = jnp.sum(jnp.where(m, 0.0, d * d), axis=(-2, -1))
+    cnt = jnp.sum(jnp.where(m, 0.0, 1.0), axis=(-2, -1))
+    sq = lax.psum(lax.psum(sq, "dy"), "dx")
+    cnt = lax.psum(lax.psum(cnt, "dy"), "dx")
+    res = jnp.max(jnp.sqrt(sq / jnp.maximum(cnt, 1.0)))
+    if batched:
+        res = lax.pmax(res, "batch")
+    return res
+
+
 def _sharded_level_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
                       batched: bool = False):
-    """Build the shard_map'd fixed-iteration Jacobi+Chebyshev solver for one
-    level geometry.
+    """Build the shard_map'd Jacobi+Chebyshev solver for one level geometry,
+    with the optional residual early exit made global by a pmax/psum over
+    the mesh axes exactly like the red-black twin (every chip agrees on the
+    stopping iteration; the omega schedule is dynamic-sliced by the global
+    iteration so the Wang recurrence continues across chunks).
 
     Expects globally padded (..., H, W) arrays whose spatial dims divide
     (dy,dx); pad pixels must be masked (Dirichlet 0) and carry zero weights.
     Each k-sweep block between halo exchanges runs as ONE Pallas VMEM kernel
     on TPU (the multi-chip composition of the single-chip iteration
     blocking), or as an equivalent jnp roll-based loop elsewhere.
+
+    Returns (u, prev, iters_done, residual); when early exit is off,
+    iters_done == iters and residual is +inf.
     """
+    from ..core.solver import residual_metric_fn
     from ..ops.pallas_sweep import _abc_schedule, halo_block_sweeps
+
+    residual_metric_fn(cfg)  # validate the metric name at build time
 
     abc_all = _abc_schedule(iters, cfg)
     n_full, rem = divmod(iters, k)
     mode = _use_pallas(cfg)
+    chunk = max(int(cfg.residual_check_every), 1)
+    tol = np.float32(cfg.tolerance) * np.float32(255.0)
+    abc_full = jnp.asarray(abc_all)
 
     def jnp_block(u_e, p_e, bh_e, bv_e, inv_e, m_e, abc):
         """jnp twin of the Pallas halo-block kernel (roll wraparound only
@@ -139,18 +174,74 @@ def _sharded_level_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
                 )
             return crop_halo(u_e, k), crop_halo(p_e, k)
 
-        for blk in range(n_full):
-            u, prev = sweeps(u, prev, abc_all[blk * k : (blk + 1) * k])
-        if rem:
-            u, prev = sweeps(u, prev, abc_all[n_full * k :])
-        return u
+        if not cfg.early_exit:
+            for blk in range(n_full):
+                u, prev = sweeps(u, prev, abc_all[blk * k : (blk + 1) * k])
+            if rem:
+                u, prev = sweeps(u, prev, abc_all[n_full * k :])
+            return u, prev, jnp.int32(iters), jnp.float32(jnp.inf)
+
+        # 1-ring-extended invariants for the residual probe.
+        c1 = lambda a: (
+            a[..., k - 1 : a.shape[-2] - (k - 1), k - 1 : a.shape[-1] - (k - 1)]
+            if k > 1 else a
+        )
+        bh_1, bv_1, inv_1 = c1(bh_e), c1(bv_e), c1(inv_e)
+        wl_1 = jnp.roll(bh_1, 1, -1)
+        wu_1 = jnp.roll(bv_1, 1, -2)
+
+        def run_chunk(u_c, p_c, n_iters, i0):
+            """n_iters (static) sweeps in k-blocks starting at GLOBAL
+            iteration ``i0`` (traced): the abc slice continues the Wang
+            omega recurrence across chunks."""
+            nf, rem_i = divmod(n_iters, k)
+            for j in range(nf):
+                abc = lax.dynamic_slice(
+                    abc_full, (i0 + j * k, jnp.int32(0)), (k, 3)
+                )
+                u_c, p_c = sweeps(u_c, p_c, abc)
+            if rem_i:
+                abc = lax.dynamic_slice(
+                    abc_full, (i0 + nf * k, jnp.int32(0)), (rem_i, 3)
+                )
+                u_c, p_c = sweeps(u_c, p_c, abc)
+            return u_c, p_c
+
+        def local_residual(u_c):
+            u_1 = extend_with_halo(u_c, 1)
+            r = jnp.clip(
+                (
+                    wl_1 * jnp.roll(u_1, 1, -1)
+                    + bh_1 * jnp.roll(u_1, -1, -1)
+                    + wu_1 * jnp.roll(u_1, 1, -2)
+                    + bv_1 * jnp.roll(u_1, -1, -2)
+                )
+                * inv_1,
+                0.0,
+                255.0,
+            )
+            d = jnp.abs(crop_halo(r, 1) - u_c)
+            return _residual_reduce(d, m, cfg, batched)
+
+        def cond(state):
+            u_c, p_c, i, res = state
+            return (i + chunk <= iters) & (res >= tol)
+
+        def body(state):
+            u_c, p_c, i, _ = state
+            u_c, p_c = run_chunk(u_c, p_c, chunk, i)
+            return u_c, p_c, i + chunk, local_residual(u_c)
+
+        return lax.while_loop(
+            cond, body, (u, prev, jnp.int32(0), jnp.float32(jnp.inf))
+        )
 
     spec = P("batch", "dy", "dx") if batched else P("dy", "dx")
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(spec,) * 6,
-        out_specs=spec,
+        out_specs=(spec, spec, P(), P()),
         # pallas_call's ShapeDtypeStruct outputs carry no varying-mesh-axes
         # annotation; skip the checker (all outputs vary over dy/dx).
         check_vma=False,
@@ -255,14 +346,8 @@ def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
             return u_c
 
         def local_residual(u_c):
-            """Global residual in ``cfg.residual_metric`` semantics.
-
-            max: |relax(u) - u| off-mask, pmax'd over the spatial axes
-            (core.solver.residual_norm). rms: per-image sum-of-squares and
-            off-mask counts are psum'd over the spatial axes, so every chip
-            sees the same per-image RMS (core.solver.residual_rms); the gate
-            is the max over images — exit only when EVERY image in the batch
-            has converged — made global with a pmax over the batch axis."""
+            """Global residual in ``cfg.residual_metric`` semantics
+            (see _residual_reduce)."""
             u_1 = extend_with_halo(u_c, 1)
             r = jnp.clip(
                 (
@@ -276,20 +361,7 @@ def _sharded_level_rb_fn(mesh: Mesh, k: int, iters: int, cfg: DiffusionConfig,
                 255.0,
             )
             d = jnp.abs(crop_halo(r, 1) - u_c)
-            if cfg.residual_metric == "max":
-                res = jnp.max(jnp.where(m, 0.0, d))
-                res = lax.pmax(lax.pmax(res, "dy"), "dx")
-                if batched:
-                    res = lax.pmax(res, "batch")
-                return res
-            sq = jnp.sum(jnp.where(m, 0.0, d * d), axis=(-2, -1))
-            cnt = jnp.sum(jnp.where(m, 0.0, 1.0), axis=(-2, -1))
-            sq = lax.psum(lax.psum(sq, "dy"), "dx")
-            cnt = lax.psum(lax.psum(cnt, "dy"), "dx")
-            res = jnp.max(jnp.sqrt(sq / jnp.maximum(cnt, 1.0)))
-            if batched:
-                res = lax.pmax(res, "batch")
-            return res
+            return _residual_reduce(d, m, cfg, batched)
 
         if not cfg.early_exit:
             return (
@@ -417,9 +489,13 @@ def solve_level_sharded(
     the globally-agreed exit actually fired; the driver dryrun asserts
     exactly this, and iters_done == iters whenever the full budget ran,
     including when the truncated final chunk runs outside the residual
-    loop). ``residual`` is the value at the last residual check. For
-    non-red-black solvers iters_done == iters and the residual is +inf (no
-    residual loop exists to exit from)."""
+    loop). ``residual`` is the value at the LAST residual check — when the
+    truncated tail ran afterwards it is stale by up to
+    residual_check_every-1 iterations (so residual >= tolerance alongside
+    iters_done == iters does NOT mean the final state failed to converge).
+    Both solvers (jacobi_chebyshev and red_black) honor
+    ``cfg.early_exit``; with it off, iters_done == iters and the residual
+    is +inf (no residual loop ran)."""
     if cfg.solver not in _SHARDED_SOLVERS:
         raise NotImplementedError(
             f"multi-chip path implements solvers {_SHARDED_SOLVERS}, got "
@@ -483,13 +559,43 @@ def solve_level_sharded(
         done = jnp.where(ran_tail, jnp.int32(iters), done)
         return (out, done, res) if return_info else out
 
-    prev = jnp.zeros_like(u)
+    prev0 = jnp.zeros_like(u)
     fn = _sharded_level_fn(mesh, halo, iters, cfg, batched)
-    out = fn(u, prev, *planes, m)
+    out, prev, done, res = fn(u, prev0, *planes, m)
     out = out[..., :h, :w]
-    if return_info:
-        return out, jnp.int32(iters), jnp.float32(jnp.inf)
-    return out
+    if not cfg.early_exit:
+        return (out, done, res) if return_info else out
+    # Truncated final chunk: same contract as the red-black branch above —
+    # plain (GSPMD-sharded) XLA sweeps with a dynamic trip count carrying
+    # (u, prev), omegas indexed by the global iteration so the Wang
+    # recurrence continues seamlessly.
+    from ..core.solver import chebyshev_omegas, jacobi_sweep
+
+    prev = prev[..., :h, :w]
+    om_full = jnp.asarray(chebyshev_omegas(max(iters, 1), cfg))
+    gamma = jnp.float32(cfg.chebyshev_gamma)
+    rem = jnp.maximum(jnp.int32(iters) - done, 0)
+
+    def one(j, v, p, mk, w):
+        r = jacobi_sweep(v, w)
+        o = om_full[j] * (gamma * (r - v) + v - p) + p
+        return jnp.where(mk, v, o), v
+
+    step = (
+        (lambda s, j: tuple(jax.vmap(
+            lambda vi, pi, mi, *ws: one(j, vi, pi, mi, type(wts)(*ws))
+        )(s[0], s[1], mask, *wts)))
+        if batched
+        else (lambda s, j: one(j, s[0], s[1], mask, wts))
+    )
+    tail = lambda s: lax.fori_loop(
+        done, jnp.int32(iters), lambda j, st: step(st, j), s
+    )
+    tol = jnp.float32(cfg.tolerance) * jnp.float32(255.0)
+    ran_tail = (res >= tol) & (rem > 0)
+    out, _ = lax.cond(ran_tail, tail, lambda s: s, (out, prev))
+    done = jnp.where(ran_tail, jnp.int32(iters), done)
+    return (out, done, res) if return_info else out
 
 
 def solve_cascade_sharded(

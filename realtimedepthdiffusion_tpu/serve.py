@@ -498,14 +498,23 @@ def solve_pairs_multichip(
                 depth_np = np.asarray(depth)
                 art_np = np.asarray(art) if effect is not None else None
                 if stats_out is not None:
-                    # Batched dispatch: each pair in the batch carries an
-                    # equal share of the batch's dispatch-to-readback wall.
+                    # Batched dispatch: each RECORDED pair carries an equal
+                    # share of the batch's dispatch-to-readback wall.
                     # Duplicate-stem losers record NO entry (single-chip
-                    # contract: no output of their own backs a latency).
-                    share = (time.perf_counter() - t_dispatch) / n
-                    for (i, img_path, _ann), _data in chunk:
-                        if last_for_stem[stems[i]] == i:
-                            stats_out[img_path] = share
+                    # contract: no output of their own backs a latency), so
+                    # the wall divides by the number of winners — recorded
+                    # shares sum back to the batch's actual wall even in
+                    # loser-heavy batches.
+                    winners = [
+                        img_path
+                        for (i, img_path, _ann), _data in chunk
+                        if last_for_stem[stems[i]] == i
+                    ]
+                    share = (time.perf_counter() - t_dispatch) / max(
+                        len(winners), 1
+                    )
+                    for img_path in winners:
+                        stats_out[img_path] = share
                 for k, ((i, img_path, _ann), _data) in enumerate(chunk):
                     stem = stems[i]
                     win = last_for_stem[stem]
@@ -719,8 +728,24 @@ def _watch(a, cfg, eff, t_run0) -> int:
                             # current contents and exits 1.
                             outputs.pop(img, None)
                             stats.pop(img, None)
+                            # And the DISK must agree with the manifest: a
+                            # consumer globbing --out instead of reading the
+                            # report must not find a plausible-looking
+                            # output solved from the earlier signature.
+                            stem = os.path.splitext(
+                                os.path.basename(img)
+                            )[0]
+                            for suffix in ("_depth.png", "_depth16.png",
+                                           "_effect.png"):
+                                try:
+                                    os.unlink(
+                                        os.path.join(a.out, stem + suffix)
+                                    )
+                                except OSError:
+                                    pass
                             print(f"watch: giving up on {img} after "
-                                  f"{k} attempts (touch it to retry)",
+                                  f"{k} attempts (touch it to retry; stale "
+                                  f"outputs removed)",
                                   file=sys.stderr)
                 evicted = _trim_pipelines(pipelines, a.max_shapes)
                 if evicted:

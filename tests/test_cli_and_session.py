@@ -330,12 +330,12 @@ def test_cli_profile_flag():
     ))
     assert cfg.tolerance == pytest.approx(1e-4)
     assert cfg.incremental_iterations == 0
-    # overriding the solver away from red_black drops the profile's early
-    # exit (no residual loop to exit from) instead of erroring
+    # overriding the solver away from red_black KEEPS the profile's early
+    # exit: every solver honors the tolerance now (round 5)
     cfg = make_config(parse_args(
         ["-i", "x.jpg", "--profile", "fast", "--solver", "jacobi_chebyshev"]
     ))
-    assert cfg.solver == "jacobi_chebyshev" and not cfg.early_exit
+    assert cfg.solver == "jacobi_chebyshev" and cfg.early_exit
 
     with pytest.raises(SystemExit, match="profile"):
         parse_args(["--profile", "turbo"])

@@ -49,17 +49,18 @@ def test_scribble_depth_values():
 
 
 def test_config_validation_at_construction():
-    """Every surface fails loudly at config construction: early_exit without
-    the (only) residual-loop solver, or a typo'd residual metric."""
+    """Every surface fails loudly at config construction on a typo'd
+    residual metric; early_exit pairs with EVERY solver (round 5: all three
+    honor the tolerance the reference ignores, src/main.cpp:264)."""
     import pytest
 
     from realtimedepthdiffusion_tpu.config import DiffusionConfig
 
-    with pytest.raises(ValueError, match="red_black"):
-        DiffusionConfig(early_exit=True)
     with pytest.raises(ValueError, match="residual_metric"):
         DiffusionConfig(residual_metric="rsm")
-    # the valid pairing constructs fine
+    # every solver accepts the early exit now
+    DiffusionConfig(early_exit=True)  # default jacobi_chebyshev
+    DiffusionConfig(solver="jacobi", early_exit=True)
     DiffusionConfig(solver="red_black", early_exit=True, residual_metric="max")
 
 

@@ -543,3 +543,49 @@ def test_defocus_pallas_approx_small_aperture_degenerates_to_exact(rng):
         defocus_pallas(jnp.asarray(rgb), jnp.asarray(depth), cfg_a, interpret=True)
     )
     assert np.array_equal(got, want)
+
+
+def test_chebyshev_pallas_early_exit_chunked_bitwise(rng):
+    """The Pallas chunked early-exit runner (strip megakernel re-launched
+    per residual chunk, (u, prev) carried in the ping-pong layout, omegas
+    dynamic-sliced from the global table) is BITWISE identical to the
+    fixed-iteration strip megakernel when the tolerance can never fire —
+    including the truncated final chunk's SMEM active-count masking and the
+    even-block parity padding (33 iters, cadence 7)."""
+    gray, mask, depth = _case(rng, 40, 56)
+    args = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray), 1, 4, 33)
+    cfg = DiffusionConfig(backend="pallas_interpret")
+    cfg_ee = DiffusionConfig(backend="pallas_interpret", early_exit=True,
+                             tolerance=0.0, residual_check_every=7)
+    want = np.asarray(ps.solve_level_strips(*args, cfg, interpret=True))
+    got = np.asarray(
+        ps.solve_level_strips_early_exit(*args, cfg_ee, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_chebyshev_pallas_early_exit_matches_xla(rng):
+    """Early-exit jacobi_chebyshev on the Pallas path stops at the same
+    iterate as the XLA chunked while_loop (same residual cadence, same
+    omega table), and solve_level_pallas routes early_exit configs to the
+    chunked strip runner at every level size."""
+    gray, mask, depth = _case(rng, 40, 56)
+    cfg = DiffusionConfig(early_exit=True, residual_check_every=6,
+                          tolerance=1e-3)
+    iters = 40
+    want = np.asarray(
+        solver.solve_level(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray),
+            1, 1, iters, cfg,
+        )
+    )
+    got = np.asarray(
+        ps.solve_level_pallas(
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray),
+            1, 1, iters, cfg, interpret=True,
+        )
+    )
+    # 1e-2: the Chebyshev extrapolation (omega -> ~1.9) amplifies the
+    # cross-program FMA band slightly beyond the plain 5e-3.
+    np.testing.assert_allclose(got, want, atol=1e-2)
+    assert np.array_equal(got[mask], depth[mask])

@@ -434,3 +434,67 @@ def test_sharded_defocus_thin_block_fallback(rng):
         for i in range(b)
     ])
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_sharded_chebyshev_early_exit_matches_single_chip(rng):
+    """The reference-default solver honors the tolerance on the MULTI-CHIP
+    path too (round-4 verdict task #2): the pmax/psum'd global residual
+    stops the sharded jacobi_chebyshev at the same iterate as the
+    single-chip chunked while_loop, (u, prev) carried across chunks with
+    the omega schedule dynamic-sliced by global iteration."""
+    mesh = make_mesh(8)
+    cfg = DiffusionConfig(early_exit=True, residual_check_every=6,
+                          tolerance=1e-4)
+    h, w = 64, 96
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    mask = rng.random((h, w)) < 0.06
+    val = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    depth = oracle.seed_depth(np.full((h, w), 255.0, np.float32), mask, val)
+    args = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray))
+
+    got = np.asarray(
+        sharded.solve_level_sharded(*args, 1, 1, 20, mesh, cfg, halo=4)
+    )
+    want = np.asarray(solver.solve_level(*args, 1, 1, 20, cfg))
+    assert np.sqrt(np.mean(((got - want) / 255.0) ** 2)) < 1e-4
+    assert np.array_equal(got[mask], depth[mask])
+
+
+@pytest.mark.slow
+def test_sharded_chebyshev_early_exit_runs_truncated_tail(rng):
+    """Unreachable tolerance: the sharded early-exit chebyshev completes
+    EXACTLY the iteration cap — the while_loop runs full chunks only and
+    the GSPMD tail (carrying u AND the Chebyshev prev) owns the remainder
+    (20 = 3x6 + 2 here), with the observability probe reporting the full
+    budget ran (iters_done == 20, not 18)."""
+    mesh = make_mesh(8)
+    cfg_ee = DiffusionConfig(early_exit=True, residual_check_every=6,
+                             tolerance=1e-12)
+    cfg_fx = DiffusionConfig()
+    h, w = 64, 96
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    mask = rng.random((h, w)) < 0.06
+    val = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    depth = oracle.seed_depth(np.full((h, w), 255.0, np.float32), mask, val)
+    args = (jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(gray))
+
+    got = np.asarray(
+        sharded.solve_level_sharded(*args, 1, 1, 20, mesh, cfg_ee, halo=4)
+    )
+    want = np.asarray(
+        sharded.solve_level_sharded(*args, 1, 1, 20, mesh, cfg_fx, halo=4)
+    )
+    short = np.asarray(
+        sharded.solve_level_sharded(*args, 1, 1, 18, mesh, cfg_fx, halo=4)
+    )
+    gap = np.sqrt(np.mean(((short - want) / 255.0) ** 2))
+    assert gap > 1e-6, f"18-vs-20 gap {gap} too small to guard the tail"
+    err = np.sqrt(np.mean(((got - want) / 255.0) ** 2))
+    assert err < gap / 10, (err, gap)
+
+    _, done, res = sharded.solve_level_sharded(
+        *args, 1, 1, 20, mesh, cfg_ee, halo=4, return_info=True
+    )
+    assert int(done) == 20, int(done)
+    assert float(res) >= cfg_ee.tolerance * 255.0

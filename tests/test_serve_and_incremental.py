@@ -483,18 +483,18 @@ def test_serve_profile_fast_config_resolution():
     assert cfg.solver == "jacobi_chebyshev" and not cfg.early_exit
     assert cfg == DiffusionConfig()  # today's defaults, exactly
 
-    # explicit flags override the profile (and drop its early exit when the
-    # overridden solver has no residual loop)
+    # explicit flags override the profile; the early exit survives a solver
+    # override because every solver honors the tolerance now (round 5)
     cfg = parse(["--profile", "fast", "--solver", "jacobi_chebyshev"])
-    assert cfg.solver == "jacobi_chebyshev" and not cfg.early_exit
+    assert cfg.solver == "jacobi_chebyshev" and cfg.early_exit
     cfg = parse(["--profile", "fast", "--tolerance", "1e-4",
                  "--residual-metric", "max", "--rb-plain"])
     assert cfg.tolerance == 1e-4 and cfg.residual_metric == "max"
     assert not cfg.rb_chebyshev
 
-    # --early-exit without a residual-loop solver exits via parser.error
-    with pytest.raises(SystemExit):
-        parse(["--early-exit"])
+    # --early-exit alone now rides the default (reference) solver
+    cfg = parse(["--early-exit"])
+    assert cfg.solver == "jacobi_chebyshev" and cfg.early_exit
 
 
 def test_serve_profile_fast_takes_early_exit_path(tmp_path, monkeypatch):

@@ -353,3 +353,52 @@ def test_subnormal_weight_sum_is_isolated():
     assert np.isfinite(out).all()
     want = oracle.solve_level(depth, mask, gray, 1, 1, 50, CFG)
     np.testing.assert_allclose(out, want, atol=5e-2)
+
+
+def test_every_solver_early_exit_chunked_bitwise(rng):
+    """With an UNREACHABLE tolerance the chunked early-exit while_loop is
+    BITWISE identical to the fixed-iteration loop for EVERY solver: the
+    omega tables are indexed by the global iteration, so the Chebyshev /
+    Golub-Varga recurrences continue seamlessly across chunk boundaries
+    (the round-4 verdict's omega-continuity requirement), and the truncated
+    final chunk (40 = 5x7 + 5 here) lands exactly on the cap."""
+    gray, mask, val, depth = _case(rng, 32, 40)
+    for sv in ("jacobi_chebyshev", "jacobi", "red_black"):
+        cfg = DiffusionConfig(solver=sv)
+        cfg_ee = DiffusionConfig(solver=sv, early_exit=True, tolerance=0.0,
+                                 residual_check_every=7)
+        jw = weights.edge_weights(jnp.asarray(gray), None, 1, 1, cfg)
+        fn = solver._SOLVERS[sv]
+        a = np.asarray(fn(jnp.asarray(depth), jnp.asarray(mask), jw, 40, cfg))
+        b = np.asarray(
+            fn(jnp.asarray(depth), jnp.asarray(mask), jw, 40, cfg_ee)
+        )
+        np.testing.assert_array_equal(a, b, err_msg=sv)
+
+
+@pytest.mark.parametrize("metric", ["rms", "max"])
+def test_chebyshev_early_exit_fires(rng, metric):
+    """The reference-default solver honors the tolerance (round-4 verdict
+    task #2; the reference declares tolerance=1e-5 and ignores it,
+    src/main.cpp:264): with a loose tolerance and a huge cap the returned
+    residual is below tolerance*255, Dirichlet pixels stay pinned, and the
+    iterate differs from the full-cap run (proof the exit actually fired
+    rather than running the cap)."""
+    gray, mask, val, depth = _case(rng, 32, 40)
+    cfg = DiffusionConfig(early_exit=True, tolerance=1e-3,
+                          residual_check_every=10, residual_metric=metric)
+    jw = weights.edge_weights(jnp.asarray(gray), None, 1, 1, cfg)
+    u = solver.solve_jacobi_chebyshev(
+        jnp.asarray(depth), jnp.asarray(mask), jw, 3000, cfg
+    )
+    res = float(solver.residual_metric_fn(cfg)(u, jnp.asarray(mask), jw))
+    assert res < 1e-3 * 255.0
+    got = np.asarray(u)
+    assert np.array_equal(got[mask], depth[mask])
+    full = np.asarray(
+        solver.solve_jacobi_chebyshev(
+            jnp.asarray(depth), jnp.asarray(mask), jw, 3000,
+            DiffusionConfig(), early_exit=False,
+        )
+    )
+    assert np.abs(got - full).max() > 0.0  # exited before the cap
