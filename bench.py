@@ -178,5 +178,34 @@ def main():
     )
 
 
+def _record_cold_start():
+    """Run bench_cold.py in a FRESH subprocess and persist its JSON to
+    BENCH_COLD.json next to this file — the per-round cold-start artifact
+    (round-4 verdict task #4: a cold-start regression must show up in a
+    tracked number, not a stderr line). Failures are reported but never
+    break the headline bench (the driver contract is ONE stdout line)."""
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "bench_cold.py"),
+             "--fused-wait", "240"],
+            capture_output=True, text=True, timeout=900,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        data = json.loads(line)
+    except Exception as e:  # noqa: BLE001 - diagnostics only
+        log(f"cold-start bench failed: {e!r}")
+        return
+    with open(os.path.join(here, "BENCH_COLD.json"), "w") as f:
+        json.dump(data, f, indent=1)
+        f.write("\n")
+    log(f"cold start: {data['detail']}  -> BENCH_COLD.json")
+
+
 if __name__ == "__main__":
     main()
+    if "--no-cold" not in sys.argv:
+        _record_cold_start()

@@ -135,6 +135,12 @@ class DiffusionConfig:
     # coarser levels re-solve fully (they are microseconds in the resident
     # kernel and carry the edit's whole far field).
     incremental_window_levels: int = 2
+    # Maximum simultaneous dirty rects kept separate by the live session
+    # (live/session.py): up to this many distant strokes each take the
+    # windowed incremental path sequentially (one compiled window program,
+    # different centers); overflow merges the nearest rects toward the old
+    # single-bounding-rect behavior.
+    incremental_max_rects: int = 4
     # Global sweeps per windowed level that polish the injected coarse
     # correction along image edges before the deep window solve. The round-4
     # 39-case ledger (tools/incremental_report.py; PERF.md "Incremental live

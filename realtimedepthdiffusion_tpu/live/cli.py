@@ -18,7 +18,8 @@ plus headless extensions for CI/scripting (the reference is GUI-only):
     --incremental N    windowed warm re-solve with N iterations after small
                        edits (the low-latency --live painting path)
     --early-exit       stop a level once the residual drops below tolerance
-                       (requires --solver red_black, the residual-loop solver)
+                       (every solver honors it; the reference declares a
+                       tolerance and ignores it, src/main.cpp:264)
     --tolerance X      residual tolerance for --early-exit (default 1e-5,
                        the value the reference declares but never uses)
     --residual-metric  rms | max — early-exit residual functional (default
@@ -66,7 +67,7 @@ USAGE = (
     " --effect b|g|h (refocus|desaturation|haze) artistic effect\n --save-dir DIR output directory\n"
     " --checkpoint F save full session state\n --resume F restore session state\n --backend xla|pallas|auto\n --profile faithful|fast named solver profile\n --solver jacobi_chebyshev|jacobi|red_black\n"
     " --multigrid cascadic|vcycle\n --incremental N windowed live re-solve budget\n"
-    " --early-exit residual-tolerance early exit (red_black only)\n --tolerance X residual tolerance (default 1e-5)\n"
+    " --early-exit residual-tolerance early exit (any solver)\n --tolerance X residual tolerance (default 1e-5)\n"
     " --residual-metric rms|max early-exit residual functional (default rms)\n"
     " --rb-rho X red-black Chebyshev rho (default 0.9999)\n --rb-plain disable red-black SOR omegas\n"
     " --gray-pyramid opencv|floor gray-chain convention\n"

@@ -65,7 +65,12 @@ class DepthSession:
         self.mask_np = self.arena.alloc_u8((self.rows, self.cols))
         self.value_np = self.arena.alloc_u8((self.rows, self.cols))
         self._edited_buf = self.arena.alloc_u8((self.rows, self.cols, 3))
-        self.dirty: Optional[Tuple[int, int, int, int]] = None
+        # Pending edits as a LIST of disjoint dirty rects (y0, x0, y1, x1):
+        # up to cfg.incremental_max_rects simultaneous distant strokes each
+        # take the windowed incremental path (round-4 verdict task #5 — a
+        # single bounding rect used to merge two-handed strokes into one
+        # over-window rect and silently fall back to the full re-solve).
+        self.dirty_rects: list = []
         self._mask_d: Optional[jnp.ndarray] = None  # device annotation cache
         self._value_d: Optional[jnp.ndarray] = None
         self.depth_state = self.pipe.initial_state()
@@ -120,22 +125,69 @@ class DepthSession:
     def adjust_radius(self, delta: int) -> None:
         self.scribble_radius = max(self.scribble_radius + delta, 0)
 
+    @property
+    def dirty(self) -> Optional[Tuple[int, int, int, int]]:
+        """Bounding box of all pending dirty rects (the single-rect view;
+        the multi-rect list is ``dirty_rects``)."""
+        if not self.dirty_rects:
+            return None
+        ys0, xs0, ys1, xs1 = zip(*self.dirty_rects)
+        return (min(ys0), min(xs0), max(ys1), max(xs1))
+
+    @dirty.setter
+    def dirty(self, rect) -> None:
+        self.dirty_rects = [] if rect is None else [tuple(rect)]
+
+    def _add_dirty(self, rect, gap: int = 8) -> None:
+        """Insert a paint rect: merge with every pending rect it overlaps
+        or sits within ``gap`` px of (consecutive events of one stroke
+        coalesce into one rect; distant simultaneous strokes stay
+        separate). Overflow beyond cfg.incremental_max_rects merges the
+        two nearest rects, so the list is bounded and the worst case
+        degrades to the old single-bounding-rect behavior."""
+        def near(a, b):
+            return not (a[2] + gap < b[0] or b[2] + gap < a[0]
+                        or a[3] + gap < b[1] or b[3] + gap < a[1])
+
+        def union(a, b):
+            return (min(a[0], b[0]), min(a[1], b[1]),
+                    max(a[2], b[2]), max(a[3], b[3]))
+
+        rects = self.dirty_rects
+        cur = tuple(rect)
+        merged = True
+        while merged:
+            merged = False
+            for i, r in enumerate(rects):
+                if near(cur, r):
+                    cur = union(cur, r)
+                    rects.pop(i)
+                    merged = True
+                    break
+        rects.append(cur)
+        kmax = max(int(self.cfg.incremental_max_rects), 1)
+        while len(rects) > kmax:
+            best = None
+            for i in range(len(rects)):
+                for j in range(i + 1, len(rects)):
+                    a, b = rects[i], rects[j]
+                    d = (abs((a[0] + a[2]) - (b[0] + b[2]))
+                         + abs((a[1] + a[3]) - (b[1] + b[3])))
+                    if best is None or d < best[0]:
+                        best = (d, i, j)
+            _, i, j = best
+            rects[i] = union(rects[i], rects[j])
+            rects.pop(j)
+
     def paint(self, x: int, y: int) -> None:
         """Mouse-drag brush stroke (square brush, SURVEY.md C5): native
-        rasterizer into the host planes, accumulating the dirty rect."""
+        rasterizer into the host planes, accumulating dirty rects."""
         rect = self.native.paint(
             self.mask_np, self.value_np, x, y, self.scribble_color,
             self.scribble_radius,
         )
         if rect is not None:
-            if self.dirty is None:
-                self.dirty = rect
-            else:
-                d = self.dirty
-                self.dirty = (
-                    min(d[0], rect[0]), min(d[1], rect[1]),
-                    max(d[2], rect[2]), max(d[3], rect[3]),
-                )
+            self._add_dirty(rect)
 
     # ----------------------------------------------------------------- solve
     def solve(self) -> np.ndarray:
@@ -144,31 +196,36 @@ class DepthSession:
         buffers.
 
         Incremental mode (cfg.incremental_iterations > 0): after the first
-        full solve, an edit whose dirty rect fits the incremental window
-        takes the LOCAL path — the host uploads only the dirty window of the
+        full solve, edits whose dirty rects each fit the incremental window
+        take the LOCAL path — the host uploads only the dirty windows of the
         annotation planes (device-side dynamic_update_slice) and the solver
-        re-solves just a window around the edit at the fine levels
-        (core/incremental.py). Larger edits (annotation/checkpoint loads)
-        fall back to the full warm re-solve.
+        re-solves just a window around each edit at the fine levels
+        (core/incremental.py), sequentially reusing ONE compiled
+        single-window program with different centers (up to
+        cfg.incremental_max_rects simultaneous distant strokes). Larger
+        edits (annotation/checkpoint loads, rect overflow) fall back to the
+        full warm re-solve.
         """
         t0 = time.perf_counter()
         pipe = self.pipe
         if self._inc_pipe is not None and self.solve_count > 0:
             pipe = self._inc_pipe
 
-        rect = self.dirty
-        center = None
+        rects = list(self.dirty_rects)
+        centers = []
         use_local = False
         inc_kick_wanted = False
         if (
             self._inc_pipe is not None
             and self.solve_count > 0
-            and rect is not None
+            and rects
             and self._mask_d is not None
         ):
             s_win = min(self.cfg.incremental_window, self.rows, self.cols)
-            use_local = (
-                rect[2] - rect[0] + 1 <= s_win and rect[3] - rect[1] + 1 <= s_win
+            kmax = max(int(self.cfg.incremental_max_rects), 1)
+            use_local = len(rects) <= kmax and all(
+                r[2] - r[0] + 1 <= s_win and r[3] - r[1] + 1 <= s_win
+                for r in rects
             )
             # fast_start: never block a live frame on the incremental
             # program's compile — fall back to the (already compiled) full
@@ -185,14 +242,12 @@ class DepthSession:
                 inc_kick_wanted = True
 
         with self.timer.stage("upload"):
-            # The dirty rect gates (and now crops) the host->device
-            # annotation transfer: under --live the solve runs every frame,
-            # but unchanged annotations reuse the device copies, and small
+            # The dirty rects gate (and crop) the host->device annotation
+            # transfer: under --live the solve runs every frame, but
+            # unchanged annotations reuse the device copies, and small
             # edits upload only the window bytes.
             if use_local:
                 s_win = min(self.cfg.incremental_window, self.rows, self.cols)
-                cy = (rect[0] + rect[2]) // 2
-                cx = (rect[1] + rect[3]) // 2
 
                 def origin(c, lo, hi, n, s=s_win):
                     # Window start near the rect center, clamped so the
@@ -201,17 +256,25 @@ class DepthSession:
                     # last row/column when the rect spans exactly s pixels.
                     return min(max(c - s // 2, hi + 1 - s, 0), lo, n - s)
 
-                oy = origin(cy, rect[0], rect[2], self.rows)
-                ox = origin(cx, rect[1], rect[3], self.cols)
-                mw = jnp.asarray(
-                    self.mask_np[oy : oy + s_win, ox : ox + s_win].astype(bool)
-                )
-                vw = jnp.asarray(self.value_np[oy : oy + s_win, ox : ox + s_win])
-                self._mask_d, self._value_d = self.pipe.update_annotation_window(
-                    self._mask_d, self._value_d, mw, vw,
-                    (jnp.int32(oy), jnp.int32(ox)),
-                )
-                center = jnp.asarray([cy, cx], dtype=jnp.int32)
+                for rect in rects:
+                    cy = (rect[0] + rect[2]) // 2
+                    cx = (rect[1] + rect[3]) // 2
+                    oy = origin(cy, rect[0], rect[2], self.rows)
+                    ox = origin(cx, rect[1], rect[3], self.cols)
+                    mw = jnp.asarray(
+                        self.mask_np[oy : oy + s_win, ox : ox + s_win]
+                        .astype(bool)
+                    )
+                    vw = jnp.asarray(
+                        self.value_np[oy : oy + s_win, ox : ox + s_win]
+                    )
+                    self._mask_d, self._value_d = (
+                        self.pipe.update_annotation_window(
+                            self._mask_d, self._value_d, mw, vw,
+                            (jnp.int32(oy), jnp.int32(ox)),
+                        )
+                    )
+                    centers.append(jnp.asarray([cy, cx], dtype=jnp.int32))
             elif self.dirty is not None or self._mask_d is None:
                 self._mask_d = jnp.asarray(self.mask_np.astype(bool))
                 self._value_d = jnp.asarray(self.value_np)
@@ -219,17 +282,25 @@ class DepthSession:
             self.dirty = None
         with self.timer.stage("solve"):
             if use_local:
-                if self.effect == fx.EFFECT_NONE:
-                    self.depth0, self.depth_state = self.pipe.solve_incremental(
-                        self.gray_pyr, mask_d, value_d, self.depth_state, center
-                    )
-                else:
-                    self.depth0, self.depth_state, self.artistic = (
-                        self.pipe.solve_incremental_and_effect(
-                            self.effect, self.gray_pyr, self.rgb, mask_d,
-                            value_d, self.depth_state, center,
+                # One windowed re-solve per rect, sequentially through the
+                # SAME compiled program (center is a traced argument);
+                # the active effect renders once, fused with the last
+                # window's solve (it sees every rect's updated state).
+                for i, center in enumerate(centers):
+                    if self.effect == fx.EFFECT_NONE or i < len(centers) - 1:
+                        self.depth0, self.depth_state = (
+                            self.pipe.solve_incremental(
+                                self.gray_pyr, mask_d, value_d,
+                                self.depth_state, center,
+                            )
                         )
-                    )
+                    else:
+                        self.depth0, self.depth_state, self.artistic = (
+                            self.pipe.solve_incremental_and_effect(
+                                self.effect, self.gray_pyr, self.rgb, mask_d,
+                                value_d, self.depth_state, center,
+                            )
+                        )
             elif self.effect == fx.EFFECT_NONE:
                 self.depth0, self.depth_state = pipe.solve(
                     self.gray_pyr, mask_d, value_d, self.depth_state

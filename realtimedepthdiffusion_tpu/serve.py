@@ -805,8 +805,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "coarse-to-fine pass; vcycle adds polishing cycles)")
     p.add_argument("--early-exit", action="store_true",
                    help="stop a level once the residual drops below the "
-                        "tolerance (requires --solver red_black, the "
-                        "residual-loop solver)")
+                        "tolerance (every solver honors it; the reference "
+                        "declares a tolerance and ignores it)")
     p.add_argument("--tolerance", type=float, default=None,
                    help="residual tolerance; implies --early-exit (default "
                         "1e-5, the value the reference declares but never "

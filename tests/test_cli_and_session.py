@@ -274,15 +274,16 @@ def test_cli_solver_flags_reach_config():
     with pytest.raises(SystemExit, match="number"):
         parse_args(["--tolerance", "abc"])
 
-    # Only red_black has a residual loop: requesting early exit (directly or
-    # via --tolerance) on any other solver must fail loudly, not silently
-    # run the full fixed schedule (the reference bug these flags fix).
-    with pytest.raises(SystemExit, match="red_black"):
-        make_config(parse_args(["-i", "x.jpg", "--tolerance", "1e-4"]))
-    with pytest.raises(SystemExit, match="red_black"):
-        make_config(parse_args(
-            ["-i", "x.jpg", "--solver", "jacobi", "--early-exit"]
-        ))
+    # Every solver honors the early exit (round 5): --tolerance on the
+    # default (reference) solver and --early-exit on plain jacobi both
+    # resolve to working configs instead of erroring.
+    cfg4 = make_config(parse_args(["-i", "x.jpg", "--tolerance", "1e-4"]))
+    assert cfg4.solver == "jacobi_chebyshev" and cfg4.early_exit
+    assert cfg4.tolerance == pytest.approx(1e-4)
+    cfg5 = make_config(parse_args(
+        ["-i", "x.jpg", "--solver", "jacobi", "--early-exit"]
+    ))
+    assert cfg5.solver == "jacobi" and cfg5.early_exit
 
     # --residual-metric validates at parse time (like --effect) and is
     # case-insensitive.

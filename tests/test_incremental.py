@@ -162,3 +162,79 @@ def test_incremental_full_fallback_on_large_edit():
         s.load_annotation_file(p)  # full-plane dirty rect
         s.solve()
     assert np.array_equal(np.asarray(s._mask_d), s.mask_np.astype(bool))
+
+
+def test_session_multi_rect_incremental():
+    """Two SIMULTANEOUS distant strokes each take the windowed incremental
+    path (round-4 verdict task #5 — the single bounding rect used to
+    overflow the window and silently fall back to the full re-solve):
+    paint() keeps them as separate dirty rects, solve() window-solves each
+    sequentially through the same compiled program, and the result tracks
+    a full warm re-solve within the ledger band."""
+    from realtimedepthdiffusion_tpu.live.session import DepthSession
+    from realtimedepthdiffusion_tpu.pipeline import DepthPipeline
+
+    rgb, _, _ = synthetic_pair(192, 224, 5)
+    cfg = DiffusionConfig(max_iterations=60, incremental_iterations=16,
+                          incremental_window=64)
+    s = DepthSession(rgb, cfg)
+    s.set_color_key(1)
+    s.paint(40, 40)
+    s.solve()
+    mask1 = s.mask_np.astype(bool).copy()
+    value1 = s.value_np.copy()
+
+    # Two distant strokes in the same frame: far beyond one 64px window.
+    s.set_color_key(3)
+    s.paint(30, 30)
+    s.set_color_key(4)
+    s.paint(190, 160)
+    assert len(s.dirty_rects) == 2
+    bb = s.dirty
+    assert bb[2] - bb[0] + 1 > 64 or bb[3] - bb[1] + 1 > 64  # union overflows
+
+    calls = []
+    real = s.pipe.solve_incremental
+    s.pipe.solve_incremental = (
+        lambda *a, **kw: (calls.append(1), real(*a, **kw))[1]
+    )
+    s.solve()
+    assert len(calls) == 2, "each rect must take the incremental path"
+    # Device planes carry BOTH windows.
+    assert np.array_equal(np.asarray(s._mask_d), s.mask_np.astype(bool))
+    d = np.asarray(s.depth0)
+    assert d[30, 30] == 192.0 and d[160, 190] == 254.0  # both pinned
+
+    # Quality: track a full warm re-solve from the same warm trajectory
+    # (first-solve state from the first annotation, then both strokes).
+    pipe = DepthPipeline(192, 224, DiffusionConfig(max_iterations=60))
+    _, gp = pipe.prepare_image(rgb)
+    _, st = pipe.solve(
+        gp, jnp.asarray(mask1), jnp.asarray(value1), pipe.initial_state()
+    )
+    d_full, _ = pipe.solve(
+        gp, jnp.asarray(s.mask_np.astype(bool)), jnp.asarray(s.value_np), st
+    )
+    rmse = float(np.sqrt(np.mean(((d - np.asarray(d_full)) / 255.0) ** 2)))
+    assert rmse <= 3e-2, rmse
+
+
+def test_session_rect_overflow_merges_nearest():
+    """More simultaneous rects than cfg.incremental_max_rects: the nearest
+    pairs merge, the list stays bounded, and solve still succeeds."""
+    from realtimedepthdiffusion_tpu.live.session import DepthSession
+
+    rgb, _, _ = synthetic_pair(192, 224, 6)
+    cfg = DiffusionConfig(max_iterations=40, incremental_iterations=16,
+                          incremental_window=64, incremental_max_rects=2)
+    s = DepthSession(rgb, cfg)
+    s.set_color_key(2)
+    s.paint(40, 40)
+    s.solve()
+    for (x, y) in ((20, 20), (200, 30), (30, 170), (200, 170)):
+        s.paint(x, y)
+    assert len(s.dirty_rects) <= 2
+    s.solve()
+    d = np.asarray(s.depth0)
+    yy, xx = np.nonzero(s.mask_np)
+    assert np.array_equal(d[yy, xx], s.value_np[yy, xx].astype(np.float32))

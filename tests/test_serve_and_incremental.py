@@ -1107,3 +1107,135 @@ def test_serve_report_manifest(tmp_path):
         "a.png": "skipped_existing", "b.png": "skipped_existing",
         "broken.png": "failed",
     }
+
+
+@pytest.mark.slow
+def test_serve_watch_soak_lru_fails_and_sigterm_manifest(tmp_path):
+    """Watch-mode soak (round-4 verdict task #8): drive the service through
+    many add/modify/delete cycles across max_shapes+2 distinct shapes plus
+    one persistently-broken annotation, then SIGTERM. Pins the round-4
+    hardening as a regression test: the resident-pipeline LRU bound holds
+    under churn (eviction messages fire, process RSS stays bounded), the
+    per-image fails bookkeeping gives up after the attempt cap each time
+    the broken file is touched (no per-signature leak: one give-up burst
+    per touch), and the FINAL manifest written on SIGTERM covers every
+    pair ever seen with truthful statuses."""
+    import json
+    import re
+    import signal
+    import subprocess
+    import sys
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "images"))
+    os.makedirs(os.path.join(d, "annotations"))
+    shapes = [(48, 64), (56, 72), (64, 80), (48, 80)]  # max_shapes=2, +2
+    for i, (h, w) in enumerate(shapes):
+        _write_pair(d, f"s{i}", h, w, i + 1)
+    # Persistently-broken annotation: wrong shape vs its image.
+    rgb, _, _ = synthetic_pair(48, 64, 9)
+    imwrite(os.path.join(d, "images", "bad.png"), rgb)
+    _rgb2, m2, v2 = synthetic_pair(24, 32, 9)
+    save_annotation(os.path.join(d, "annotations", "bad.png"), m2, v2)
+
+    out = os.path.join(d, "out")
+    rep = os.path.join(d, "rep.json")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "realtimedepthdiffusion_tpu.serve",
+         "--images", os.path.join(d, "images"),
+         "--annotations", os.path.join(d, "annotations"),
+         "--out", out, "--backend", "xla", "--watch",
+         "--poll-interval", "0.1", "--max-shapes", "2",
+         "--iterations", "40", "--report", rep],
+        env=env, cwd=d, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+
+    def rss_mb():
+        with open(f"/proc/{proc.pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+        return 0.0
+
+    def wait_outputs(names, deadline_s=240):
+        deadline = time.time() + deadline_s
+        while time.time() < deadline:
+            if all(
+                os.path.exists(os.path.join(out, f"{n}_depth.png"))
+                for n in names
+            ):
+                return
+            assert proc.poll() is None, proc.communicate()
+            time.sleep(0.1)
+        raise AssertionError(f"outputs never appeared: {names}")
+
+    try:
+        wait_outputs([f"s{i}" for i in range(4)])
+        rss_warm = rss_mb()
+        # Churn: rotate modifications across all shapes + the broken pair,
+        # with periodic delete/re-add of one image. Each annotation rewrite
+        # changes the pair's signature, forcing re-solves (and, for evicted
+        # shapes, pipeline re-acquisition under the LRU bound).
+        stamps = {}
+        for cyc in range(12):
+            i = cyc % 4
+            h, w = shapes[i]
+            _r, m, v = synthetic_pair(h, w, 20 + cyc)
+            save_annotation(
+                os.path.join(d, "annotations", f"s{i}.png"), m,
+                np.where(m, (v.astype(int) + cyc * 7) % 255, 0).astype(np.uint8),
+            )
+            stamps[f"s{i}"] = os.path.getmtime(
+                os.path.join(d, "annotations", f"s{i}.png")
+            )
+            os.utime(os.path.join(d, "annotations", "bad.png"))  # re-arm
+            if cyc == 5:
+                os.unlink(os.path.join(d, "images", "s3.png"))  # delete
+            if cyc == 8:
+                r3, _m, _v = synthetic_pair(*shapes[3], 99)
+                imwrite(os.path.join(d, "images", "s3.png"), r3)  # re-add
+            time.sleep(1.2)
+        time.sleep(4.0)  # let the final batch settle
+        rss_end = rss_mb()
+        proc.send_signal(signal.SIGTERM)
+        stdout, stderr = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+
+    # Exit 1: the given-up broken pair is flagged (the batch-mode contract;
+    # a healthy soak without 'bad' exits 0 via the SIGTERM path).
+    assert proc.returncode == 1, (proc.returncode, stderr[-3000:])
+    # LRU bound: with 4 shapes churning over a 2-shape cap, evictions MUST
+    # have fired; and the bounded residency keeps RSS from runaway growth
+    # across the soak (generous 1.6x + 200MB band: the bound is about
+    # unbounded-leak detection, not exact accounting).
+    assert "evicted" in stderr, stderr[-3000:]
+    assert rss_end < rss_warm * 1.6 + 200.0, (rss_warm, rss_end)
+    # Fails bookkeeping: the broken pair was given up on (attempt cap) and
+    # its stale outputs removed; re-arming by touch produced repeated
+    # give-up bursts rather than a single permanent skip.
+    gave_up = re.findall(r"giving up on .*bad\.png", stderr)
+    assert len(gave_up) >= 2, stderr[-3000:]
+    assert not os.path.exists(os.path.join(out, "bad_depth.png"))
+    # Final manifest on SIGTERM: every pair ever seen, truthful statuses.
+    data = json.load(open(rep))
+    by = {os.path.basename(e["image"]): e for e in data["pairs"]}
+    assert by["bad.png"]["status"] == "failed"
+    assert by["bad.png"]["depth"] is None
+    for i in range(4):
+        e = by[f"s{i}.png"]
+        assert e["status"] == "solved", e
+        assert os.path.exists(e["depth"])
+    # The re-solves actually tracked the rewritten annotations: the last
+    # written depth for a churned shape postdates its last rewrite.
+    for name, ts in stamps.items():
+        if name == "s3":
+            continue  # deleted/re-added mid-soak; covered by status above
+        assert os.path.getmtime(os.path.join(out, f"{name}_depth.png")) >= ts
