@@ -19,6 +19,9 @@ Strokes (deterministic per pair):
   1. extend  — grow an existing scribble by a 20x20 block (same depth)
   2. island  — new scribble in the most annotation-distant region, depth 64
   3. flip    — repaint the extension at the opposite depth (255 - v)
+  4. twin    — TWO simultaneous distant strokes in one frame, solved as two
+     sequential windowed re-solves through the same compiled program (the
+     session's multi-rect path, round-5) vs ONE full warm re-solve
 
 Output: a markdown table (per-pair and summary rows) for PERF.md/PARITY.md.
 
@@ -102,7 +105,8 @@ def run_pair(rgb, mask0, value0, gs_values, cfg_kw):
         st_inc = tuple(jnp.array(s) for s in st0)  # incremental trajectory
         st_full = tuple(jnp.array(s) for s in st0)  # ground-truth trajectory
         mask, value = mask0.copy(), value0.copy()
-        for stroke, sy, sx, val in scripted_strokes(mask0, value0):
+        strokes = scripted_strokes(mask0, value0)
+        for stroke, sy, sx, val in strokes:
             mask[sy - 10 : sy + 10, sx - 10 : sx + 10] = True
             value[sy - 10 : sy + 10, sx - 10 : sx + 10] = val
             m, v = jnp.asarray(mask), jnp.asarray(value)
@@ -120,6 +124,38 @@ def run_pair(rgb, mask0, value0, gs_values, cfg_kw):
                     seam=float(np.sqrt(np.mean(err[band] ** 2))),
                 )
             )
+        # Twin: two distant strokes LANDING TOGETHER, incremental path =
+        # sequential windowed solves (session multi-rect); full path = one
+        # warm re-solve seeing both. Sites: offset from the extend site and
+        # the island site (fresh pixels, max separation).
+        (_, ey, ex, v1), (_, iy, ix, _), _ = strokes
+        ty1, tx1 = max(ey - 40, 10), max(ex - 40, 10)
+        ty2, tx2 = min(iy + 30, h - 11), min(ix + 30, w - 11)
+        for (sy, sx, val) in ((ty1, tx1, 192), (ty2, tx2, 0)):
+            mask[sy - 10 : sy + 10, sx - 10 : sx + 10] = True
+            value[sy - 10 : sy + 10, sx - 10 : sx + 10] = val
+        m, v = jnp.asarray(mask), jnp.asarray(value)
+        d_inc, st_inc = pipe.solve_incremental(
+            gp, m, v, st_inc, jnp.asarray([ty1, tx1], jnp.int32)
+        )
+        d_inc, st_inc = pipe.solve_incremental(
+            gp, m, v, st_inc, jnp.asarray([ty2, tx2], jnp.int32)
+        )
+        d_full, st_full = pipe.solve(gp, m, v, st_full)
+        err = (np.asarray(d_inc) - np.asarray(d_full)) / 255.0
+        band = (
+            _seam_band(h, w, ty1, tx1, cfg.incremental_window)
+            | _seam_band(h, w, ty2, tx2, cfg.incremental_window)
+        )
+        rows.append(
+            dict(
+                gs=gs,
+                stroke="twin",
+                rmse=float(np.sqrt(np.mean(err**2))),
+                maxerr=float(np.abs(err).max()),
+                seam=float(np.sqrt(np.mean(err[band] ** 2))),
+            )
+        )
     return rows
 
 
