@@ -405,3 +405,61 @@ def test_tpu_headline_geometry_matches_cpu_golden_fingerprint():
         .mean(axis=(1, 3), dtype=np.float64)
     )
     np.testing.assert_allclose(efp, data["effect_fingerprint"], atol=1.0)
+
+
+def test_defocus_banded_exact_bitexact_on_hardware(case_512):
+    """The round-5 per-strip [hv_lo, hv_hi] candidate banding: content with
+    far-only strips (large hv_lo — the dynamic corner advance actually
+    fires), sharp strips (loop skipped) and a focus transition must be
+    BIT-identical on the chip to the XLA formulation. Also proves Mosaic
+    compiles the traced-shift pltpu.roll the band skip uses."""
+    from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
+
+    gray, mask, depth = case_512
+    rng = np.random.default_rng(11)
+    h, w = depth.shape
+    rgb = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    d = np.zeros((h, w), np.float32)
+    d[: h // 3] = 255.0                          # far-only strips
+    d[h // 3 : h // 2] = np.linspace(0, 255, h // 2 - h // 3)[:, None]
+    d[h // 2 : 2 * h // 3] = 0.0                 # sharp strips
+    d[2 * h // 3 :] = 200.0                      # another high-lo band
+    dep = jnp.asarray(d)
+    got = np.asarray(jax.jit(lambda r, x: defocus_pallas(r, x, CFG))(rgb, dep))
+    want = np.asarray(jax.jit(lambda r, x: fx.defocus_xla(r, x, CFG))(rgb, dep))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_chebyshev_early_exit_chunked_bitwise_on_hardware(case_512):
+    """Round 5: the chunked early-exit runner (strip megakernel re-launched
+    per residual chunk with the SMEM active count, (u, prev) carried in the
+    ping-pong layout) is bitwise identical ON THE CHIP to the fixed strip
+    megakernel when the tolerance can never fire — including the truncated
+    final chunk (30 = 2x12 + 6) and the even-block parity padding."""
+    d, m, g = _args(case_512)
+    cfg_ee = DiffusionConfig(early_exit=True, tolerance=0.0,
+                             residual_check_every=12)
+    want = np.asarray(
+        jax.jit(lambda dd: ps.solve_level_strips(dd, m, g, 0, 4, ITERS, CFG))(d)
+    )
+    got = np.asarray(
+        jax.jit(
+            lambda dd: ps.solve_level_strips_early_exit(
+                dd, m, g, 0, 4, ITERS, cfg_ee
+            )
+        )(d)
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # And with a loose tolerance the exit FIRES on hardware: fewer
+    # iterations -> a different (earlier) iterate.
+    cfg_loose = DiffusionConfig(early_exit=True, tolerance=5e-3,
+                                residual_check_every=6)
+    got_loose = np.asarray(
+        jax.jit(
+            lambda dd: ps.solve_level_strips_early_exit(
+                dd, m, g, 0, 4, ITERS, cfg_loose
+            )
+        )(d)
+    )
+    assert not np.array_equal(got_loose, want)

@@ -126,8 +126,11 @@ def run_pair(rgb, mask0, value0, gs_values, cfg_kw):
             )
         # Twin: two distant strokes LANDING TOGETHER, incremental path =
         # sequential windowed solves (session multi-rect); full path = one
-        # warm re-solve seeing both. Sites: offset from the extend site and
-        # the island site (fresh pixels, max separation).
+        # warm re-solve seeing both. Both trajectories start from the same
+        # post-flip GROUND-TRUTH state so the row isolates the multi-rect
+        # path's own error (strokes 1-3 already measure accumulated drift).
+        # Sites: offset from the extend site and the island site (fresh
+        # pixels, max separation).
         (_, ey, ex, v1), (_, iy, ix, _), _ = strokes
         ty1, tx1 = max(ey - 40, 10), max(ex - 40, 10)
         ty2, tx2 = min(iy + 30, h - 11), min(ix + 30, w - 11)
@@ -135,11 +138,12 @@ def run_pair(rgb, mask0, value0, gs_values, cfg_kw):
             mask[sy - 10 : sy + 10, sx - 10 : sx + 10] = True
             value[sy - 10 : sy + 10, sx - 10 : sx + 10] = val
         m, v = jnp.asarray(mask), jnp.asarray(value)
-        d_inc, st_inc = pipe.solve_incremental(
-            gp, m, v, st_inc, jnp.asarray([ty1, tx1], jnp.int32)
+        st_twin = tuple(jnp.array(s) for s in st_full)
+        d_inc, st_twin = pipe.solve_incremental(
+            gp, m, v, st_twin, jnp.asarray([ty1, tx1], jnp.int32)
         )
-        d_inc, st_inc = pipe.solve_incremental(
-            gp, m, v, st_inc, jnp.asarray([ty2, tx2], jnp.int32)
+        d_inc, st_twin = pipe.solve_incremental(
+            gp, m, v, st_twin, jnp.asarray([ty2, tx2], jnp.int32)
         )
         d_full, st_full = pipe.solve(gp, m, v, st_full)
         err = (np.asarray(d_inc) - np.asarray(d_full)) / 255.0
