@@ -72,8 +72,8 @@ def main():
     quality = "exact"
     if "--defocus-quality" in sys.argv:
         at = sys.argv.index("--defocus-quality") + 1
-        if at >= len(sys.argv) or sys.argv[at] not in ("exact", "approx"):
-            raise SystemExit("--defocus-quality needs a value (exact|approx)")
+        if at >= len(sys.argv) or sys.argv[at] not in ("auto", "exact", "approx"):
+            raise SystemExit("--defocus-quality needs a value (auto|exact|approx)")
         quality = sys.argv[at]
     cfg = DiffusionConfig(pallas_defocus_quality=quality)
     log("devices:", jax.devices())
@@ -168,7 +168,7 @@ def main():
                 "metric": f"{label} solve+defocus ms/frame, worst-case effect "
                           f"({sweeps} Chebyshev sweeps, {levels}-level cascade, "
                           "1 TPU core, relay-RTT-excluded"
-                          + (", approx defocus" if quality == "approx" else "")
+                          + (f", {quality} defocus" if quality != "exact" else "")
                           + ")",
                 "value": round(dt_ms, 3),
                 "unit": "ms",

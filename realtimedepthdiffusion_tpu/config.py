@@ -274,21 +274,33 @@ class DiffusionConfig:
     # from gray/d8 slabs), then to per-step DMA.
     pallas_arena_vmem_cap: int = 112 * 1024 * 1024
     # --- Defocus quality/latency tradeoff (the 4K lever). The exact kernel
-    #     marches every window-half candidate 1..max_half (110 at 4K) and is
-    #     structurally roll-bound (PERF.md); "approx" SNAPS each pixel's
-    #     half-width to a subsampled candidate set — every half up to
-    #     pallas_defocus_exact_upto stays exact, larger halves round to the
-    #     nearest multiple of pallas_defocus_stride above it — and the
-    #     marching loop skips the non-candidates with static stride rolls.
-    #     The output is EXACTLY the defocus of the snapped half field, so
-    #     the error is bounded by half a stride of window growth on already
-    #     -large (>= exact_upto) blur windows; near-focus detail is
-    #     untouched. All defocus paths (XLA, Pallas, sharded) snap
+    #     marches the per-strip [hv_lo, hv_hi] candidate band (max_half 55
+    #     at 4K) and is structurally roll-bound (PERF.md); "approx" SNAPS
+    #     each pixel's half-width to a subsampled candidate set — every
+    #     half up to pallas_defocus_exact_upto stays exact, larger halves
+    #     round to the nearest multiple of pallas_defocus_stride above it —
+    #     and the marching loop skips the non-candidates with static stride
+    #     rolls. The output is EXACTLY the defocus of the snapped half
+    #     field, so the error is bounded by half a stride of window growth
+    #     on already-large (>= exact_upto) blur windows; near-focus detail
+    #     is untouched. All defocus paths (XLA, Pallas, sharded) snap
     #     identically, so cross-path parity is preserved. Error ledger:
-    #     tools/defocus_quality_report.py + PERF.md. ---
-    pallas_defocus_quality: str = "exact"
+    #     tools/defocus_quality_report.py + PERF.md.
+    #
+    #     "auto" (default, round 5): exact while max_half <=
+    #     pallas_defocus_auto_max_half (bit-parity preserved through every
+    #     <=1440p-class geometry, incl. all dataset pairs and the 1080p
+    #     headline), bounded-error approx above it (4K+: exact measures
+    #     13-20 ms on the upscaled pairs vs the 16 ms budget even with the
+    #     round-5 banding — PERF.md), announced with a loud one-time
+    #     warning (core/effects.resolved_defocus_quality). ---
+    pallas_defocus_quality: str = "auto"
     pallas_defocus_exact_upto: int = 16
     pallas_defocus_stride: int = 4
+    # 'auto' threshold: largest aperture max_half served by the exact
+    # kernel. 40 covers 1600x2844 (diag ~3265, k 81) and below; the 4K
+    # regime (max_half 55) resolves to approx.
+    pallas_defocus_auto_max_half: int = 40
 
     def __post_init__(self):
         # Validate at construction so EVERY surface (library, serving, CLI)
@@ -306,13 +318,14 @@ class DiffusionConfig:
                 f"{self.pallas_defocus_variant!r}; expected 'corners', "
                 f"'stacked' or 'coldiff' (interpret-only)"
             )
-        if self.pallas_defocus_quality not in ("exact", "approx"):
+        if self.pallas_defocus_quality not in ("auto", "exact", "approx"):
             raise ValueError(
                 f"unknown pallas_defocus_quality "
-                f"{self.pallas_defocus_quality!r}; expected 'exact' or "
-                f"'approx'"
+                f"{self.pallas_defocus_quality!r}; expected 'auto', 'exact' "
+                f"or 'approx'"
             )
-        if self.pallas_defocus_quality == "approx":
+        if self.pallas_defocus_quality in ("auto", "approx"):
+            # auto can resolve to approx, so its knobs validate too
             if self.pallas_defocus_exact_upto < 1:
                 raise ValueError(
                     "pallas_defocus_exact_upto must be >= 1 (half-widths up "

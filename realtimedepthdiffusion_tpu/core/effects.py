@@ -69,16 +69,53 @@ def _effects_on_tpu() -> bool:
     return _is_tpu()
 
 
+_AUTO_WARNED: set = set()
+
+
+def resolved_defocus_quality(cfg: DiffusionConfig, max_half: int) -> str:
+    """'exact' or 'approx' after resolving the 'auto' quality (the shipped
+    default): exact while the aperture regime is small enough that the
+    exact kernel makes the 16 ms budget (max_half <=
+    ``pallas_defocus_auto_max_half``, which covers every <=1440p-class
+    geometry — PERF.md '4K under the 16 ms budget'), bounded-error approx
+    above it (the 4K+ regime, where exact measures 13-20 ms/frame on the
+    upscaled pairs). The switch is LOUD: one warning per aperture regime
+    per process, so no 4K user silently gets either an over-budget exact
+    frame or an unlabeled approximation. Every defocus path (XLA, Pallas,
+    sharded) resolves through here, so cross-path bit-parity per setting
+    is preserved."""
+    q = cfg.pallas_defocus_quality
+    if q != "auto":
+        return q
+    if max_half <= cfg.pallas_defocus_auto_max_half:
+        return "exact"
+    if max_half not in _AUTO_WARNED:
+        _AUTO_WARNED.add(max_half)
+        import logging
+
+        logging.getLogger("realtimedepthdiffusion_tpu").warning(
+            "defocus quality 'auto': aperture max_half %d exceeds the "
+            "exact-kernel budget threshold (%d) — using bounded-error "
+            "approx (stride %d; error ledger in PERF.md). Pass "
+            "defocus quality 'exact' to force the exact kernel.",
+            max_half, cfg.pallas_defocus_auto_max_half,
+            cfg.pallas_defocus_stride,
+        )
+    return "approx"
+
+
 def defocus_candidates(max_half: int, cfg: DiffusionConfig) -> list:
     """The static window-half candidate set every defocus path iterates.
 
-    'exact' (default): every half-width 1..max_half — the reference
-    semantics (src/GPUDepthEffect.cu:42-43 picks any integer window).
+    'exact': every half-width 1..max_half — the reference semantics
+    (src/GPUDepthEffect.cu:42-43 picks any integer window).
     'approx': every half up to ``pallas_defocus_exact_upto`` plus an
     arithmetic progression of ``pallas_defocus_stride`` above it — the
     subsampled set the approx Pallas kernel marches with stride rolls (the
-    4K lever; candidate count 110 -> ~39 at stride 4)."""
-    if cfg.pallas_defocus_quality != "approx":
+    4K lever; candidate count 55 -> ~26 at stride 4).
+    'auto' (default) resolves per aperture regime (resolved_defocus_quality).
+    """
+    if resolved_defocus_quality(cfg, max_half) != "approx":
         return list(range(1, max_half + 1))
     t = min(cfg.pallas_defocus_exact_upto, max_half)
     q = cfg.pallas_defocus_stride
@@ -97,7 +134,7 @@ def snap_half_widths(
     already-large blur windows (relative area change <= stride/(2*half)).
     Idempotent, and applied identically by the XLA, Pallas and sharded
     paths, so cross-path bit-parity is preserved per quality setting."""
-    if cfg.pallas_defocus_quality != "approx":
+    if resolved_defocus_quality(cfg, max_half) != "approx":
         return half
     t = min(cfg.pallas_defocus_exact_upto, max_half)
     q = cfg.pallas_defocus_stride

@@ -28,9 +28,11 @@ plus headless extensions for CI/scripting (the reference is GUI-only):
                        cyclic-Chebyshev omegas (default 0.9999)
     --rb-plain         plain Gauss-Seidel red-black (disable the SOR omegas)
     --gray-pyramid ... opencv | floor (gray-chain convention)
-    --defocus-quality  exact | approx — refocus window-half candidate set
-                       (approx snaps blur windows larger than 16 px to a
-                       stride grid: bounded error, ~2.7x fewer marched
+    --defocus-quality  auto | exact | approx — refocus window-half set.
+                       auto (default): exact through ~1440p apertures,
+                       bounded-error approx at 4K+ (loudly reported);
+                       approx snaps blur windows larger than 16 px to a
+                       stride grid (bounded error, ~2x fewer marched
                        candidates at 4K — the 4K latency lever, PERF.md)
     --defocus-stride N approx candidate stride (default 4; implies
                        --defocus-quality approx)
@@ -71,8 +73,8 @@ USAGE = (
     " --residual-metric rms|max early-exit residual functional (default rms)\n"
     " --rb-rho X red-black Chebyshev rho (default 0.9999)\n --rb-plain disable red-black SOR omegas\n"
     " --gray-pyramid opencv|floor gray-chain convention\n"
-    " --defocus-quality exact|approx refocus window-half set (approx snaps\n"
-    "   large blur windows to a stride grid — the 4K latency lever, PERF.md)\n"
+    " --defocus-quality auto|exact|approx refocus window-half set (auto =\n"
+    "   exact through ~1440p, bounded-error approx at 4K+, loudly reported)\n"
     " --defocus-stride N approx candidate stride (default 4)\n"
     " --depth16 also save a 16-bit DepthMap16.png\n --time print timing report\n"
     " --trace DIR dump a jax.profiler trace of the solve\n --verbose debug logging\n"
@@ -105,7 +107,7 @@ class CliArgs:
     rb_plain: bool = False
     gray_pyramid: str = "opencv"
     depth16: bool = False
-    defocus_quality: Optional[str] = None  # None -> 'exact' (the default)
+    defocus_quality: Optional[str] = None  # None -> 'auto' (the default)
     defocus_stride: Optional[int] = None
     help: bool = False
 
@@ -219,7 +221,7 @@ def parse_args(argv: List[str]) -> CliArgs:
         elif arg == "--defocus-quality":
             # Parse-time validation like --effect/--residual-metric.
             v = val().lower()
-            if v not in ("exact", "approx"):
+            if v not in ("auto", "exact", "approx"):
                 raise SystemExit(
                     f"error: unknown --defocus-quality {v!r} "
                     f"(choose from ['approx', 'exact'])\n{USAGE}"

@@ -416,14 +416,17 @@ def defocus_pallas(
     geom = jnp.array([0, 0, h, w], jnp.int32)
     out = _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips,
                         interpret, variant=cfg.pallas_defocus_variant,
-                        **_quality_kw(cfg))
+                        **_quality_kw(cfg, max_half))
     return jnp.moveaxis(out[:, :h, hc : hc + w].astype(jnp.uint8), 0, -1)
 
 
-def _quality_kw(cfg: DiffusionConfig) -> dict:
-    """Static marching-loop parameters for the configured defocus quality
-    ('exact' -> stride 1, the untouched default path)."""
-    if cfg.pallas_defocus_quality == "approx":
+def _quality_kw(cfg: DiffusionConfig, max_half: int) -> dict:
+    """Static marching-loop parameters for the RESOLVED defocus quality
+    ('exact' -> stride 1; 'auto' resolves per aperture regime,
+    core/effects.resolved_defocus_quality)."""
+    from ..core.effects import resolved_defocus_quality
+
+    if resolved_defocus_quality(cfg, max_half) == "approx":
         return {"t_exact": cfg.pallas_defocus_exact_upto,
                 "stride": cfg.pallas_defocus_stride}
     return {"t_exact": 0, "stride": 1}
@@ -590,5 +593,5 @@ def defocus_block_pallas(
     ])
     out = _defocus_call(rgb_p, half_p, geom, block_h, hr, hc, n_strips,
                         interpret, variant=cfg.pallas_defocus_variant,
-                        **_quality_kw(cfg))
+                        **_quality_kw(cfg, max_half))
     return jnp.moveaxis(out[:, :hb, hc : hc + wb].astype(jnp.uint8), 0, -1)

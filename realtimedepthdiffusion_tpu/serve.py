@@ -821,7 +821,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--rb-plain", action="store_true",
                    help="plain Gauss-Seidel red-black (disable the SOR "
                         "omegas)")
-    p.add_argument("--defocus-quality", choices=["exact", "approx"],
+    p.add_argument("--defocus-quality", choices=["auto", "exact", "approx"],
                    default=None,
                    help="refocus window-half candidate set (default exact, "
                         "the reference semantics; 'approx' snaps blur "

@@ -174,7 +174,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--residual-metric", default=None, choices=["rms", "max"])
     p.add_argument("--rb-rho", type=float, default=None)
     p.add_argument("--rb-plain", action="store_true")
-    p.add_argument("--defocus-quality", choices=["exact", "approx"],
+    p.add_argument("--defocus-quality", choices=["auto", "exact", "approx"],
                    default=None)
     p.add_argument("--defocus-stride", type=int, default=None, metavar="N")
     a = p.parse_args(argv)

@@ -79,6 +79,10 @@ def test_defocus_quality_validation_at_construction():
     with pytest.raises(ValueError, match="exact_upto"):
         DiffusionConfig(pallas_defocus_quality="approx", pallas_defocus_exact_upto=0)
     # Valid approx configs construct fine; the knobs are inert under 'exact'
-    # (any values accepted — they are never read).
+    # (any values accepted — they are never read). The 'auto' default CAN
+    # resolve to approx, so its knobs validate like approx's.
     DiffusionConfig(pallas_defocus_quality="approx")
-    DiffusionConfig(pallas_defocus_exact_upto=0, pallas_defocus_stride=1)
+    DiffusionConfig(pallas_defocus_quality="exact",
+                    pallas_defocus_exact_upto=0, pallas_defocus_stride=1)
+    with pytest.raises(ValueError, match="stride"):
+        DiffusionConfig(pallas_defocus_quality="auto", pallas_defocus_stride=1)

@@ -121,8 +121,11 @@ def test_snap_half_widths_semantics():
     # Idempotent: a snapped field passes through unchanged.
     again = np.asarray(effects.snap_half_widths(jnp.asarray(got), max_half, cfg))
     assert np.array_equal(again, got)
-    # quality='exact' snaps nothing.
-    ident = np.asarray(effects.snap_half_widths(half, max_half, CFG))
+    # quality='exact' snaps nothing (the default 'auto' resolves to approx
+    # at this 4K-regime max_half — covered by test_defocus_auto_quality_*).
+    ident = np.asarray(effects.snap_half_widths(
+        half, max_half, DiffusionConfig(pallas_defocus_quality="exact")
+    ))
     assert np.array_equal(ident, np.asarray(half))
 
 
@@ -166,3 +169,50 @@ def test_defocus_approx_pointwise_vs_exact(rng):
     diff = np.abs(exact - approx)[~same]
     assert diff.max() <= 48
     assert float(np.sqrt((diff.astype(float) ** 2).mean())) < 8.0
+
+
+def test_defocus_auto_quality_resolution(rng):
+    """'auto' (the round-5 default): exact below the aperture threshold
+    (bit-identical to quality='exact'), bounded-error approx above it
+    (bit-identical to quality='approx'), with the switch resolved
+    identically by every path through resolved_defocus_quality."""
+    h, w = 64, 96
+    rgb = jnp.asarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    depth = jnp.asarray((rng.random((h, w)) * 255).astype(np.float32))
+
+    # Small aperture (max_half ~1 at 64x96): auto == exact.
+    cfg_auto = DiffusionConfig()  # quality defaults to 'auto'
+    assert cfg_auto.pallas_defocus_quality == "auto"
+    k = cfg_auto.defocus_kernel_size(h, w)
+    assert k // 2 <= cfg_auto.pallas_defocus_auto_max_half
+    assert effects.resolved_defocus_quality(cfg_auto, k // 2) == "exact"
+    got = np.asarray(effects.defocus_xla(rgb, depth, cfg_auto))
+    want = np.asarray(effects.defocus_xla(
+        rgb, depth, DiffusionConfig(pallas_defocus_quality="exact")
+    ))
+    assert np.array_equal(got, want)
+
+    # Above the threshold (forced low): auto == approx, bitwise.
+    cfg_low = DiffusionConfig(pallas_defocus_auto_max_half=0)
+    assert effects.resolved_defocus_quality(cfg_low, k // 2) == "approx"
+    got2 = np.asarray(effects.defocus_xla(rgb, depth, cfg_low))
+    want2 = np.asarray(effects.defocus_xla(
+        rgb, depth, DiffusionConfig(pallas_defocus_quality="approx")
+    ))
+    assert np.array_equal(got2, want2)
+
+    # The regime boundary is the documented 4K contract: the 4K aperture
+    # (2160x3840 -> max_half 55) resolves to approx, 1080p (27) to exact.
+    assert effects.resolved_defocus_quality(
+        cfg_auto, DiffusionConfig().defocus_kernel_size(2160, 3840) // 2
+    ) == "approx"
+    assert effects.resolved_defocus_quality(
+        cfg_auto, DiffusionConfig().defocus_kernel_size(1080, 1920) // 2
+    ) == "exact"
+
+    # Validation: 'auto' accepts the approx knobs' constraints.
+    import pytest
+    with pytest.raises(ValueError, match="stride"):
+        DiffusionConfig(pallas_defocus_quality="auto", pallas_defocus_stride=1)
+    with pytest.raises(ValueError, match="quality"):
+        DiffusionConfig(pallas_defocus_quality="exactish")

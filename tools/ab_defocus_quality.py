@@ -51,7 +51,7 @@ def main() -> int:
 
     ab(
         {
-            "exact": variant(DiffusionConfig()),
+            "exact": variant(DiffusionConfig(pallas_defocus_quality="exact")),
             "approx-s2": variant(DiffusionConfig(
                 pallas_defocus_quality="approx", pallas_defocus_stride=2)),
             "approx-s4": variant(DiffusionConfig(

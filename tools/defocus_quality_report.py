@@ -70,7 +70,7 @@ def measure(rgb: np.ndarray, depth: np.ndarray, strides) -> list:
     from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_half_widths
 
     h, w = depth.shape
-    cfg_e = DiffusionConfig()
+    cfg_e = DiffusionConfig(pallas_defocus_quality="exact")
     rgb_d, dep_d = jnp.asarray(rgb), jnp.asarray(np.clip(depth, 0.0, 255.0))
     exact = np.asarray(fx.defocus_xla(rgb_d, dep_d, cfg_e)).astype(np.int32)
     half_e = np.asarray(defocus_half_widths(dep_d, h, w, cfg_e))
