@@ -397,8 +397,13 @@ def test_cli_defocus_quality_flags():
     ))
     assert cfg3.pallas_defocus_quality == "exact"
 
-    # Defaults untouched: exact is the reference-faithful path.
-    assert make_config(parse_args(["-i", "x.jpg"])).pallas_defocus_quality == "exact"
+    # Default (round 5): 'auto' — exact at every <=1440p aperture (the
+    # reference-faithful path where exactness is the contract), bounded
+    # -error approx at 4K+ (loudly reported).
+    assert make_config(parse_args(["-i", "x.jpg"])).pallas_defocus_quality == "auto"
+    # And 'auto' is an accepted explicit value.
+    cfg4 = make_config(parse_args(["-i", "x.jpg", "--defocus-quality", "auto"]))
+    assert cfg4.pallas_defocus_quality == "auto"
 
     with pytest.raises(SystemExit, match="defocus-quality"):
         parse_args(["--defocus-quality", "fast"])
