@@ -348,14 +348,25 @@ def _defocus_kernel(block_h, hr, hc, t_exact, stride,
         # Approx (snapped half field): exact candidates 1..t_exact, then the
         # progression t_exact + j*stride. Only candidates present in the
         # snapped field can win a select, so skipping the rest is exact
-        # w.r.t. the snapped field.
-        lax.fori_loop(1, jnp.minimum(hv_hi, t_exact) + 1, body, 0,
-                      unroll=False)
+        # w.r.t. the snapped field. The [hv_lo, hv_hi] band applies here
+        # too (hv_lo and hv_hi are themselves snapped candidates): the
+        # exact phase starts at the band (skipped entirely when hv_lo lies
+        # in the coarse range — far-only strips), and the coarse phase
+        # starts at the first candidate >= hv_lo.
+        @pl.when((hv_lo > 1) & (hv_lo <= t_exact))
+        def _skip_below_band_exact():
+            march(hv_lo - 1)
 
-        @pl.when(hv_hi > t_exact)
+        lax.fori_loop(
+            jnp.minimum(hv_lo, t_exact + 1),
+            jnp.minimum(hv_hi, t_exact) + 1,
+            body, 0, unroll=False,
+        )
+
+        @pl.when((hv_hi > t_exact) & (hv_lo <= t_exact))
         def _coarse_phase():
-            # Corners sit at candidate t_exact + 1; advance to the first
-            # coarse candidate t_exact + stride.
+            # The exact phase ran through t_exact: corners sit at candidate
+            # t_exact + 1; advance to the first coarse candidate (static).
             if stride > 1:
                 march(stride - 1)
 
@@ -366,6 +377,24 @@ def _defocus_kernel(block_h, hr, hc, t_exact, stride,
 
             # hv_hi is itself a snapped candidate: hv_hi = t_exact + J*q.
             lax.fori_loop(0, (hv_hi - t_exact) // stride, body_q, 0,
+                          unroll=False)
+
+        @pl.when(hv_lo > t_exact)
+        def _coarse_only():
+            # Far-only strip: no exact-phase candidates can win. Corners
+            # still sit at candidate 1 (the zero-trip loop above marched
+            # nothing); one dynamic advance jumps straight to hv_lo, and
+            # the progression hv_lo, hv_lo+stride, ..., hv_hi follows
+            # (all snapped candidates, so hv_hi - hv_lo is a multiple of
+            # the stride).
+            march(hv_lo - 1)
+
+            def body_q(j, _):
+                select_box(hv_lo + j * stride)
+                march(stride)
+                return 0
+
+            lax.fori_loop(0, (hv_hi - hv_lo) // stride + 1, body_q, 0,
                           unroll=False)
 
     # Single epilogue division, bit-identical to dividing per candidate: box
