@@ -148,7 +148,10 @@ def test_defocus_approx_pointwise_vs_exact(rng):
 
     h, w = 140, 200
     cfg_a = _approx_cfg(defocus_aperture=0.5, pallas_defocus_exact_upto=8)
-    cfg_e = DiffusionConfig(defocus_aperture=0.5)  # k=122, max_half=61
+    # Pin exact explicitly: max_half 61 exceeds the 'auto' default's
+    # threshold, which would silently make this arm approx too.
+    cfg_e = DiffusionConfig(defocus_aperture=0.5,
+                            pallas_defocus_quality="exact")  # max_half=61
     # Structured content (not noise): blur-mean differences survive.
     rgb = np.zeros((h, w, 3), np.uint8)
     rgb[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
@@ -216,3 +219,23 @@ def test_defocus_auto_quality_resolution(rng):
         DiffusionConfig(pallas_defocus_quality="auto", pallas_defocus_stride=1)
     with pytest.raises(ValueError, match="quality"):
         DiffusionConfig(pallas_defocus_quality="exactish")
+
+
+def test_defocus_auto_switch_is_loud(caplog):
+    """The 'auto' -> approx switch is announced (a 4K user must not get an
+    unlabeled approximation), exactly once per aperture regime."""
+    import logging
+
+    effects._AUTO_WARNED.clear()
+    cfg = DiffusionConfig()
+    with caplog.at_level(logging.WARNING, logger="realtimedepthdiffusion_tpu"):
+        assert effects.resolved_defocus_quality(cfg, 55) == "approx"
+    assert any(
+        "approx" in r.getMessage() and "auto" in r.getMessage()
+        for r in caplog.records
+    ), caplog.records
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="realtimedepthdiffusion_tpu"):
+        effects.resolved_defocus_quality(cfg, 55)  # same regime: silent
+    assert not caplog.records
+    effects._AUTO_WARNED.clear()

@@ -270,7 +270,10 @@ def test_defocus_pallas_bitexact_halo_taller_than_block(rng):
     from realtimedepthdiffusion_tpu.ops.pallas_defocus import defocus_pallas
 
     h, w = 120, 180
-    cfg = DiffusionConfig(defocus_aperture=0.5)  # k=108, max_half=54, hr=56
+    # Pin exact: under the 'auto' default this max_half resolves to approx,
+    # which would test the stride march instead of the exact creep bounds.
+    cfg = DiffusionConfig(defocus_aperture=0.5,
+                          pallas_defocus_quality="exact")  # max_half=54, hr=56
     rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     depth = (rng.random((h, w)) * 255).astype(np.float32)
     # Far-plane rows inside EACH 48-row strip: hv_hi == max_half everywhere.
