@@ -69,6 +69,21 @@ def main(argv=None):
     t1 = time.perf_counter()
     print(f"{kind} re-solve #2 (steady state): {(t1 - t0) * 1e3:.1f} ms "
           "(host wall, incl. transfers)")
+
+    # Two SIMULTANEOUS distant strokes in one frame (two-handed editing):
+    # the session keeps them as separate dirty rects and window-solves each
+    # sequentially through the same compiled program (round 5; a single
+    # bounding rect would overflow the window and fall back to full).
+    sess.set_color_key(1)
+    sess.paint(w // 8, 7 * h // 8)
+    sess.set_color_key(3)
+    sess.paint(7 * w // 8, 7 * h // 8)
+    n_rects = len(sess.dirty_rects)
+    t0 = time.perf_counter()
+    depth = sess.solve()
+    t1 = time.perf_counter()
+    print(f"two-handed frame ({n_rects} dirty rects, {kind}): "
+          f"{(t1 - t0) * 1e3:.1f} ms")
     print(sess.timing_report())
     return depth
 
