@@ -224,7 +224,7 @@ def parse_args(argv: List[str]) -> CliArgs:
             if v not in ("auto", "exact", "approx"):
                 raise SystemExit(
                     f"error: unknown --defocus-quality {v!r} "
-                    f"(choose from ['approx', 'exact'])\n{USAGE}"
+                    f"(choose from ['auto', 'exact', 'approx'])\n{USAGE}"
                 )
             a.defocus_quality = v
         elif arg == "--defocus-stride":

@@ -51,14 +51,26 @@ class DepthDiffusionModel:
         """Latest prepared image (device rgb + gray pyramid), cached across
         solve/render calls so repeated solve -> render loops do ZERO
         redundant gray-pyramid recompute or upload. The cache RETAINS the
-        source array and matches by identity, so a recycled id() can never
-        alias a different image."""
+        source array and matches by IDENTITY, so a recycled id() can never
+        alias a different image — but identity cannot see IN-PLACE
+        mutation: a caller that overwrites one buffer's pixels
+        (``rgb[:] = next_frame``) must pass a fresh array per image (the
+        natural result of any decode) or call ``invalidate_image_cache()``
+        after mutating; otherwise solve/render serve the previous
+        contents. Every facade method that takes ``rgb`` shares this
+        contract (docs/API.md)."""
         cached = self._cache.get("img")
         if cached is not None and cached[0] is rgb:
             return cached[1]
         prepared = pipe.prepare_image(np.asarray(rgb, dtype=np.uint8))
         self._cache = {"img": (rgb, prepared)}
         return prepared
+
+    def invalidate_image_cache(self) -> None:
+        """Drop the prepared-image cache. Needed ONLY when the caller
+        mutates an rgb buffer IN PLACE and passes the same array object
+        again (the identity-keyed cache cannot detect content changes)."""
+        self._cache = {}
 
     def solve(
         self,

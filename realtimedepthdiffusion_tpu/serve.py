@@ -823,11 +823,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "omegas)")
     p.add_argument("--defocus-quality", choices=["auto", "exact", "approx"],
                    default=None,
-                   help="refocus window-half candidate set (default exact, "
-                        "the reference semantics; 'approx' snaps blur "
-                        "windows larger than 16 px to a stride grid — "
-                        "bounded error, ~2.7x fewer marched candidates at "
-                        "4K, the 4K latency lever; error ledger in PERF.md)")
+                   help="refocus window-half candidate set (default auto: "
+                        "exact through ~1440p apertures — the reference "
+                        "semantics where exactness is the contract — and "
+                        "bounded-error approx at 4K+, loudly reported; "
+                        "'approx' snaps blur windows larger than 16 px to "
+                        "a stride grid; error ledger in PERF.md)")
     p.add_argument("--defocus-stride", type=int, default=None, metavar="N",
                    help="approx candidate stride (default 4; implies "
                         "--defocus-quality approx)")

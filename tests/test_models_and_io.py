@@ -113,3 +113,19 @@ def test_model_solve_and_render_fused_and_incremental():
     rmse = float(np.sqrt(np.mean(((d_inc - d_full) / 255.0) ** 2)))
     assert rmse < 3e-2, rmse
     assert np.array_equal(d_inc[mask2], value2[mask2].astype(np.float32))
+
+
+def test_model_image_cache_invalidation():
+    """In-place mutation of a reused rgb buffer is invisible to the
+    identity-keyed cache (documented contract); invalidate_image_cache()
+    makes the next call re-prepare."""
+    rgb, mask, value = synthetic_pair(48, 64, 8)
+    model = ChebyshevCascade(max_iterations=20)
+    d1 = model.solve(rgb, mask, value)
+    # In-place content change that really moves the edge weights (an
+    # inversion would not: |gray SAD| is inversion-invariant): flatten the
+    # image, freeing diffusion across every edge.
+    rgb[:] = 128
+    model.invalidate_image_cache()
+    d2 = model.solve(rgb, mask, value)
+    assert not np.array_equal(d1, d2)  # the new content was actually used
