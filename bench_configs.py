@@ -66,18 +66,25 @@ def main():
         print(json.dumps(rec), flush=True)
 
     def chained_ms(step, state0, K=8, n=3):
+        # Consume via a HOST FETCH of a reduced scalar: block_until_ready
+        # over the axon relay does not reliably wait for multi-output
+        # programs containing aliased Pallas calls (PERF.md round-5
+        # methodology note); a fetch always does.
         def chain(k):
-            return jax.jit(
-                lambda s: jax.lax.fori_loop(0, k, lambda i, ss: step(ss), s)
-            )
+            @jax.jit
+            def run(s):
+                out = jax.lax.fori_loop(0, k, lambda i, ss: step(ss), s)
+                leaves = jax.tree_util.tree_leaves(out)
+                return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            return run
         f1, fk = chain(1), chain(K)
-        _ = jax.block_until_ready(f1(state0))
-        _ = jax.block_until_ready(fk(state0))
+        float(f1(state0))
+        float(fk(state0))
         def env(f):
             best = 1e9
             for _ in range(n):
                 t0 = time.perf_counter()
-                jax.block_until_ready(f(state0))
+                float(f(state0))
                 best = min(best, time.perf_counter() - t0)
             return best * 1000
         return (env(fk) - env(f1)) / (K - 1)
